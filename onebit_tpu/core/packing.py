@@ -1,0 +1,118 @@
+"""Sign-bit packing/unpacking for OneBit weights.
+
+A OneBit linear layer stores ``sign(W) in {-1,+1}^{out x in}`` losslessly as
+packed bits.  The bit convention (kept byte-compatible with the reference
+packer, scripts/convert_llama_to_infer_ckpt.py:7-15 and the reference
+unpacker transformers/src/transformers/models/bitnet.py:98-110) is:
+
+* bit value ``b = (1 - s) / 2``  (sign ``+1 -> 0``, ``-1 -> 1``)
+* LSB-first within each word: element ``i`` of a row lands in word
+  ``i // word_bits`` at bit position ``i % word_bits``.
+
+The reference packs 8 signs per *int8* byte.  The TPU-native canonical format
+packs 32 signs per **int32 word** — the natural lane dtype on TPU — and the
+two layouts are *pure memory views* of each other: an int32 word is exactly 4
+consecutive reference bytes interpreted little-endian.  Converters between
+the two formats are therefore exact and free.
+
+All functions here are pure jnp (jit-friendly) unless suffixed ``_np``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+WORD_BITS = 32
+_BYTE_BITS = 8
+
+
+# ---------------------------------------------------------------------------
+# Canonical int32-word format
+# ---------------------------------------------------------------------------
+
+def pack_signs(w, axis: int = -1):
+    """Pack signs of ``w`` along ``axis`` into int32 words (32 signs/word).
+
+    ``w`` may be any real array; only ``sign(w)`` is consulted, with the
+    convention that ``w >= 0`` packs as bit 0 (sign +1) and ``w < 0`` packs
+    as bit 1 (sign -1).  The packed axis length must be a multiple of 32.
+
+    Returns an int32 array whose ``axis`` dimension is ``w.shape[axis]//32``.
+    """
+    w = jnp.asarray(w)
+    if axis != -1 and axis != w.ndim - 1:
+        w = jnp.moveaxis(w, axis, -1)
+    n = w.shape[-1]
+    if n % WORD_BITS != 0:
+        raise ValueError(f"packed axis length {n} not a multiple of {WORD_BITS}")
+    bits = (w < 0).astype(jnp.uint32)  # b = (1 - s) / 2
+    bits = bits.reshape(*w.shape[:-1], n // WORD_BITS, WORD_BITS)
+    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)
+    words = jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32).astype(jnp.int32)
+    if axis != -1 and axis != words.ndim - 1:
+        words = jnp.moveaxis(words, -1, axis)
+    return words
+
+
+def unpack_signs(words, dtype=jnp.bfloat16, axis: int = -1):
+    """Unpack int32 sign words back to a dense ±1 array along ``axis``."""
+    words = jnp.asarray(words)
+    if axis != -1 and axis != words.ndim - 1:
+        words = jnp.moveaxis(words, axis, -1)
+    u = words.astype(jnp.uint32)
+    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)
+    bits = (u[..., None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape(*words.shape[:-1], words.shape[-1] * WORD_BITS)
+    signs = (1 - 2 * bits.astype(jnp.int32)).astype(dtype)  # s = 1 - 2b
+    if axis != -1 and axis != signs.ndim - 1:
+        signs = jnp.moveaxis(signs, -1, axis)
+    return signs
+
+
+# ---------------------------------------------------------------------------
+# Reference int8 format (8 signs/byte) — for checkpoint interchange
+# ---------------------------------------------------------------------------
+
+def pack_signs_int8_np(w: np.ndarray) -> np.ndarray:
+    """Pack signs into the reference's int8 byte format (numpy, last axis).
+
+    Matches scripts/convert_llama_to_infer_ckpt.py:7-15: ``b=(1-s)/2``,
+    LSB-first within each byte, output shape ``[..., in//8]`` int8.
+    """
+    w = np.asarray(w)
+    n = w.shape[-1]
+    if n % _BYTE_BITS != 0:
+        raise ValueError(f"last axis {n} not a multiple of 8")
+    bits = (w < 0).astype(np.uint8).reshape(*w.shape[:-1], n // _BYTE_BITS, _BYTE_BITS)
+    mult = (1 << np.arange(_BYTE_BITS, dtype=np.uint8)).astype(np.uint8)
+    packed = (bits * mult).sum(-1).astype(np.uint8)
+    return packed.view(np.int8)
+
+
+def unpack_signs_int8_np(packed: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """Unpack the reference int8 byte format to dense ±1 (numpy)."""
+    u = np.asarray(packed).view(np.uint8)
+    shifts = np.arange(_BYTE_BITS, dtype=np.uint8)
+    bits = (u[..., None] >> shifts) & np.uint8(1)
+    bits = bits.reshape(*u.shape[:-1], u.shape[-1] * _BYTE_BITS)
+    return (1 - 2 * bits.astype(np.int8)).astype(dtype)
+
+
+def int8_bytes_to_words_np(packed_int8: np.ndarray) -> np.ndarray:
+    """Reinterpret reference int8 packed rows as canonical int32 words.
+
+    Exact view: word ``w`` = bytes ``4w..4w+3`` little-endian, so LSB-first
+    bit ``j`` of the word is element ``32w + j`` — identical element order to
+    the reference byte layout.
+    """
+    a = np.ascontiguousarray(packed_int8)
+    if a.shape[-1] % 4 != 0:
+        raise ValueError("byte axis must be a multiple of 4 to view as int32")
+    return a.view(np.dtype("<i4")).reshape(*a.shape[:-1], a.shape[-1] // 4)
+
+
+def words_to_int8_bytes_np(words: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`int8_bytes_to_words_np` (exact view)."""
+    a = np.ascontiguousarray(words).astype(np.dtype("<i4"), copy=False)
+    return a.view(np.int8).reshape(*a.shape[:-1], a.shape[-1] * 4)

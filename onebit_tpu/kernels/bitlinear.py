@@ -1,0 +1,81 @@
+"""BitLinear op: implementation dispatch (XLA reference vs fused Pallas).
+
+The three weight modes mirror the reference's two module flavours plus the
+QAT latent form:
+
+* ``latent``: full-precision latent weight ``[out, in]`` — training (QAT),
+  sign taken through the STE (reference ``BitLinear``, bitnet.py:31-68).
+* ``dense_sign``: materialized ±1 matrix — debug/eval.
+* ``packed``: int32 sign words ``[out, in//32]`` — inference (reference
+  ``BitLinearInf``, bitnet.py:71-122, which unpacks the whole matrix every
+  forward; the Pallas path instead streams packed words from HBM and unpacks
+  tiles in VMEM on the fly).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from onebit_tpu.core.bitlinear import (
+    LN_EPS,
+    bitlinear_fwd,
+    layernorm_noaffine,
+    sign_ste,
+)
+from onebit_tpu.core.packing import unpack_signs
+
+
+class BitLinearWeights(NamedTuple):
+    """Parameters of one BitLinear projection.
+
+    Exactly one of ``latent``/``dense_sign``/``packed`` is set.
+    """
+    weight_scale: jax.Array            # h, [out]
+    input_factor: jax.Array            # g, [in]
+    latent: Optional[jax.Array] = None       # [out, in] fp
+    dense_sign: Optional[jax.Array] = None   # [out, in] ±1
+    packed: Optional[jax.Array] = None       # [out, in//32] int32
+    bias: Optional[jax.Array] = None         # [out]
+
+    @property
+    def mode(self) -> str:
+        if self.latent is not None:
+            return "latent"
+        if self.packed is not None:
+            return "packed"
+        if self.dense_sign is not None:
+            return "dense_sign"
+        raise ValueError("empty BitLinearWeights")
+
+
+def bitlinear_apply(x, w: BitLinearWeights, *, impl: str = "auto",
+                    eps: float = LN_EPS):
+    """Apply a BitLinear projection to ``x [..., in]`` → ``[..., out]``.
+
+    impl: "auto" | "xla" | "pallas".  Pallas requires packed weights and a
+    TPU backend (interpret mode on CPU is used by tests only).
+    """
+    mode = w.mode
+    if impl == "auto":
+        impl = "pallas" if (mode == "packed" and
+                            jax.default_backend() == "tpu") else "xla"
+
+    if impl == "pallas":
+        if mode != "packed":
+            raise ValueError("pallas impl requires packed weights")
+        from onebit_tpu.kernels.bitlinear_pallas import bitlinear_packed_pallas
+        return bitlinear_packed_pallas(
+            x, w.packed, w.input_factor, w.weight_scale, bias=w.bias, eps=eps)
+
+    # ---- XLA path ----
+    if mode == "latent":
+        sign_w = sign_ste(w.latent)
+    elif mode == "dense_sign":
+        sign_w = w.dense_sign
+    else:  # packed: unpack-then-dot (the reference's strategy, bitnet.py:112-115)
+        sign_w = unpack_signs(w.packed, dtype=x.dtype)
+    return bitlinear_fwd(x, sign_w, w.input_factor, w.weight_scale,
+                         bias=w.bias, eps=eps)

@@ -1,0 +1,272 @@
+"""Functional BitLlama: LLaMA with every linear projection a BitLinear.
+
+TPU-first re-design of the reference model
+(transformers/src/transformers/models/bitllama/modeling_bitllama.py):
+
+* all 7 projections per decoder layer (q/k/v/o + gate/up/down) are
+  BitLinear (reference :190-192, :294-297);
+* ``embed_tokens`` / ``lm_head`` / RMSNorm weights are frozen during KD
+  (reference :1053, :1345-1347, :73) — freezing is enforced by the trainer's
+  trainable-mask, the model itself is mode-agnostic;
+* GQA via ``num_key_value_heads``, RoPE with linear/dynamic-NTK scaling.
+
+Architecture differences from the reference (deliberate, TPU-native):
+
+* pure functional — params are a pytree, forward is jit/pjit-friendly;
+* layers are **stacked** on a leading axis and iterated with ``lax.scan``
+  (constant compile time in depth, natural pjit sharding);
+* decode uses a preallocated KV cache updated with dynamic_update_slice
+  instead of the reference's per-step ``torch.cat`` (reference :379-384);
+* attention softmax in fp32, matmuls bf16 with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from onebit_tpu.core.packing import pack_signs
+from onebit_tpu.kernels.bitlinear import BitLinearWeights, bitlinear_apply
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.rope import apply_rope, rope_cos_sin
+
+PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
+              "gate_proj", "up_proj", "down_proj")
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer KV cache, stacked on a leading layer axis."""
+    k: jax.Array  # [L, B, max_len, n_kv, head_dim]
+    v: jax.Array  # [L, B, max_len, n_kv, head_dim]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(config: BitLlamaConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (config.num_hidden_layers, batch, max_len,
+             config.num_key_value_heads, config.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / conversion
+# ---------------------------------------------------------------------------
+
+def _proj_dims(config: BitLlamaConfig) -> Dict[str, Tuple[int, int]]:
+    d = config.hidden_size
+    kv = config.num_key_value_heads * config.head_dim
+    i = config.intermediate_size
+    return {
+        "q_proj": (d, d), "k_proj": (kv, d), "v_proj": (kv, d),
+        "o_proj": (d, d),
+        "gate_proj": (i, d), "up_proj": (i, d), "down_proj": (d, i),
+    }
+
+
+def init_params(config: BitLlamaConfig, key, mode: str = "latent",
+                dtype=jnp.float32) -> Dict[str, Any]:
+    """Random-init parameter pytree (stacked layers on axis 0).
+
+    ``mode``: "latent" (QAT latent fp weights) or "packed" (random packed
+    sign words — useful for benchmarks without a trained checkpoint).
+    """
+    L, d, v = config.num_hidden_layers, config.hidden_size, config.vocab_size
+    keys = iter(jax.random.split(key, 16 + 7 * L))
+    std = config.initializer_range
+    params: Dict[str, Any] = {
+        "embed_tokens": jax.random.normal(next(keys), (v, d), dtype) * std,
+        "lm_head": jax.random.normal(next(keys), (v, d), dtype) * std,
+        "final_norm": jnp.ones((d,), dtype),
+        "layers": {
+            "input_layernorm": jnp.ones((L, d), dtype),
+            "post_attention_layernorm": jnp.ones((L, d), dtype),
+        },
+    }
+    for name, (out, inp) in _proj_dims(config).items():
+        h = jnp.ones((L, out), dtype)
+        g = jnp.ones((L, inp), dtype)
+        if mode == "latent":
+            w = jax.random.normal(next(keys), (L, out, inp), dtype) * std
+            blw = BitLinearWeights(weight_scale=h, input_factor=g, latent=w)
+        elif mode == "packed":
+            words = jax.random.randint(next(keys), (L, out, inp // 32),
+                                       jnp.iinfo(jnp.int32).min,
+                                       jnp.iinfo(jnp.int32).max, jnp.int32)
+            blw = BitLinearWeights(weight_scale=h, input_factor=g, packed=words)
+        else:
+            raise ValueError(f"unknown init mode {mode!r}")
+        params["layers"][name] = blw
+    return params
+
+
+def pack_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert latent/dense-sign projections to packed int32 inference form.
+
+    The TPU-native equivalent of scripts/convert_llama_to_infer_ckpt.py.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in PROJ_NAMES:
+        w: BitLinearWeights = layers[name]
+        if w.mode == "packed":
+            continue
+        dense = w.latent if w.latent is not None else w.dense_sign
+        packed = jax.vmap(pack_signs)(dense)  # over the stacked layer axis
+        layers[name] = BitLinearWeights(
+            weight_scale=w.weight_scale, input_factor=w.input_factor,
+            packed=packed, bias=w.bias)
+    out["layers"] = layers
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def rms_norm(x, weight, eps: float):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attention(q, k, v, mask, *, num_kv_groups: int):
+    """GQA attention; q [B,S,nh,hd], k/v [B,T,nkv,hd], mask [B,1,S,T] bool."""
+    b, s, nh, hd = q.shape
+    t = k.shape[1]
+    nkv = k.shape[2]
+    q = q.reshape(b, s, nkv, num_kv_groups, hd)
+    scores = jnp.einsum("bsngh,btnh->bngst", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (hd ** -0.5)
+    scores = jnp.where(mask[:, :, None], scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    ctx = jnp.einsum("bngst,btnh->bsngh", probs, v)
+    return ctx.reshape(b, s, nh, hd)
+
+
+def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
+                   config: BitLlamaConfig, impl: str):
+    """One decoder layer. ``cache_kv``: None or (k,v) [B,max_len,nkv,hd]."""
+    b, s, d = x.shape
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    residual = x
+    hx = rms_norm(x, layer_params["input_layernorm"], config.rms_norm_eps)
+
+    q = bitlinear_apply(hx, layer_params["q_proj"], impl=impl)
+    k = bitlinear_apply(hx, layer_params["k_proj"], impl=impl)
+    v = bitlinear_apply(hx, layer_params["v_proj"], impl=impl)
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nkv, hd)
+    v = v.reshape(b, s, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_cache_kv = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_index, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_index, axis=1)
+        k_all, v_all = ck, cv
+        new_cache_kv = (ck, cv)
+    else:
+        k_all, v_all = k, v
+
+    ctx = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask,
+                     num_kv_groups=config.num_kv_groups)
+    attn_out = bitlinear_apply(ctx.reshape(b, s, nh * hd),
+                               layer_params["o_proj"], impl=impl)
+    x = residual + attn_out
+
+    residual = x
+    hx = rms_norm(x, layer_params["post_attention_layernorm"],
+                  config.rms_norm_eps)
+    gate = bitlinear_apply(hx, layer_params["gate_proj"], impl=impl)
+    up = bitlinear_apply(hx, layer_params["up_proj"], impl=impl)
+    mlp = bitlinear_apply(jax.nn.silu(gate) * up, layer_params["down_proj"],
+                          impl=impl)
+    x = residual + mlp
+    return x, new_cache_kv
+
+
+def _causal_mask(s: int, t: int, offset) -> jnp.ndarray:
+    """[1,1,S,T] bool mask: query i attends to keys <= offset + i."""
+    qi = jax.lax.broadcasted_iota(jnp.int32, (s, t), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (s, t), 1)
+    return (kj <= qi + offset)[None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "impl", "output_hidden_states", "compute_dtype"))
+def forward(params, input_ids, config: BitLlamaConfig, *,
+            attention_mask=None, impl: str = "auto",
+            compute_dtype=jnp.bfloat16, output_hidden_states: bool = False):
+    """Full-sequence forward → logits [B,S,V] fp32.
+
+    ``attention_mask``: optional [B,S] 1/0 padding mask (reference semantics:
+    padded keys masked out; queries still computed).
+    """
+    b, s = input_ids.shape
+    x = params["embed_tokens"][input_ids].astype(compute_dtype)
+    positions = jnp.arange(s)[None, :]
+    cos, sin = rope_cos_sin(
+        positions, config.head_dim, config.rope_theta, config.rope_scaling,
+        config.max_position_embeddings, seq_len=s, dtype=compute_dtype)
+
+    mask = _causal_mask(s, s, 0)
+    if attention_mask is not None:
+        mask = mask & (attention_mask[:, None, None, :] > 0)
+
+    def body(x, layer_params):
+        x, _ = _decoder_layer(x, layer_params, cos, sin, mask, None, None,
+                              config, impl)
+        return x, (x if output_hidden_states else None)
+
+    x0 = x
+    x, ys = jax.lax.scan(body, x, params["layers"])
+
+    h = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.matmul(h, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    if output_hidden_states:
+        # stacked [L+1, B, S, D]: embeddings then each layer's output
+        # (reference output_hidden_states tuple, modeling_bitllama.py:1106+)
+        hidden = jnp.concatenate([x0[None], ys], axis=0)
+        return logits, hidden
+    return logits
+
+
+@functools.partial(jax.jit, static_argnames=("config", "impl", "compute_dtype"))
+def decode_step(params, cache: KVCache, input_ids, cache_index,
+                config: BitLlamaConfig, *, impl: str = "auto",
+                compute_dtype=jnp.bfloat16):
+    """Incremental forward: ``input_ids [B, s_new]`` appended at
+    ``cache_index`` (scalar int32). Returns (logits [B,s_new,V], new cache).
+    """
+    b, s = input_ids.shape
+    max_len = cache.max_len
+    x = params["embed_tokens"][input_ids].astype(compute_dtype)
+    positions = cache_index + jnp.arange(s)[None, :]
+    cos, sin = rope_cos_sin(
+        positions, config.head_dim, config.rope_theta, config.rope_scaling,
+        config.max_position_embeddings, seq_len=max_len, dtype=compute_dtype)
+
+    mask = _causal_mask(s, max_len, cache_index)
+
+    def body(x, layer_in):
+        layer_params, ck, cv = layer_in
+        x, new_kv = _decoder_layer(x, layer_params, cos, sin, mask, (ck, cv),
+                                   cache_index, config, impl)
+        return x, new_kv
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)

@@ -1,0 +1,160 @@
+"""KD training loop: sharded optax AdamW over the (data, model) mesh.
+
+Replaces the reference's HF ``Trainer`` + DeepSpeed ZeRO-3 stack
+(llama_factory/llamafactory/kd.py:195-240, scripts/ds_config.json) with a
+single jit'd SPMD train step:
+
+* only BitLinear params train (latent weight, weight_scale, input_factor) —
+  embeddings, lm_head and all norm weights are frozen via an optax mask,
+  matching the reference's ``requires_grad=False`` wiring
+  (modeling_bitllama.py:1053, 1345-1347, :73);
+* AdamW betas (0.9, 0.98), weight decay 0.01, cosine schedule with warmup
+  (scripts/llama_7b.sh:43-47);
+* teacher forward runs inside the same jit program (no_grad via
+  ``stop_gradient`` — it has no trainable leaves anyway);
+* optimizer state inherits param shardings ⇒ ZeRO-3-style sharding for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from onebit_tpu.kernels.bitlinear import BitLinearWeights
+from onebit_tpu.model import bitllama
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.train.losses import KDConfig, kd_total_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer/schedule hyperparameters (defaults = scripts/llama_7b.sh)."""
+    learning_rate: float = 4e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.98
+    weight_decay: float = 0.01
+    warmup_steps: int = 500
+    total_steps: int = 100_000
+    max_grad_norm: float = 1.0
+    lr_schedule: str = "cosine"   # "cosine" | "constant"
+    min_lr_ratio: float = 0.0
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def trainable_mask(params: Dict[str, Any]) -> Dict[str, Any]:
+    """True for trainable leaves: only BitLinear float params (latent weight,
+    weight_scale, input_factor, bias).  Everything else — embeddings,
+    lm_head, norm weights, packed int planes — is frozen."""
+    def mask_layers(val):
+        if isinstance(val, BitLinearWeights):
+            return jax.tree.map(
+                lambda x: bool(jnp.issubdtype(jnp.asarray(x).dtype,
+                                              jnp.floating)), val)
+        return jax.tree.map(lambda x: False, val)
+
+    return {
+        "embed_tokens": False,
+        "lm_head": False,
+        "final_norm": False,
+        "layers": {k: mask_layers(v) for k, v in params["layers"].items()},
+    }
+
+
+def apply_freeze(params: Dict[str, Any], mask: Dict[str, Any]):
+    """stop_gradient on frozen leaves so XLA drops their backward compute."""
+    return jax.tree.map(
+        lambda p, m: p if m else jax.lax.stop_gradient(p), params, mask)
+
+
+def make_schedule(cfg: TrainConfig):
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps, decay_steps=cfg.total_steps,
+            end_value=cfg.learning_rate * cfg.min_lr_ratio)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+         optax.constant_schedule(cfg.learning_rate)], [cfg.warmup_steps])
+
+
+def make_optimizer(cfg: TrainConfig, params: Dict[str, Any]):
+    mask = trainable_mask(params)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(make_schedule(cfg), b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                    weight_decay=cfg.weight_decay),
+    )
+    return optax.masked(tx, mask)
+
+
+def init_train_state(params: Dict[str, Any], cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg, params)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
+                    train_cfg: TrainConfig, *, compute_dtype=jnp.bfloat16,
+                    donate: bool = True):
+    """Build the jit'd KD train step.
+
+    Signature: ``step(state, teacher_params, batch) -> (state, metrics)``
+    where ``batch = {"input_ids": [B,S], "labels": [B,S]}``.  The teacher is
+    a *packed or dense* BitLlama param tree evaluated without gradients — for
+    FP16-teacher parity load the teacher as dense full-precision weights in a
+    plain-Llama param tree via ``onebit_tpu.ckpt`` (same pytree layout,
+    dense_sign holding real-valued weights would change math, so teacher
+    uses ``teacher_forward``).
+    """
+    need_hidden = kd_cfg.kd_beta > 0
+
+    def loss_fn(params, mask, teacher_out, batch):
+        params = apply_freeze(params, mask)
+        out = bitllama.forward(
+            params, batch["input_ids"], config, impl="xla",
+            attention_mask=batch.get("attention_mask"),
+            compute_dtype=compute_dtype, output_hidden_states=need_hidden)
+        if need_hidden:
+            student_logits, student_hidden = out
+            teacher_logits, teacher_hidden = teacher_out
+        else:
+            student_logits, student_hidden = out, None
+            teacher_logits, teacher_hidden = teacher_out, None
+        total, metrics = kd_total_loss(
+            kd_cfg, student_logits=student_logits,
+            teacher_logits=teacher_logits, labels=batch["labels"],
+            student_hidden=student_hidden, teacher_hidden=teacher_hidden,
+            num_layers=config.num_hidden_layers)
+        return total, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, teacher_params, batch):
+        teacher_out = bitllama.forward(
+            teacher_params, batch["input_ids"], config, impl="xla",
+            attention_mask=batch.get("attention_mask"),
+            compute_dtype=compute_dtype, output_hidden_states=need_hidden)
+        teacher_out = jax.lax.stop_gradient(teacher_out)
+
+        mask = trainable_mask(state.params)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, mask, teacher_out, batch)
+        opt = make_optimizer(train_cfg, state.params)
+        updates, new_opt_state = opt.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params=new_params, opt_state=new_opt_state,
+                          step=state.step + 1), metrics
+
+    return train_step
