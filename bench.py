@@ -1,49 +1,46 @@
-"""Benchmark: OneBit LLaMA-7B packed decode throughput on one chip.
+"""Benchmark: OneBit LLaMA packed decode throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The baseline is the reference's inference strategy — unpack the whole sign
 matrix every forward then dense matmul (bitnet.py:98-115) — expressed in XLA
-("xla" impl).  "value" is decode tokens/s with the best available impl
-(fused Pallas kernel when present, else the same XLA path → vs_baseline 1.0).
+("xla" impl on packed weights).  "value" is decode tokens/s with the fused
+Pallas kernel.  Timing uses marginal-cost methodology (see
+onebit_tpu.utils.benchmark): decode steps chained in one jit via lax.scan,
+host-fetch sync, cost = (T(hi_steps) - T(lo_steps)) / (hi - lo), which
+cancels the tunnel's fixed RPC round trip.
 """
 
+import functools
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 
-def _bench_decode(config, params, impl: str, batch: int, steps: int,
-                  max_len: int) -> float:
+def _bench_decode(config, params, impl: str, batch: int, max_len: int) -> float:
     from onebit_tpu.model.bitllama import decode_step, init_kv_cache
+    from onebit_tpu.utils.benchmark import bench_fn_with_state
 
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
 
-    def step(params, cache, ids, idx):
-        return decode_step(params, cache, ids, idx, config, impl=impl,
-                           compute_dtype=jnp.bfloat16)
+    def step(state):
+        cache, ids, idx = state
+        logits, cache = decode_step(params, cache, ids, idx, config,
+                                    impl=impl, compute_dtype=jnp.bfloat16)
+        nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        return cache, nxt, idx + 1
 
-    # warmup/compile
-    logits, cache = step(params, cache, ids, jnp.int32(0))
-    jax.block_until_ready(logits)
-
-    t0 = time.perf_counter()
-    for i in range(1, steps + 1):
-        logits, cache = step(params, cache, ids, jnp.int32(i))
-    jax.block_until_ready(logits)
-    dt = time.perf_counter() - t0
-    return batch * steps / dt
+    sec_per_step = bench_fn_with_state(step, (cache, ids, jnp.int32(0)))
+    return batch / sec_per_step
 
 
 def main():
     size = os.environ.get("ONEBIT_BENCH_SIZE", "llama2-7b")
     batch = int(os.environ.get("ONEBIT_BENCH_BATCH", "8"))
-    steps = int(os.environ.get("ONEBIT_BENCH_STEPS", "64"))
     max_len = int(os.environ.get("ONEBIT_BENCH_MAXLEN", "256"))
 
     from onebit_tpu.model.bitllama import init_params
@@ -51,18 +48,16 @@ def main():
 
     config = BitLlamaConfig.named(size)
     params = init_params(config, jax.random.PRNGKey(0), mode="packed")
-    # model params in bf16 except packed planes
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
     on_tpu = jax.default_backend() != "cpu"
-    baseline_tps = _bench_decode(config, params, "xla", batch, steps, max_len)
+    baseline_tps = _bench_decode(config, params, "xla", batch, max_len)
     if on_tpu:
         try:
-            fused_tps = _bench_decode(config, params, "pallas", batch, steps,
-                                      max_len)
-        except Exception as e:  # pallas path not available yet
+            fused_tps = _bench_decode(config, params, "pallas", batch, max_len)
+        except Exception as e:
             print(f"# pallas path unavailable: {type(e).__name__}: {e}",
                   file=sys.stderr)
             fused_tps = None

@@ -99,6 +99,62 @@ def unpack_signs_int8_np(packed: np.ndarray, dtype=np.float32) -> np.ndarray:
     return (1 - 2 * bits.astype(np.int8)).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# Bitplane-interleaved device layout (TPU-native)
+# ---------------------------------------------------------------------------
+#
+# The canonical LSB-first layout puts 32 *consecutive* elements in one word,
+# which forces a lane-expanding reshape on unpack that Mosaic cannot lower
+# efficiently.  The device layout instead interleaves: with ``nw = K/32``
+# words per row, dense element ``j`` lives in word ``j % nw`` at bit
+# ``j // nw`` (bit-plane ``b`` covers elements ``[b*nw, (b+1)*nw)``).
+# In-kernel unpack is then a lane tile-repeat plus static shifts — measured
+# ~20x faster than unpacking the canonical layout on v5e.  The two layouts
+# are pure bit permutations of each other; conversion happens once at
+# checkpoint load/pack time.
+
+def pack_signs_bitplane(w, axis: int = -1):
+    """Pack signs into the TPU device layout (int32, bitplane-interleaved)."""
+    w = jnp.asarray(w)
+    if axis != -1 and axis != w.ndim - 1:
+        w = jnp.moveaxis(w, axis, -1)
+    n = w.shape[-1]
+    if n % WORD_BITS != 0:
+        raise ValueError(f"packed axis length {n} not a multiple of {WORD_BITS}")
+    nw = n // WORD_BITS
+    bits = (w < 0).astype(jnp.uint32).reshape(*w.shape[:-1], WORD_BITS, nw)
+    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)[:, None]
+    words = jnp.sum(bits << shifts, axis=-2, dtype=jnp.uint32).astype(jnp.int32)
+    if axis != -1 and axis != words.ndim - 1:
+        words = jnp.moveaxis(words, -1, axis)
+    return words
+
+
+def unpack_signs_bitplane(words, dtype=jnp.bfloat16, axis: int = -1):
+    """Unpack the bitplane device layout back to dense ±1."""
+    words = jnp.asarray(words)
+    if axis != -1 and axis != words.ndim - 1:
+        words = jnp.moveaxis(words, axis, -1)
+    u = words.astype(jnp.uint32)
+    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)[:, None]
+    bits = (u[..., None, :] >> shifts) & jnp.uint32(1)  # [..., 32, nw]
+    bits = bits.reshape(*words.shape[:-1], words.shape[-1] * WORD_BITS)
+    signs = (1 - 2 * bits.astype(jnp.int32)).astype(dtype)
+    if axis != -1 and axis != signs.ndim - 1:
+        signs = jnp.moveaxis(signs, -1, axis)
+    return signs
+
+
+def canonical_to_bitplane(words):
+    """Convert canonical int32 words → device bitplane layout (lossless)."""
+    return pack_signs_bitplane(unpack_signs(words, dtype=jnp.int8))
+
+
+def bitplane_to_canonical(words):
+    """Convert device bitplane layout → canonical int32 words (lossless)."""
+    return pack_signs(unpack_signs_bitplane(words, dtype=jnp.int8))
+
+
 def int8_bytes_to_words_np(packed_int8: np.ndarray) -> np.ndarray:
     """Reinterpret reference int8 packed rows as canonical int32 words.
 

@@ -25,7 +25,7 @@ from onebit_tpu.core.bitlinear import (
     layernorm_noaffine,
     sign_ste,
 )
-from onebit_tpu.core.packing import unpack_signs
+from onebit_tpu.core.packing import unpack_signs_bitplane
 
 
 class BitLinearWeights(NamedTuple):
@@ -37,7 +37,8 @@ class BitLinearWeights(NamedTuple):
     input_factor: jax.Array            # g, [in]
     latent: Optional[jax.Array] = None       # [out, in] fp
     dense_sign: Optional[jax.Array] = None   # [out, in] ±1
-    packed: Optional[jax.Array] = None       # [out, in//32] int32
+    packed: Optional[jax.Array] = None       # [out, in//32] int32, bitplane
+    #   device layout (core.packing.pack_signs_bitplane)
     bias: Optional[jax.Array] = None         # [out]
 
     @property
@@ -76,6 +77,6 @@ def bitlinear_apply(x, w: BitLinearWeights, *, impl: str = "auto",
     elif mode == "dense_sign":
         sign_w = w.dense_sign
     else:  # packed: unpack-then-dot (the reference's strategy, bitnet.py:112-115)
-        sign_w = unpack_signs(w.packed, dtype=x.dtype)
+        sign_w = unpack_signs_bitplane(w.packed, dtype=x.dtype)
     return bitlinear_fwd(x, sign_w, w.input_factor, w.weight_scale,
                          bias=w.bias, eps=eps)

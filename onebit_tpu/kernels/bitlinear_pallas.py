@@ -1,0 +1,242 @@
+"""Fused Pallas TPU kernel for the packed OneBit linear.
+
+Computes ``LayerNorm(((x ⊙ g) · sign(W)ᵀ) ⊙ h) (+ bias)`` with ``sign(W)``
+stored as packed int32 words (32 signs/word, bitplane-interleaved device
+layout — core.packing.pack_signs_bitplane).  This replaces the reference's
+unpack-everything-every-forward (bitnet.py:98-115), which materializes the
+dense ±1 matrix in HBM on each call: here packed words stream HBM→VMEM
+(16x less traffic than bf16 weights) and each tile is unpacked to ±1
+bfloat16 *in VMEM* exactly once per call, feeding the MXU directly.
+
+Two schedules:
+
+* ``small-M (decode)``: grid over N tiles; a fp32 accumulator holds the
+  full ``[M, N]`` result in VMEM so the row LayerNorm (+h, +bias) epilogue
+  runs fused in the final grid step.  Unpack cost = one pass over the
+  matrix (the roofline floor for 1-bit weights at small batch).
+* ``large-M (prefill/eval)``: grid ``(n_tiles, m_tiles)`` with the unpacked
+  ``[TN, K]`` sign tile cached in VMEM scratch across the inner m loop —
+  unpack again runs once per matrix, MXU-bound for large M.  LayerNorm is
+  applied by the caller (XLA fuses it); the kernel returns
+  ``((x⊙g)·Sᵀ)⊙h`` in fp32.
+
+Roofline notes (v5e): at batch B the per-token cost is
+``max(unpack VPU ≈ 3 ops/weight / B, MXU 2 FLOPs/weight, HBM 1/8 B/weight)``
+so decode is VPU-unpack-bound below B≈100 and MXU-bound above — either way
+strictly faster than dense bf16 decode (HBM-bound at 2 B/weight).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from onebit_tpu.core.bitlinear import LN_EPS
+
+WORD_BITS = 32
+_SMALL_M = 128          # threshold for the fused-LN decode schedule
+_LANE = 128
+
+
+def _unpack_into(words, s_ref):
+    """Unpack [T, nw] int32 (bitplane layout) into s_ref [T, nw*32] as ±1.
+
+    Bitplane b occupies output lanes [b*nw, (b+1)*nw) — a static shift per
+    plane stored straight into the scratch slice.  Plane-wise stores beat a
+    32-piece lane concat ~2x on v5e and keep live intermediates at one
+    [T, nw] int32 plane instead of the whole [T, K] int32 matrix (which blows
+    the scoped-VMEM stack for large tiles).  The canonical (non-bitplane)
+    layout would need a minor-dim reshape Mosaic cannot lower; see
+    core.packing.pack_signs_bitplane.
+    """
+    nw = words.shape[1]
+    for b in range(WORD_BITS):
+        plane = (1 - 2 * ((words >> b) & 1)).astype(s_ref.dtype)
+        s_ref[:, b * nw:(b + 1) * nw] = plane
+
+
+def _pick_tile(n: int, candidates=(512, 256, 128)) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    raise ValueError(f"dimension {n} not divisible by 128")
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# small-M fused kernel (decode): grid (n_tiles,), LN epilogue in-kernel
+# ---------------------------------------------------------------------------
+
+def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
+                          acc_ref, y_ref, s_ref, *, tn: int, eps: float,
+                          has_bias: bool):
+    ni = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(ni == 0)
+    def _():
+        y_ref[:] = x_ref[:] * g_ref[:]
+
+    _unpack_into(packed_ref[:], s_ref)                       # [TN, K]
+    z = jax.lax.dot_general(
+        y_ref[:], s_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [M, TN]
+    acc_ref[:, pl.ds(ni * tn, tn)] = z * h_ref[:]
+
+    @pl.when(ni == n_tiles - 1)
+    def _():
+        a = acc_ref[:]
+        mean = jnp.mean(a, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(a - mean), axis=1, keepdims=True)
+        r = (a - mean) * jax.lax.rsqrt(var + eps)
+        if has_bias:
+            r = r + bias_ref[:]
+        out_ref[:] = r.astype(out_ref.dtype)
+
+
+def _call_small_m(x2, packed, g, h, bias, eps, interpret):
+    m, k = x2.shape
+    n = packed.shape[0]
+    nw = packed.shape[1]
+    tn = _pick_tile(n)
+    while tn * k * x2.dtype.itemsize > 4 * 1024 * 1024 and tn > 128:
+        tn //= 2
+    m_pad = max(_round_up(m, 16), 16)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    has_bias = bias is not None
+    g2 = g.reshape(1, k).astype(x2.dtype)
+    h2 = h.reshape(1, n).astype(jnp.float32)
+    inputs = [x2, g2, packed, h2]
+    in_specs = [
+        pl.BlockSpec((m_pad, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tn, nw), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        inputs.append(bias.reshape(1, n).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, n), lambda ni: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        inputs.append(jnp.zeros((1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1), lambda ni: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_fused_small_m_kernel, tn=tn, eps=eps,
+                               has_bias=has_bias)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // tn,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m_pad, n), lambda ni: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x2.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, n), jnp.float32),
+            pltpu.VMEM((m_pad, k), x2.dtype),
+            pltpu.VMEM((tn, k), x2.dtype),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# large-M kernel (prefill): grid (n_tiles, m_tiles), unpack cached per n tile
+# ---------------------------------------------------------------------------
+
+def _matmul_large_m_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref, s_ref):
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _():
+        _unpack_into(packed_ref[:], s_ref)
+
+    y = x_ref[:] * g_ref[:]
+    z = jax.lax.dot_general(
+        y, s_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[:] = z * h_ref[:]
+
+
+def _call_large_m(x2, packed, g, h, eps, interpret):
+    m, k = x2.shape
+    n = packed.shape[0]
+    nw = packed.shape[1]
+    # VMEM budget: s tile TN*K*2 + x tile TM*K*2 (x2 dtype ≤4B) + out TM*TN*4
+    itemsize = x2.dtype.itemsize
+    tn = _pick_tile(n)
+    while tn * k * itemsize > 8 * 1024 * 1024 and tn > 128:
+        tn //= 2
+    tm = 256
+    while tm > 64 and (tm * k * itemsize * 2 + tn * k * itemsize) > 12 * 1024 * 1024:
+        tm //= 2
+    m_pad = _round_up(m, tm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    g2 = g.reshape(1, k).astype(x2.dtype)
+    h2 = h.reshape(1, n).astype(jnp.float32)
+    out = pl.pallas_call(
+        _matmul_large_m_kernel,
+        grid=(n // tn, m_pad // tm),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda ni, mi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, nw), lambda ni, mi: (ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni, mi: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tn, k), x2.dtype)],
+        interpret=interpret,
+    )(x2, g2, packed, h2)
+    return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def bitlinear_packed_pallas(x, packed, g, h, bias=None, *,
+                            eps: float = LN_EPS,
+                            interpret: Optional[bool] = None):
+    """Packed OneBit linear: ``x [..., K]`` → ``[..., N]`` (x.dtype).
+
+    ``packed``: int32 ``[N, K//32]`` sign words.  ``g [K]``, ``h [N]``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    *lead, k = x.shape
+    n = packed.shape[0]
+    if packed.shape[1] * WORD_BITS != k:
+        raise ValueError(f"packed words {packed.shape} mismatch K={k}")
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    if m <= _SMALL_M:
+        out = _call_small_m(x2, packed, g, h, bias, eps, interpret)
+    else:
+        z = _call_large_m(x2, packed, g, h, eps, interpret)
+        mean = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z - mean), axis=-1, keepdims=True)
+        r = (z - mean) * jax.lax.rsqrt(var + eps)
+        if bias is not None:
+            r = r + bias.astype(r.dtype)
+        out = r.astype(x.dtype)
+    return out.reshape(*lead, n)

@@ -28,13 +28,21 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from onebit_tpu.core.packing import pack_signs
+from onebit_tpu.core.packing import pack_signs_bitplane
 from onebit_tpu.kernels.bitlinear import BitLinearWeights, bitlinear_apply
+from onebit_tpu.kernels.linear import LinearWeights, linear_apply
 from onebit_tpu.model.config import BitLlamaConfig
 from onebit_tpu.model.rope import apply_rope, rope_cos_sin
 
 PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
               "gate_proj", "up_proj", "down_proj")
+
+
+def _project(x, w, impl: str):
+    """Apply a projection: BitLinear (quantized) or plain Linear (teacher)."""
+    if isinstance(w, LinearWeights):
+        return linear_apply(x, w)
+    return bitlinear_apply(x, w, impl=impl)
 
 
 class KVCache(NamedTuple):
@@ -99,6 +107,10 @@ def init_params(config: BitLlamaConfig, key, mode: str = "latent",
                                        jnp.iinfo(jnp.int32).min,
                                        jnp.iinfo(jnp.int32).max, jnp.int32)
             blw = BitLinearWeights(weight_scale=h, input_factor=g, packed=words)
+        elif mode == "linear":
+            # plain full-precision LLaMA (the KD teacher / FP baseline)
+            w = jax.random.normal(next(keys), (L, out, inp), dtype) * std
+            blw = LinearWeights(weight=w)
         else:
             raise ValueError(f"unknown init mode {mode!r}")
         params["layers"][name] = blw
@@ -117,7 +129,7 @@ def pack_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
         if w.mode == "packed":
             continue
         dense = w.latent if w.latent is not None else w.dense_sign
-        packed = jax.vmap(pack_signs)(dense)  # over the stacked layer axis
+        packed = jax.vmap(pack_signs_bitplane)(dense)  # over stacked layers
         layers[name] = BitLinearWeights(
             weight_scale=w.weight_scale, input_factor=w.input_factor,
             packed=packed, bias=w.bias)
@@ -160,9 +172,9 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     residual = x
     hx = rms_norm(x, layer_params["input_layernorm"], config.rms_norm_eps)
 
-    q = bitlinear_apply(hx, layer_params["q_proj"], impl=impl)
-    k = bitlinear_apply(hx, layer_params["k_proj"], impl=impl)
-    v = bitlinear_apply(hx, layer_params["v_proj"], impl=impl)
+    q = _project(hx, layer_params["q_proj"], impl)
+    k = _project(hx, layer_params["k_proj"], impl)
+    v = _project(hx, layer_params["v_proj"], impl)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
@@ -180,17 +192,16 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
 
     ctx = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask,
                      num_kv_groups=config.num_kv_groups)
-    attn_out = bitlinear_apply(ctx.reshape(b, s, nh * hd),
-                               layer_params["o_proj"], impl=impl)
+    attn_out = _project(ctx.reshape(b, s, nh * hd),
+                        layer_params["o_proj"], impl)
     x = residual + attn_out
 
     residual = x
     hx = rms_norm(x, layer_params["post_attention_layernorm"],
                   config.rms_norm_eps)
-    gate = bitlinear_apply(hx, layer_params["gate_proj"], impl=impl)
-    up = bitlinear_apply(hx, layer_params["up_proj"], impl=impl)
-    mlp = bitlinear_apply(jax.nn.silu(gate) * up, layer_params["down_proj"],
-                          impl=impl)
+    gate = _project(hx, layer_params["gate_proj"], impl)
+    up = _project(hx, layer_params["up_proj"], impl)
+    mlp = _project(jax.nn.silu(gate) * up, layer_params["down_proj"], impl)
     x = residual + mlp
     return x, new_cache_kv
 

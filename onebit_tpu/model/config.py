@@ -19,7 +19,7 @@ _KNOWN_MODELS = {
     "llama-13b": (5120, 13824, 40, 40, 40),
     "llama2-7b": (4096, 11008, 32, 32, 32),
     "llama2-13b": (5120, 13824, 40, 40, 40),
-    "tiny": (256, 704, 2, 4, 2),  # for tests (dims multiples of 32 for packing)
+    "tiny": (256, 768, 2, 4, 2),  # for tests (dims multiples of 128 for tiling)
 }
 
 

@@ -1,0 +1,93 @@
+"""Honest TPU timing utilities.
+
+Three hazards on remote-tunnel TPU runtimes (and lazy runtimes generally):
+
+1. ``block_until_ready`` may return before real device completion — only a
+   host fetch of the data forces true synchronization.
+2. Loop-invariant op calls can be hoisted/elided; each timed iteration must
+   be data-dependent on the previous one.
+3. A fixed ~tens-of-ms RPC round trip dominates any single fetch — the
+   honest per-op cost is the *marginal* cost between two iteration counts:
+   ``(T(hi) - T(lo)) / (hi - lo)``.
+
+``bench_op`` therefore runs the op inside ONE jit via ``lax.scan`` with a
+carry data-dependency, times a host fetch, and reports the marginal cost.
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _make_scan(fn: Callable, args, perturb_arg: int, iters: int):
+    def body(acc, _):
+        a0 = args[perturb_arg]
+        # tiny data dependency on the carry: not constant-foldable, value
+        # impact below float precision
+        perturbed = (a0 + (acc * 1e-30).astype(a0.dtype)).astype(a0.dtype)
+        out = fn(*args[:perturb_arg], perturbed, *args[perturb_arg + 1:])
+        first = jax.tree.leaves(out)[0]
+        return jnp.sum(first.astype(jnp.float32)), None
+
+    return jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0), None,
+                                        length=iters)[0])
+
+
+def bench_op(fn: Callable, *args, iters_lo: int = 8, iters_hi: int = 64,
+             reps: int = 5, perturb_arg: int = 0, iters: int = None) -> float:
+    """Median marginal seconds per call of ``fn(*args)``, true device sync."""
+    if iters is not None:  # back-compat single-count mode
+        iters_lo, iters_hi = 0, iters
+    args = list(args)
+    run_hi = _make_scan(fn, args, perturb_arg, iters_hi)
+    run_lo = (_make_scan(fn, args, perturb_arg, iters_lo)
+              if iters_lo else None)
+    float(run_hi())  # compile + warm
+    if run_lo is not None:
+        float(run_lo())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_hi())  # host fetch = true completion barrier
+        t_hi = time.perf_counter() - t0
+        if run_lo is None:
+            ts.append(t_hi / iters_hi)
+            continue
+        t0 = time.perf_counter()
+        float(run_lo())
+        t_lo = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
+    return max(statistics.median(ts), 1e-9)
+
+
+def bench_fn_with_state(step: Callable, init_state, iters_lo: int = 4,
+                        iters_hi: int = 32, reps: int = 3) -> float:
+    """Median *marginal* seconds per call of a carry-style function
+    ``state -> state`` (e.g. a decode step), chained inside one jit."""
+    def body(state, _):
+        return step(state), None
+
+    def make(n):
+        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n)[0])
+
+    def sync(out):
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+
+    run_hi, run_lo = make(iters_hi), make(iters_lo)
+    sync(run_hi(init_state))  # compile + warm
+    sync(run_lo(init_state))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(run_hi(init_state))
+        t_hi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(run_lo(init_state))
+        t_lo = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
+    return max(statistics.median(ts), 1e-9)

@@ -2,10 +2,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from onebit_tpu.core.packing import (
+    bitplane_to_canonical,
+    canonical_to_bitplane,
     int8_bytes_to_words_np,
     pack_signs,
+    pack_signs_bitplane,
     pack_signs_int8_np,
     unpack_signs,
+    unpack_signs_bitplane,
     unpack_signs_int8_np,
     words_to_int8_bytes_np,
 )
@@ -63,6 +67,35 @@ def test_int8_to_words_view_equivalence():
     words_direct = np.asarray(pack_signs(s))
     np.testing.assert_array_equal(words_from_bytes, words_direct)
     np.testing.assert_array_equal(words_to_int8_bytes_np(words_direct), bytes_)
+
+
+def test_bitplane_roundtrip():
+    s = _random_signs((16, 256), seed=7)
+    words = pack_signs_bitplane(s)
+    assert words.shape == (16, 8)
+    back = unpack_signs_bitplane(words, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(back), s)
+
+
+def test_bitplane_is_permutation_of_canonical():
+    """Same bits, different order: conversion is exact both ways."""
+    s = _random_signs((8, 96), seed=8)
+    canon = pack_signs(s)
+    bp = pack_signs_bitplane(s)
+    np.testing.assert_array_equal(np.asarray(canonical_to_bitplane(canon)),
+                                  np.asarray(bp))
+    np.testing.assert_array_equal(np.asarray(bitplane_to_canonical(bp)),
+                                  np.asarray(canon))
+
+
+def test_bitplane_layout_definition():
+    """Element j lives in word j % nw at bit j // nw."""
+    k, nw = 64, 2
+    s = _random_signs((1, k), seed=9)
+    words = np.asarray(pack_signs_bitplane(s)).view(np.uint32)
+    for j in range(k):
+        bit = (words[0, j % nw] >> (j // nw)) & 1
+        assert bit == (1 if s[0, j] < 0 else 0), j
 
 
 def test_unpack_dtypes():
