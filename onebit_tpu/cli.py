@@ -1,0 +1,212 @@
+"""Command-line pipeline — the reference's scripts/ directory as one CLI.
+
+    python -m onebit_tpu build-start-ckpt TEACHER_DIR OUT_DIR [--method ...]
+    python -m onebit_tpu convert TRAIN_CKPT OUT_DIR [--format native|reference]
+    python -m onebit_tpu train --student DIR --teacher DIR --data DIR \
+        --dataset NAME [hyperparams...]
+    python -m onebit_tpu eval --ckpt DIR --tokens FILE.npy [--seqlen 2048]
+    python -m onebit_tpu generate --ckpt DIR --prompt "..." [--tokenizer DIR]
+    python -m onebit_tpu bench
+
+Mapping to the reference pipeline (SURVEY.md §1 L4):
+  build-start-ckpt ↔ scripts/build_start_ckpt.py (SVID init)
+  convert          ↔ scripts/convert_llama_to_infer_ckpt.py (bit packing)
+  train            ↔ deepspeed train_bash.py --stage kd (llama_factory)
+  eval             ↔ evaluation/lm_eval.py (ppl + zero-shot)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _load_any_ckpt(path):
+    """Native dir (params.npz) or reference HF dir."""
+    import os
+    if os.path.exists(os.path.join(path, "params.npz")):
+        from onebit_tpu.ckpt.writer import load_native
+        return load_native(path)
+    from onebit_tpu.ckpt.hf_reader import load_reference_checkpoint
+    return load_reference_checkpoint(path)
+
+
+def cmd_build_start(args):
+    from onebit_tpu.ckpt.writer import save_native
+    from onebit_tpu.core.build_start import build_start_params
+
+    loaded = _load_any_ckpt(args.teacher)
+    start = build_start_params(loaded["params"], method=args.method,
+                               num_iters=args.num_iters)
+    save_native(args.out, loaded["config"], start)
+    print(f"start checkpoint written to {args.out}")
+
+
+def cmd_convert(args):
+    from onebit_tpu.ckpt.writer import (export_reference_int8, save_native)
+    from onebit_tpu.model.bitllama import pack_model_params
+
+    loaded = _load_any_ckpt(args.ckpt)
+    packed = pack_model_params(loaded["params"])
+    if args.format == "native":
+        save_native(args.out, loaded["config"], packed)
+    else:
+        export_reference_int8(args.out, loaded["config"], packed)
+    print(f"packed inference checkpoint ({args.format}) → {args.out}")
+
+
+def cmd_train(args):
+    import numpy as np
+
+    from onebit_tpu.train.data import load_texts, prepare_kd_dataset
+    from onebit_tpu.train.losses import KDConfig
+    from onebit_tpu.train.run_kd import KDRunConfig, run_kd
+    from onebit_tpu.train.trainer import TrainConfig
+
+    student = _load_any_ckpt(args.student)
+    teacher = _load_any_ckpt(args.teacher)
+    config = student["config"]
+
+    if args.tokens:
+        blocks = np.load(args.tokens)
+    else:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer or args.teacher)
+        texts = load_texts(args.data, args.dataset)
+        blocks = prepare_kd_dataset(
+            texts, lambda s: tok(s)["input_ids"], cutoff_len=args.cutoff_len,
+            eos_id=config.eos_token_id)
+    print(f"dataset: {blocks.shape[0]} blocks × {blocks.shape[1]}")
+
+    kd_cfg = KDConfig(kd_alpha=args.kd_alpha, kd_beta=args.kd_beta,
+                      kd_gamma=args.kd_gamma,
+                      kd_loss_scale=args.kd_loss_scale)
+    train_cfg = TrainConfig(learning_rate=args.learning_rate,
+                            warmup_steps=args.warmup_steps,
+                            weight_decay=args.weight_decay)
+    run_cfg = KDRunConfig(output_dir=args.output_dir,
+                          batch_size=args.batch_size,
+                          num_epochs=args.num_epochs,
+                          max_steps=args.max_steps,
+                          save_steps=args.save_steps,
+                          resume_from=args.resume_from)
+    run_kd(config, student["params"], teacher["params"], blocks,
+           kd_cfg=kd_cfg, train_cfg=train_cfg, run_cfg=run_cfg)
+
+
+def cmd_eval(args):
+    import numpy as np
+
+    from onebit_tpu.eval.ppl import perplexity
+
+    loaded = _load_any_ckpt(args.ckpt)
+    tokens = np.load(args.tokens)
+    ppl = perplexity(loaded["params"], loaded["config"], tokens,
+                     seqlen=args.seqlen, batch_size=args.batch_size,
+                     limit=args.limit, progress=True)
+    print(json.dumps({"ppl": ppl, "seqlen": args.seqlen,
+                      "tokens": int(np.asarray(tokens).size)}))
+
+
+def cmd_generate(args):
+    from onebit_tpu.engine.generate import generate
+    from onebit_tpu.engine.sampler import SamplingConfig
+
+    loaded = _load_any_ckpt(args.ckpt)
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        prompt = tok(args.prompt)["input_ids"]
+    else:
+        prompt = [int(t) for t in args.prompt.split(",")]
+    sampling = SamplingConfig(greedy=args.greedy,
+                              temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p)
+    out = generate(loaded["params"], loaded["config"], [prompt],
+                   max_new_tokens=args.max_new_tokens, sampling=sampling)[0]
+    if args.tokenizer:
+        print(tok.decode(out))
+    else:
+        print(",".join(map(str, out)))
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="onebit_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-start-ckpt", help="SVID init from teacher")
+    b.add_argument("teacher")
+    b.add_argument("out")
+    b.add_argument("--method", default="power", choices=["power", "nmf"])
+    b.add_argument("--num-iters", type=int, default=50)
+    b.set_defaults(fn=cmd_build_start)
+
+    c = sub.add_parser("convert", help="pack train ckpt for inference")
+    c.add_argument("ckpt")
+    c.add_argument("out")
+    c.add_argument("--format", default="native",
+                   choices=["native", "reference"])
+    c.set_defaults(fn=cmd_convert)
+
+    t = sub.add_parser("train", help="KD training")
+    t.add_argument("--student", required=True)
+    t.add_argument("--teacher", required=True)
+    t.add_argument("--data")
+    t.add_argument("--dataset")
+    t.add_argument("--tokens", help="pre-tokenized blocks .npy")
+    t.add_argument("--tokenizer")
+    t.add_argument("--output-dir", default="out")
+    t.add_argument("--cutoff-len", type=int, default=2048)
+    t.add_argument("--batch-size", type=int, default=4)
+    t.add_argument("--num-epochs", type=int, default=50)
+    t.add_argument("--max-steps", type=int)
+    t.add_argument("--save-steps", type=int, default=5000)
+    t.add_argument("--resume-from")
+    t.add_argument("--learning-rate", type=float, default=4e-4)
+    t.add_argument("--warmup-steps", type=int, default=500)
+    t.add_argument("--weight-decay", type=float, default=0.01)
+    t.add_argument("--kd-alpha", type=float, default=1.0)
+    t.add_argument("--kd-beta", type=float, default=1.0)
+    t.add_argument("--kd-gamma", type=float, default=0.0)
+    t.add_argument("--kd-loss-scale", type=float, default=0.01)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="perplexity eval")
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--tokens", required=True)
+    e.add_argument("--seqlen", type=int, default=2048)
+    e.add_argument("--batch-size", type=int, default=4)
+    e.add_argument("--limit", type=int)
+    e.set_defaults(fn=cmd_eval)
+
+    g = sub.add_parser("generate", help="text generation")
+    g.add_argument("--ckpt", required=True)
+    g.add_argument("--prompt", required=True)
+    g.add_argument("--tokenizer")
+    g.add_argument("--max-new-tokens", type=int, default=64)
+    g.add_argument("--greedy", action="store_true")
+    g.add_argument("--temperature", type=float, default=0.95)
+    g.add_argument("--top-k", type=int, default=50)
+    g.add_argument("--top-p", type=float, default=0.7)
+    g.set_defaults(fn=cmd_generate)
+
+    bn = sub.add_parser("bench", help="decode throughput benchmark")
+    bn.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    from onebit_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Continuous batching engine: host-side scheduler + fixed-shape jit steps.
+
+The serving loop the reference lacks (its generation is HF lockstep
+``generate``, SURVEY.md §3.5).  Design:
+
+* a fixed pool of ``max_batch`` slots shares one preallocated KV cache;
+* new requests are admitted into free slots via a per-slot prefill
+  (prompt padded to a power-of-two bucket → few compiled shapes);
+* every ``step()`` runs ONE ``ragged_decode_step`` for all active slots —
+  rows sit at different lengths (per-row cache positions);
+* finished rows (EOS or max_new_tokens) free their slot immediately, so
+  admission interleaves with decoding — continuous batching.
+
+The scheduler is deliberately host-side (plain Python): decisions are
+O(max_batch) bookkeeping per step, far off the device critical path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onebit_tpu.engine.sampler import SamplingConfig, sample_token
+from onebit_tpu.model.bitllama import init_kv_cache
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.ragged_decode import prefill_row, ragged_decode_step
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, minimum: int = 32) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, params, config: BitLlamaConfig, *, max_batch: int = 8,
+                 max_len: int = 2048, sampling: Optional[SamplingConfig] = None,
+                 impl: str = "auto", compute_dtype=jnp.bfloat16, seed: int = 0):
+        self.params = params
+        self.config = config
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.sampling = sampling or SamplingConfig(greedy=True)
+        self.impl = impl
+        self.compute_dtype = compute_dtype
+        self.cache = init_kv_cache(config, max_batch, max_len,
+                                   dtype=compute_dtype)
+        self.key = jax.random.PRNGKey(seed)
+        self._uid = itertools.count()
+        self.waiting: List[Request] = []
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.row_pos = np.zeros(max_batch, np.int32)
+        self.next_token = np.zeros(max_batch, np.int32)
+        self.finished: Dict[int, Request] = {}
+
+    # -- public API ---------------------------------------------------------
+    def add_request(self, prompt: Sequence[int],
+                    max_new_tokens: int = 64) -> int:
+        req = Request(uid=next(self._uid), prompt=list(prompt),
+                      max_new_tokens=max_new_tokens)
+        self.waiting.append(req)
+        return req.uid
+
+    def has_work(self) -> bool:
+        return bool(self.waiting) or any(s is not None for s in self.slots)
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drive until all requests complete; returns uid → generated."""
+        while self.has_work():
+            self.step()
+        out = {uid: r.generated for uid, r in self.finished.items()}
+        self.finished.clear()
+        return out
+
+    # -- scheduler ----------------------------------------------------------
+    def step(self) -> None:
+        self._admit()
+        self._decode()
+
+    def _admit(self) -> None:
+        for slot in range(self.max_batch):
+            if self.slots[slot] is not None or not self.waiting:
+                continue
+            req = self.waiting.pop(0)
+            plen = len(req.prompt)
+            if plen + req.max_new_tokens > self.max_len:
+                raise ValueError(
+                    f"request {req.uid} needs {plen + req.max_new_tokens} "
+                    f"> max_len {self.max_len}")
+            bucket = min(_bucket(plen), self.max_len)
+            ids = np.zeros(bucket, np.int32)
+            ids[:plen] = req.prompt
+            logits, self.cache = prefill_row(
+                self.params, self.cache, jnp.asarray(ids), jnp.int32(plen),
+                jnp.int32(slot), self.config, impl=self.impl,
+                compute_dtype=self.compute_dtype)
+            self.key, sub = jax.random.split(self.key)
+            tok = int(sample_token(logits[None, :], sub, self.sampling)[0])
+            self.slots[slot] = req
+            req.generated.append(tok)
+            self.row_pos[slot] = plen
+            self.next_token[slot] = tok
+            self._maybe_finish(slot, tok)
+
+    def _decode(self) -> None:
+        active = np.asarray([s is not None for s in self.slots])
+        if not active.any():
+            return
+        logits, self.cache = ragged_decode_step(
+            self.params, self.cache,
+            jnp.asarray(self.next_token[:, None]),
+            jnp.asarray(self.row_pos), jnp.asarray(active), self.config,
+            impl=self.impl, compute_dtype=self.compute_dtype)
+        self.key, sub = jax.random.split(self.key)
+        toks = np.asarray(sample_token(logits[:, 0], sub, self.sampling))
+        for slot in range(self.max_batch):
+            if self.slots[slot] is None:
+                continue
+            tok = int(toks[slot])
+            self.slots[slot].generated.append(tok)
+            self.row_pos[slot] += 1
+            self.next_token[slot] = tok
+            self._maybe_finish(slot, tok)
+
+    def _maybe_finish(self, slot: int, tok: int) -> None:
+        req = self.slots[slot]
+        if req is None:
+            return
+        if tok == self.config.eos_token_id or \
+                len(req.generated) >= req.max_new_tokens:
+            req.done = True
+            self.finished[req.uid] = req
+            self.slots[slot] = None

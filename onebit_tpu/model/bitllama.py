@@ -255,19 +255,30 @@ def forward(params, input_ids, config: BitLlamaConfig, *,
 @functools.partial(jax.jit, static_argnames=("config", "impl", "compute_dtype"))
 def decode_step(params, cache: KVCache, input_ids, cache_index,
                 config: BitLlamaConfig, *, impl: str = "auto",
-                compute_dtype=jnp.bfloat16):
+                compute_dtype=jnp.bfloat16, positions=None, key_start=None):
     """Incremental forward: ``input_ids [B, s_new]`` appended at
     ``cache_index`` (scalar int32). Returns (logits [B,s_new,V], new cache).
+
+    ``positions`` optionally overrides the RoPE positions ([B, s_new]) —
+    needed with left-padded prompts where each row's true position differs
+    from the shared cache slot (the reference derives position_ids from the
+    attention-mask cumsum, modeling_bitllama.py:1487-1494).
+    ``key_start`` ([B]) optionally masks out cache slots below it per row
+    (left-pad slots written during prefill).
     """
     b, s = input_ids.shape
     max_len = cache.max_len
     x = params["embed_tokens"][input_ids].astype(compute_dtype)
-    positions = cache_index + jnp.arange(s)[None, :]
+    if positions is None:
+        positions = cache_index + jnp.arange(s)[None, :]
     cos, sin = rope_cos_sin(
         positions, config.head_dim, config.rope_theta, config.rope_scaling,
         config.max_position_embeddings, seq_len=max_len, dtype=compute_dtype)
 
     mask = _causal_mask(s, max_len, cache_index)
+    if key_start is not None:
+        kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
+        mask = mask & (kj >= key_start[:, None, None, None])
 
     def body(x, layer_in):
         layer_params, ck, cv = layer_in

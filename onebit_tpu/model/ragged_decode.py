@@ -1,0 +1,156 @@
+"""Ragged decode step: per-row cache positions (continuous batching core).
+
+Unlike ``bitllama.decode_step`` (one shared cache index — every row at the
+same length), each batch row here carries its own write position, so rows
+admitted at different times decode together in one jit program.  This is
+the decode path the continuous-batching engine drives; the reference has no
+equivalent (HF generate is lockstep, SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from onebit_tpu.model import bitllama
+from onebit_tpu.model.bitllama import KVCache
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.rope import apply_rope, rope_cos_sin
+
+
+@functools.partial(jax.jit, static_argnames=("config", "impl", "compute_dtype"))
+def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
+                       config: BitLlamaConfig, *, impl: str = "auto",
+                       compute_dtype=jnp.bfloat16):
+    """One token per row at per-row positions.
+
+    Args:
+      input_ids: [B, 1] next token per row.
+      row_pos:   [B] int32 — row's current length (cache write slot).
+      active:    [B] bool — inactive rows are fully masked (their cache
+                 row is still written at ``row_pos`` but they're garbage
+                 slots anyway).
+    Returns (logits [B, 1, V], new_cache).
+    """
+    b, s = input_ids.shape
+    assert s == 1
+    max_len = cache.max_len
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+
+    x = params["embed_tokens"][input_ids].astype(compute_dtype)
+    cos, sin = rope_cos_sin(row_pos[:, None], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+
+    # [B, 1, 1, T] mask: causal per row + active
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+    mask = (kj <= row_pos[:, None, None, None]) & \
+        active[:, None, None, None]
+
+    rows = jnp.arange(b)
+
+    def layer(x, layer_in):
+        layer_params, ck, cv = layer_in
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                               config.rms_norm_eps)
+        q = bitllama._project(hx, layer_params["q_proj"], impl)
+        k = bitllama._project(hx, layer_params["k_proj"], impl)
+        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q = q.reshape(b, 1, nh, hd)
+        k = k.reshape(b, 1, nkv, hd)
+        v = v.reshape(b, 1, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+
+        # per-row scatter at row_pos
+        ck = ck.at[rows, row_pos].set(k[:, 0].astype(ck.dtype))
+        cv = cv.at[rows, row_pos].set(v[:, 0].astype(cv.dtype))
+
+        ctx = bitllama._attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                  mask, num_kv_groups=config.num_kv_groups)
+        attn_out = bitllama._project(ctx.reshape(b, 1, nh * hd),
+                                     layer_params["o_proj"], impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                               config.rms_norm_eps)
+        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
+        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        mlp = bitllama._project(jax.nn.silu(gate) * up,
+                                layer_params["down_proj"], impl)
+        return residual + mlp, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def prefill_row(params, cache: KVCache, ids, length, row, config, *,
+                impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Prefill ONE slot (row) of the cache with a right-padded prompt.
+
+    ``ids`` [S_pad] tokens (right-padded), ``length`` scalar true length,
+    ``row`` scalar slot index.  Returns (last_logits [V], new_cache).
+    """
+    s_pad = ids.shape[0]
+    max_len = cache.max_len
+    attn = (jnp.arange(s_pad) < length)[None, :].astype(jnp.int32)
+    x = params["embed_tokens"][ids[None, :]].astype(compute_dtype)
+    cos, sin = rope_cos_sin(jnp.arange(s_pad)[None, :], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+    mask = bitllama._causal_mask(s_pad, s_pad, 0) & (attn[:, None, None, :] > 0)
+
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+
+    def layer2(x, layer_in):
+        layer_params, ck, cv = layer_in
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                               config.rms_norm_eps)
+        q = bitllama._project(hx, layer_params["q_proj"], impl)
+        k = bitllama._project(hx, layer_params["k_proj"], impl)
+        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q = q.reshape(1, s_pad, nh, hd)
+        k = k.reshape(1, s_pad, nkv, hd)
+        v = v.reshape(1, s_pad, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k[0].astype(ck.dtype)[None],
+            (row, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v[0].astype(cv.dtype)[None],
+            (row, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+        ctx = bitllama._attention(q, k, v, mask,
+                                  num_kv_groups=config.num_kv_groups)
+        attn_out = bitllama._project(ctx.reshape(1, s_pad, nh * hd),
+                                     layer_params["o_proj"], impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                               config.rms_norm_eps)
+        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
+        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        mlp = bitllama._project(jax.nn.silu(gate) * up,
+                                layer_params["down_proj"], impl)
+        return residual + mlp, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer2, x, (params["layers"], cache.k, cache.v))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
+    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)

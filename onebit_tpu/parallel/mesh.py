@@ -37,9 +37,10 @@ def create_mesh(shape: Optional[Sequence[int]] = None,
     n = len(devices)
     if shape is None:
         shape = (n, 1)
-    if int(np.prod(shape)) != n:
-        raise ValueError(f"mesh shape {shape} != device count {n}")
-    dev_array = np.asarray(devices).reshape(shape)
+    need = int(np.prod(shape))
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
+    dev_array = np.asarray(devices[:need]).reshape(shape)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -21,6 +21,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from onebit_tpu.kernels.bitlinear import BitLinearWeights
+from onebit_tpu.kernels.linear import LinearWeights
 from onebit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 # projections whose *in* axis is the (model-sharded) intermediate dim
@@ -47,6 +48,10 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             # keep only the fields that exist in this param tree
             layer_specs[name] = BitLinearWeights(*[
                 s if v is not None else None for s, v in zip(full, val)])
+        elif isinstance(val, LinearWeights):  # teacher: shard out-features
+            layer_specs[name] = LinearWeights(
+                weight=P(None, MODEL_AXIS, None),
+                bias=P(None, MODEL_AXIS) if val.bias is not None else None)
         else:  # layernorm weights [L, D]
             layer_specs[name] = P(None, None)
     return {

@@ -1,0 +1,140 @@
+"""KD training driver: the reference's ``run_kd`` (kd.py:195-240) rebuilt.
+
+Wires: dataset pipeline → student/teacher load → sharded train loop with
+jsonl logging, periodic checkpointing, resume, and final loss plots.  One
+jit'd SPMD step replaces HF Trainer + DeepSpeed ZeRO-3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.parallel.mesh import DATA_AXIS, create_mesh
+from onebit_tpu.parallel.sharding import shard_params
+from onebit_tpu.train.data import batch_iterator
+from onebit_tpu.train.losses import KDConfig
+from onebit_tpu.train.trainer import (
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+from onebit_tpu.utils.logging import TrainerLog, get_logger, plot_loss
+
+logger = get_logger(__name__)
+
+
+# -- train-state persistence (resume contract, reference kd.py:221) ---------
+
+def save_train_state(path: str, state: TrainState) -> None:
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree.leaves(state)
+    np.savez(os.path.join(path, "train_state.npz"),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_train_state(path: str, template: TrainState) -> TrainState:
+    data = np.load(os.path.join(path, "train_state.npz"))
+    treedef = jax.tree.structure(template)
+    leaves = [jnp.asarray(data[f"leaf_{i}"])
+              for i in range(len(data.files))]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+@dataclasses.dataclass
+class KDRunConfig:
+    output_dir: str = "out"
+    batch_size: int = 4
+    num_epochs: int = 1
+    max_steps: Optional[int] = None
+    log_steps: int = 10
+    save_steps: int = 5000          # reference llama_7b.sh:46
+    mesh_shape: Optional[tuple] = None
+    compute_dtype: Any = jnp.bfloat16
+    resume_from: Optional[str] = None
+    plot: bool = True
+    seed: int = 42
+
+
+def run_kd(config: BitLlamaConfig, student_params, teacher_params,
+           blocks: np.ndarray, *, kd_cfg: KDConfig = KDConfig(),
+           train_cfg: TrainConfig = TrainConfig(),
+           run_cfg: KDRunConfig = KDRunConfig()) -> TrainState:
+    """Train the student against the teacher on pre-chunked token blocks."""
+    steps_per_epoch = len(blocks) // run_cfg.batch_size
+    total = run_cfg.max_steps or steps_per_epoch * run_cfg.num_epochs
+    train_cfg = dataclasses.replace(train_cfg, total_steps=total)
+
+    mesh_shape = run_cfg.mesh_shape
+    if mesh_shape is None:
+        import math
+        d = math.gcd(jax.device_count(), run_cfg.batch_size)
+        mesh_shape = (d, jax.device_count() // d) \
+            if jax.device_count() % d == 0 else (d, 1)
+    mesh = create_mesh(mesh_shape)
+    if run_cfg.batch_size % mesh.shape[DATA_AXIS] != 0:
+        raise ValueError(f"batch_size {run_cfg.batch_size} not divisible by "
+                         f"data axis {mesh.shape[DATA_AXIS]}")
+    if jax.device_count() > 1:
+        student_params = shard_params(student_params, mesh)
+        teacher_params = shard_params(teacher_params, mesh)
+    batch_sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(DATA_AXIS))
+
+    # copy: the jit step donates its input state buffers, and the caller's
+    # student pytree must stay alive (e.g. for a second run / comparison)
+    state = init_train_state(jax.tree.map(jnp.copy, student_params),
+                             train_cfg)
+    if run_cfg.resume_from:
+        state = load_train_state(run_cfg.resume_from, state)
+        logger.info(f"resumed from {run_cfg.resume_from} at step "
+                    f"{int(state.step)}")
+
+    step_fn = make_train_step(config, kd_cfg, train_cfg,
+                              compute_dtype=run_cfg.compute_dtype)
+    from onebit_tpu.train.trainer import make_schedule
+    schedule = make_schedule(train_cfg)
+
+    tlog = TrainerLog(run_cfg.output_dir, total)
+    start_step = int(state.step)
+    it = batch_iterator(blocks, run_cfg.batch_size, seed=run_cfg.seed,
+                        epochs=None)
+    # skip already-consumed batches on resume
+    for _ in range(start_step):
+        next(it)
+
+    for step_idx in range(start_step, total):
+        batch = next(it)
+        batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                 for k, v in batch.items()}
+        state, metrics = step_fn(state, teacher_params, batch)
+        if (step_idx + 1) % run_cfg.log_steps == 0 or step_idx + 1 == total:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["learning_rate"] = float(schedule(step_idx))
+            entry = tlog.log(step_idx + 1, m,
+                             epoch=(step_idx + 1) / max(steps_per_epoch, 1))
+            logger.info(
+                f"step {step_idx + 1}/{total} loss={m['loss']:.4f} "
+                f"kd={m.get('kd_loss', 0):.4f} "
+                f"ce={m.get('student_loss', 0):.4f} "
+                f"lr={m['learning_rate']:.2e} eta={entry['remaining_time']}")
+        if (step_idx + 1) % run_cfg.save_steps == 0 or step_idx + 1 == total:
+            ckpt_dir = os.path.join(run_cfg.output_dir,
+                                    f"checkpoint-{step_idx + 1}")
+            save_train_state(ckpt_dir, state)
+            logger.info(f"saved {ckpt_dir}")
+
+    if run_cfg.plot:
+        try:
+            plot_loss(run_cfg.output_dir, keys=["loss", "kd_loss",
+                                                "student_loss"])
+        except Exception as e:  # plotting must never kill a run
+            logger.warning(f"plot_loss failed: {e}")
+    return state

@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onebit_tpu.engine.batching import ContinuousBatchingEngine
+from onebit_tpu.engine.generate import generate
+from onebit_tpu.engine.sampler import SamplingConfig
+from onebit_tpu.model.bitllama import init_params
+from onebit_tpu.model.config import BitLlamaConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    return config, params
+
+
+def test_continuous_matches_lockstep(tiny):
+    """Continuous-batching greedy output == lockstep generate() output."""
+    config, params = tiny
+    prompts = [[5, 17, 42, 9], [100, 3], [7, 8, 9, 10, 11]]
+    want = generate(params, config, prompts, max_new_tokens=6,
+                    sampling=SamplingConfig(greedy=True),
+                    compute_dtype=jnp.float32)
+
+    eng = ContinuousBatchingEngine(params, config, max_batch=4, max_len=64,
+                                   compute_dtype=jnp.float32)
+    uids = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+    out = eng.run()
+    for uid, w in zip(uids, want):
+        assert out[uid] == w, (uid, out[uid], w)
+
+
+def test_more_requests_than_slots(tiny):
+    """Requests beyond the slot pool are admitted as slots free up."""
+    config, params = tiny
+    prompts = [[i + 1, i + 2, i + 3] for i in range(5)]
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    uids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+    out = eng.run()
+    assert set(out) == set(uids)
+    for uid, p in zip(uids, prompts):
+        solo = generate(params, config, [p], max_new_tokens=4,
+                        sampling=SamplingConfig(greedy=True),
+                        compute_dtype=jnp.float32)[0]
+        assert out[uid] == solo
+
+
+def test_staggered_admission(tiny):
+    """A request added mid-flight still decodes correctly."""
+    config, params = tiny
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    u1 = eng.add_request([5, 6, 7], max_new_tokens=8)
+    for _ in range(3):
+        eng.step()
+    u2 = eng.add_request([9, 10], max_new_tokens=4)
+    out = eng.run()
+    for uid, p, n in ((u1, [5, 6, 7], 8), (u2, [9, 10], 4)):
+        solo = generate(params, config, [p], max_new_tokens=n,
+                        sampling=SamplingConfig(greedy=True),
+                        compute_dtype=jnp.float32)[0]
+        assert out[uid] == solo
+
+
+def test_request_too_long_rejected(tiny):
+    config, params = tiny
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=16,
+                                   compute_dtype=jnp.float32)
+    eng.add_request(list(range(1, 14)), max_new_tokens=10)
+    with pytest.raises(ValueError, match="max_len"):
+        eng.run()

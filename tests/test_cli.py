@@ -1,0 +1,56 @@
+"""CLI pipeline test: build-start-ckpt → train(tokens) → convert → eval."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+from onebit_tpu.ckpt.writer import save_native
+from onebit_tpu.cli import main
+from onebit_tpu.model.bitllama import init_params
+from onebit_tpu.model.config import BitLlamaConfig
+
+
+def test_cli_full_pipeline(tmp_path, capsys):
+    config = BitLlamaConfig.named("tiny")
+    teacher_dir = str(tmp_path / "teacher")
+    start_dir = str(tmp_path / "start")
+    train_out = str(tmp_path / "trained")
+    packed_dir = str(tmp_path / "packed")
+    tokens_path = str(tmp_path / "blocks.npy")
+
+    teacher = init_params(config, jax.random.PRNGKey(0), mode="linear")
+    save_native(teacher_dir, config, teacher)
+    np.save(tokens_path, np.random.default_rng(0).integers(
+        0, config.vocab_size, (6, 16)).astype(np.int32))
+
+    # 1. SVID init
+    main(["build-start-ckpt", teacher_dir, start_dir])
+    assert os.path.exists(os.path.join(start_dir, "params.npz"))
+
+    # 2. two KD steps
+    main(["train", "--student", start_dir, "--teacher", teacher_dir,
+          "--tokens", tokens_path, "--output-dir", train_out,
+          "--batch-size", "2", "--max-steps", "2", "--warmup-steps", "0",
+          "--save-steps", "2"])
+    assert os.path.exists(os.path.join(train_out, "trainer_log.jsonl"))
+
+    # 3. pack for inference (from the start ckpt — CLI reads latent ckpts)
+    main(["convert", start_dir, packed_dir, "--format", "native"])
+    assert os.path.exists(os.path.join(packed_dir, "params.npz"))
+
+    # 4. eval ppl on the packed model
+    main(["eval", "--ckpt", packed_dir, "--tokens", tokens_path,
+          "--seqlen", "16", "--batch-size", "2"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(out)
+    assert np.isfinite(res["ppl"]) and res["ppl"] > 0
+
+    # 5. generation (token prompt, greedy)
+    main(["generate", "--ckpt", packed_dir, "--prompt", "5,6,7",
+          "--max-new-tokens", "4", "--greedy"])
+    toks = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(toks.split(",")) >= 1
