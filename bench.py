@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench_decode(config, params, impl: str, batch: int, max_len: int) -> float:
+def _bench_decode(config, params, impl: str, batch: int, max_len: int,
+                  iters_lo: int = 4, iters_hi: int = 16) -> float:
     from onebit_tpu.model.bitllama import decode_step, init_kv_cache
     from onebit_tpu.utils.benchmark import bench_fn_with_state
 
@@ -34,8 +35,18 @@ def _bench_decode(config, params, impl: str, batch: int, max_len: int) -> float:
         nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
         return cache, nxt, idx + 1
 
-    sec_per_step = bench_fn_with_state(step, (cache, ids, jnp.int32(0)))
+    sec_per_step = bench_fn_with_state(step, (cache, ids, jnp.int32(0)),
+                                       iters_lo=iters_lo, iters_hi=iters_hi)
     return batch / sec_per_step
+
+
+def _make_params(config, seed=0):
+    from onebit_tpu.model.bitllama import init_params
+
+    params = init_params(config, jax.random.PRNGKey(seed), mode="packed")
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
 
 def main():
@@ -43,33 +54,41 @@ def main():
     batch = int(os.environ.get("ONEBIT_BENCH_BATCH", "8"))
     max_len = int(os.environ.get("ONEBIT_BENCH_MAXLEN", "256"))
 
-    from onebit_tpu.model.bitllama import init_params
     from onebit_tpu.model.config import BitLlamaConfig
 
     config = BitLlamaConfig.named(size)
-    params = init_params(config, jax.random.PRNGKey(0), mode="packed")
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
-
     on_tpu = jax.default_backend() != "cpu"
-    baseline_tps = _bench_decode(config, params, "xla", batch, max_len)
-    if on_tpu:
-        try:
-            fused_tps = _bench_decode(config, params, "pallas", batch, max_len)
-        except Exception as e:
-            print(f"# pallas path unavailable: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            fused_tps = None
-    else:
-        fused_tps = None
+    best_impl = "pallas" if on_tpu else "xla"
 
-    value = fused_tps if fused_tps is not None else baseline_tps
+    # Full-model throughput with the fused kernel (the headline number).
+    params = _make_params(config)
+    try:
+        value = _bench_decode(config, params, best_impl, batch, max_len)
+    except Exception as e:
+        print(f"# pallas path failed, falling back to xla: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        best_impl = "xla"
+        value = _bench_decode(config, params, "xla", batch, max_len)
+    del params
+
+    # vs_baseline (the reference's unpack-every-forward strategy in XLA)
+    # measured on a depth-reduced model: per-layer cost is uniform, so the
+    # ratio is depth-invariant while compile time stays bounded.
+    if best_impl == "pallas":
+        small = BitLlamaConfig.named(
+            size, num_hidden_layers=min(4, config.num_hidden_layers))
+        sparams = _make_params(small)
+        fused_s = _bench_decode(small, sparams, "pallas", batch, max_len)
+        base_s = _bench_decode(small, sparams, "xla", batch, max_len)
+        vs_baseline = fused_s / base_s
+    else:
+        vs_baseline = 1.0
+
     print(json.dumps({
         "metric": f"decode tokens/s/chip OneBit {size} (batch {batch})",
         "value": round(value, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(value / baseline_tps, 3),
+        "vs_baseline": round(vs_baseline, 3),
     }))
 
 

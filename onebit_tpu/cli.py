@@ -98,15 +98,47 @@ def cmd_train(args):
 def cmd_eval(args):
     import numpy as np
 
-    from onebit_tpu.eval.ppl import perplexity
-
     loaded = _load_any_ckpt(args.ckpt)
-    tokens = np.load(args.tokens)
-    ppl = perplexity(loaded["params"], loaded["config"], tokens,
-                     seqlen=args.seqlen, batch_size=args.batch_size,
-                     limit=args.limit, progress=True)
-    print(json.dumps({"ppl": ppl, "seqlen": args.seqlen,
-                      "tokens": int(np.asarray(tokens).size)}))
+    results = {}
+
+    if args.tokens:
+        from onebit_tpu.eval.ppl import perplexity
+        tokens = np.load(args.tokens)
+        results["ppl"] = perplexity(
+            loaded["params"], loaded["config"], tokens, seqlen=args.seqlen,
+            batch_size=args.batch_size, limit=args.limit, progress=True)
+
+    if args.tasks:
+        from transformers import AutoTokenizer
+
+        from onebit_tpu.eval.tasks.base import evaluate_tasks, make_table
+        from onebit_tpu.eval.tasks.mmlu import (SUBJECTS, MMLUSubject,
+                                                aggregate_mmlu)
+        from onebit_tpu.eval.tasks.suite import TASK_REGISTRY
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer or args.ckpt)
+        tokenize = lambda s: tok(s, add_special_tokens=False)["input_ids"]
+        tasks = []
+        for name in args.tasks.split(","):
+            name = name.strip()
+            if name == "hendrycksTest":
+                for subject in SUBJECTS:
+                    import datasets
+                    ds = datasets.load_dataset("cais/mmlu", subject,
+                                               split="test")
+                    tasks.append(MMLUSubject(list(ds), subject))
+            else:
+                tasks.append(TASK_REGISTRY[name].from_datasets())
+        task_results = evaluate_tasks(
+            loaded["params"], loaded["config"], tasks, tokenize,
+            batch_size=args.batch_size, limit=args.limit)
+        print(make_table(task_results))
+        results.update(task_results)
+        mmlu = aggregate_mmlu(task_results)
+        if mmlu:
+            results["mmlu"] = mmlu
+
+    print(json.dumps(results, default=float))
 
 
 def cmd_generate(args):
@@ -177,9 +209,12 @@ def build_parser():
     t.add_argument("--kd-loss-scale", type=float, default=0.01)
     t.set_defaults(fn=cmd_train)
 
-    e = sub.add_parser("eval", help="perplexity eval")
+    e = sub.add_parser("eval", help="perplexity + zero-shot eval")
     e.add_argument("--ckpt", required=True)
-    e.add_argument("--tokens", required=True)
+    e.add_argument("--tokens", help="pre-tokenized stream .npy for ppl")
+    e.add_argument("--tasks", help="comma list: piqa,arc_easy,arc_challenge,"
+                   "boolq,hellaswag,winogrande,lambada_openai,hendrycksTest")
+    e.add_argument("--tokenizer")
     e.add_argument("--seqlen", type=int, default=2048)
     e.add_argument("--batch-size", type=int, default=4)
     e.add_argument("--limit", type=int)
