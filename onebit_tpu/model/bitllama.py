@@ -164,8 +164,13 @@ def _attention(q, k, v, mask, *, num_kv_groups: int):
 
 
 def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
-                   config: BitLlamaConfig, impl: str):
-    """One decoder layer. ``cache_kv``: None or (k,v) [B,max_len,nkv,hd]."""
+                   config: BitLlamaConfig, impl: str,
+                   use_flash: bool = False):
+    """One decoder layer. ``cache_kv``: None or (k,v) [B,max_len,nkv,hd].
+
+    ``use_flash``: pure-causal full-seq attention runs through the Pallas
+    flash kernel (mask must be the unpadded causal mask; caller decides).
+    """
     b, s, d = x.shape
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
@@ -190,8 +195,14 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     else:
         k_all, v_all = k, v
 
-    ctx = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask,
-                     num_kv_groups=config.num_kv_groups)
+    if use_flash and cache_kv is None:
+        from onebit_tpu.kernels.attention import flash_causal_attention
+        ctx = flash_causal_attention(q, k_all.astype(q.dtype),
+                                     v_all.astype(q.dtype),
+                                     num_kv_groups=config.num_kv_groups)
+    else:
+        ctx = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+                         mask, num_kv_groups=config.num_kv_groups)
     attn_out = _project(ctx.reshape(b, s, nh * hd),
                         layer_params["o_proj"], impl)
     x = residual + attn_out
@@ -213,14 +224,22 @@ def _causal_mask(s: int, t: int, offset) -> jnp.ndarray:
     return (kj <= qi + offset)[None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("config", "impl", "output_hidden_states", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=(
+    "config", "impl", "output_hidden_states", "compute_dtype", "remat",
+    "use_flash"))
 def forward(params, input_ids, config: BitLlamaConfig, *,
             attention_mask=None, impl: str = "auto",
-            compute_dtype=jnp.bfloat16, output_hidden_states: bool = False):
+            compute_dtype=jnp.bfloat16, output_hidden_states: bool = False,
+            remat: bool = False, use_flash: str = "auto"):
     """Full-sequence forward → logits [B,S,V] fp32.
 
     ``attention_mask``: optional [B,S] 1/0 padding mask (reference semantics:
     padded keys masked out; queries still computed).
+    ``remat``: rematerialize each decoder layer in the backward pass
+    (jax.checkpoint) — the reference's gradient-checkpointing knob
+    (core.py:254-263) expressed the JAX way.
+    ``use_flash``: "auto" (Pallas flash kernel on TPU when no padding),
+    True, or False.
     """
     b, s = input_ids.shape
     x = params["embed_tokens"][input_ids].astype(compute_dtype)
@@ -233,10 +252,20 @@ def forward(params, input_ids, config: BitLlamaConfig, *,
     if attention_mask is not None:
         mask = mask & (attention_mask[:, None, None, :] > 0)
 
+    if use_flash == "auto":
+        from onebit_tpu.kernels.attention import flash_attention_available
+        flash = (attention_mask is None and s > 1
+                 and flash_attention_available())
+    else:
+        flash = bool(use_flash) and attention_mask is None
+
     def body(x, layer_params):
         x, _ = _decoder_layer(x, layer_params, cos, sin, mask, None, None,
-                              config, impl)
+                              config, impl, use_flash=flash)
         return x, (x if output_hidden_states else None)
+
+    if remat:
+        body = jax.checkpoint(body)
 
     x0 = x
     x, ys = jax.lax.scan(body, x, params["layers"])

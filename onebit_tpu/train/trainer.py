@@ -43,6 +43,8 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     lr_schedule: str = "cosine"   # "cosine" | "constant"
     min_lr_ratio: float = 0.0
+    grad_accum_steps: int = 1     # reference llama_7b.sh:36 uses 4
+    remat: bool = False           # gradient checkpointing (core.py:254-263)
 
 
 class TrainState(NamedTuple):
@@ -117,13 +119,15 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
     uses ``teacher_forward``).
     """
     need_hidden = kd_cfg.kd_beta > 0
+    accum = max(train_cfg.grad_accum_steps, 1)
 
     def loss_fn(params, mask, teacher_out, batch):
         params = apply_freeze(params, mask)
         out = bitllama.forward(
             params, batch["input_ids"], config, impl="xla",
             attention_mask=batch.get("attention_mask"),
-            compute_dtype=compute_dtype, output_hidden_states=need_hidden)
+            compute_dtype=compute_dtype, output_hidden_states=need_hidden,
+            remat=train_cfg.remat)
         if need_hidden:
             student_logits, student_hidden = out
             teacher_logits, teacher_hidden = teacher_out
@@ -137,17 +141,41 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
             num_layers=config.num_hidden_layers)
         return total, metrics
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state: TrainState, teacher_params, batch):
+    def micro_grads(params, mask, teacher_params, micro_batch):
         teacher_out = bitllama.forward(
-            teacher_params, batch["input_ids"], config, impl="xla",
-            attention_mask=batch.get("attention_mask"),
+            teacher_params, micro_batch["input_ids"], config, impl="xla",
+            attention_mask=micro_batch.get("attention_mask"),
             compute_dtype=compute_dtype, output_hidden_states=need_hidden)
         teacher_out = jax.lax.stop_gradient(teacher_out)
+        return jax.grad(loss_fn, has_aux=True)(
+            params, mask, teacher_out, micro_batch)
 
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, teacher_params, batch):
         mask = trainable_mask(state.params)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.params, mask, teacher_out, batch)
+        if accum == 1:
+            grads, metrics = micro_grads(state.params, mask, teacher_params,
+                                         batch)
+        else:
+            # split the global batch into micro-batches on the leading axis
+            micro = jax.tree.map(
+                lambda x: x.reshape(accum, x.shape[0] // accum,
+                                    *x.shape[1:]), batch)
+
+            def body(carry, mb):
+                acc_g, acc_m = carry
+                g, m = micro_grads(state.params, mask, teacher_params, mb)
+                acc_g = jax.tree.map(jnp.add, acc_g, g)
+                acc_m = jax.tree.map(jnp.add, acc_m, m)
+                return (acc_g, acc_m), None
+
+            first = jax.tree.map(lambda x: x[0], micro)
+            g0, m0 = micro_grads(state.params, mask, teacher_params, first)
+            rest = jax.tree.map(lambda x: x[1:], micro)
+            (grads, metrics), _ = jax.lax.scan(body, (g0, m0), rest)
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: m / accum, metrics)
+
         opt = make_optimizer(train_cfg, state.params)
         updates, new_opt_state = opt.update(grads, state.opt_state,
                                             state.params)

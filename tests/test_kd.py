@@ -114,3 +114,38 @@ def test_trainable_mask_structure():
     flat_m = jax.tree.leaves(mask)
     assert len(flat_p) == len(flat_m)
     assert any(flat_m) and not all(flat_m)
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum_steps=2 over batch 4 == single step over batch 4
+    (same loss gradient; KL batchmean normalizes per micro-batch so we
+    compare against the mean of the micro losses)."""
+    config = BitLlamaConfig.named("tiny")
+    student = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    teacher = pack_model_params(init_params(config, jax.random.PRNGKey(1),
+                                            mode="latent"))
+    kd_cfg = KDConfig(kd_alpha=0.5, kd_loss_scale=1.0)
+    tr_cfg1 = TrainConfig(total_steps=10, warmup_steps=0, grad_accum_steps=1)
+    tr_cfg2 = TrainConfig(total_steps=10, warmup_steps=0, grad_accum_steps=2)
+
+    ids = jax.random.randint(jax.random.PRNGKey(2), (4, 12), 0,
+                             config.vocab_size)
+    batch = {"input_ids": ids, "labels": ids}
+
+    s1 = init_train_state(jax.tree.map(jnp.copy, student), tr_cfg1)
+    s2 = init_train_state(jax.tree.map(jnp.copy, student), tr_cfg2)
+    step1 = make_train_step(config, kd_cfg, tr_cfg1,
+                            compute_dtype=jnp.float32, donate=False)
+    step2 = make_train_step(config, kd_cfg, tr_cfg2,
+                            compute_dtype=jnp.float32, donate=False)
+    n1, m1 = step1(s1, teacher, batch)
+    n2, m2 = step2(s2, teacher, batch)
+    # losses agree (KL batchmean is linear in batch splitting here since
+    # both micro-batches have equal size)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    a = np.asarray(n1.params["layers"]["q_proj"].latent)
+    b = np.asarray(n2.params["layers"]["q_proj"].latent)
+    # AdamW normalizes by sqrt(v): near-zero grads amplify fp noise, so a
+    # loose atol (update magnitude is ~lr=4e-4)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
