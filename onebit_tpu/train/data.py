@@ -170,3 +170,42 @@ def batch_iterator(blocks: np.ndarray, batch_size: int, *, shuffle=True,
                 break
             yield {"input_ids": chunk, "labels": chunk.copy()}
         epoch += 1
+
+
+# ---------------------------------------------------------------------------
+# SFT preprocessing (reference dsets.py preprocess_supervised_dataset path)
+# ---------------------------------------------------------------------------
+
+IGNORE_INDEX = -100  # HF label-masking convention
+
+
+def prepare_sft_dataset(pairs, tokenize: Callable, *, cutoff_len: int = 1024,
+                        eos_id: int = 2, pad_id: int = 0,
+                        template: str = "vanilla"):
+    """(prompt, response) pairs → padded supervised batches.
+
+    Prompt tokens are masked to IGNORE_INDEX in the labels (only the
+    response is learned), sequences are truncated to ``cutoff_len`` and
+    right-padded (reference supervised preprocessing semantics).
+    Returns {"input_ids", "labels", "attention_mask"} numpy arrays [N, L].
+    """
+    tpl = TEMPLATES[template]
+    rows = []
+    for prompt, response in pairs:
+        p = tokenize(tpl(prompt))
+        r = tokenize(response) + [eos_id]
+        ids = (p + r)[:cutoff_len]
+        labels = ([IGNORE_INDEX] * min(len(p), cutoff_len) +
+                  r[:max(0, cutoff_len - len(p))])[:cutoff_len]
+        rows.append((ids, labels))
+    max_len = max(len(ids) for ids, _ in rows)
+    n = len(rows)
+    input_ids = np.full((n, max_len), pad_id, np.int32)
+    labels = np.full((n, max_len), IGNORE_INDEX, np.int32)
+    attn = np.zeros((n, max_len), np.int32)
+    for i, (ids, lab) in enumerate(rows):
+        input_ids[i, :len(ids)] = ids
+        labels[i, :len(lab)] = lab
+        attn[i, :len(ids)] = 1
+    return {"input_ids": input_ids, "labels": labels,
+            "attention_mask": attn}

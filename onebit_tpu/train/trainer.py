@@ -119,6 +119,8 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
     uses ``teacher_forward``).
     """
     need_hidden = kd_cfg.kd_beta > 0
+    use_teacher = kd_cfg.kd_loss_scale > 0 or kd_cfg.kd_beta > 0 \
+        or kd_cfg.kd_gamma > 0
     accum = max(train_cfg.grad_accum_steps, 1)
 
     def loss_fn(params, mask, teacher_out, batch):
@@ -134,6 +136,8 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
         else:
             student_logits, student_hidden = out, None
             teacher_logits, teacher_hidden = teacher_out, None
+        if teacher_logits is None:
+            teacher_logits = jax.lax.stop_gradient(student_logits)
         total, metrics = kd_total_loss(
             kd_cfg, student_logits=student_logits,
             teacher_logits=teacher_logits, labels=batch["labels"],
@@ -142,11 +146,18 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
         return total, metrics
 
     def micro_grads(params, mask, teacher_params, micro_batch):
-        teacher_out = bitllama.forward(
-            teacher_params, micro_batch["input_ids"], config, impl="xla",
-            attention_mask=micro_batch.get("attention_mask"),
-            compute_dtype=compute_dtype, output_hidden_states=need_hidden)
-        teacher_out = jax.lax.stop_gradient(teacher_out)
+        if use_teacher:
+            teacher_out = bitllama.forward(
+                teacher_params, micro_batch["input_ids"], config, impl="xla",
+                attention_mask=micro_batch.get("attention_mask"),
+                compute_dtype=compute_dtype,
+                output_hidden_states=need_hidden)
+            teacher_out = jax.lax.stop_gradient(teacher_out)
+        else:
+            # pure-CE stage (SFT / kd_alpha=0 without distillation terms):
+            # student logits stand in; kd weight is zero so the value is
+            # irrelevant, but shapes must match for kd_total_loss.
+            teacher_out = None
         return jax.grad(loss_fn, has_aux=True)(
             params, mask, teacher_out, micro_batch)
 

