@@ -1,0 +1,69 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onebit_tpu.eval.loglikelihood import loglikelihood
+from onebit_tpu.eval.rolling import (
+    greedy_until,
+    loglikelihood_rolling,
+    rolling_windows,
+)
+from onebit_tpu.model.bitllama import init_params
+from onebit_tpu.model.config import BitLlamaConfig
+
+
+def test_rolling_windows_reference_example():
+    """The exact worked example from reference base.py:58-75."""
+    pairs = rolling_windows(list(range(10)), max_len=4, prefix_token=99)
+    assert pairs[0] == ([99], [0, 1, 2, 3])
+    assert pairs[1] == ([3], [4, 5, 6, 7])
+    assert pairs[2] == ([5, 6, 7], [8, 9])
+    # every token predicted exactly once
+    predicted = [t for _, cont in pairs for t in cont]
+    assert predicted == list(range(10))
+
+
+def test_rolling_windows_short_doc():
+    pairs = rolling_windows([7, 8], max_len=10, prefix_token=0)
+    assert pairs == [([0], [7, 8])]
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    return config, params
+
+
+def test_rolling_ll_equals_single_window(tiny):
+    """A doc shorter than the context = one plain loglikelihood call."""
+    config, params = tiny
+    doc = list(np.random.default_rng(0).integers(0, config.vocab_size, 10))
+    rolled = loglikelihood_rolling(params, config, [doc], max_length=64)
+    direct = loglikelihood(params, config, [([0], doc)])
+    np.testing.assert_allclose(rolled[0], direct[0][0], rtol=1e-5)
+
+
+def test_rolling_ll_multi_window_consistency(tiny):
+    """Windowed total ≈ sum of per-window scores, each token once."""
+    config, params = tiny
+    doc = list(np.random.default_rng(1).integers(0, config.vocab_size, 30))
+    rolled = loglikelihood_rolling(params, config, [doc], max_length=12)
+    pairs = rolling_windows(doc, 11, 0)
+    direct = loglikelihood(params, config, pairs, max_length=12)
+    np.testing.assert_allclose(rolled[0], sum(r[0] for r in direct),
+                               rtol=1e-5)
+
+
+def test_greedy_until_stops(tiny):
+    config, params = tiny
+    detok = lambda toks: "".join(chr(97 + t % 26) for t in toks)
+    out = greedy_until(params, config, [([5, 6, 7], ["zzz-never"])], detok,
+                       max_new_tokens=6)
+    assert len(out) == 1 and isinstance(out[0], str)
+    # with a stop string that's certainly produced (first char)
+    first = out[0][0]
+    out2 = greedy_until(params, config, [([5, 6, 7], [first])], detok,
+                        max_new_tokens=6)
+    assert out2[0] == ""
