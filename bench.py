@@ -41,12 +41,36 @@ def _bench_decode(config, params, impl: str, batch: int, max_len: int,
 
 
 def _make_params(config, seed=0):
-    from onebit_tpu.model.bitllama import init_params
+    """Random packed params generated on HOST (numpy) — on-device random
+    init costs minutes of remote compiles through the tunnel."""
+    import numpy as np
 
-    params = init_params(config, jax.random.PRNGKey(seed), mode="packed")
-    return jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    from onebit_tpu.kernels.bitlinear import BitLinearWeights
+    from onebit_tpu.model.bitllama import _proj_dims
+
+    rng = np.random.default_rng(seed)
+    L, d, v = (config.num_hidden_layers, config.hidden_size,
+               config.vocab_size)
+    f = lambda *shape: jax.device_put(
+        (rng.standard_normal(shape) * 0.02).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ones = lambda *shape: jax.device_put(
+        np.ones(shape, np.float32)).astype(jnp.bfloat16)
+    params = {
+        "embed_tokens": f(v, d), "lm_head": f(v, d),
+        "final_norm": ones(d),
+        "layers": {
+            "input_layernorm": ones(L, d),
+            "post_attention_layernorm": ones(L, d),
+        },
+    }
+    for name, (out, inp) in _proj_dims(config).items():
+        words = rng.integers(-2**31, 2**31 - 1, (L, out, inp // 32),
+                             dtype=np.int64).astype(np.int32)
+        params["layers"][name] = BitLinearWeights(
+            weight_scale=ones(L, out), input_factor=ones(L, inp),
+            packed=jax.device_put(words))
+    return params
 
 
 def main():
@@ -61,6 +85,8 @@ def main():
     best_impl = "pallas" if on_tpu else "xla"
 
     # Full-model throughput with the fused kernel (the headline number).
+    print(f"# bench phase 1: full {size} {best_impl}", file=sys.stderr,
+          flush=True)
     params = _make_params(config)
     try:
         value = _bench_decode(config, params, best_impl, batch, max_len)
@@ -74,11 +100,15 @@ def main():
     # vs_baseline (the reference's unpack-every-forward strategy in XLA)
     # measured on a depth-reduced model: per-layer cost is uniform, so the
     # ratio is depth-invariant while compile time stays bounded.
-    if best_impl == "pallas":
+    if best_impl == "pallas" and not os.environ.get(
+            "ONEBIT_BENCH_SKIP_BASELINE"):
         small = BitLlamaConfig.named(
-            size, num_hidden_layers=min(4, config.num_hidden_layers))
+            size, num_hidden_layers=min(2, config.num_hidden_layers))
         sparams = _make_params(small)
+        print("# bench phase 2: small pallas", file=sys.stderr, flush=True)
         fused_s = _bench_decode(small, sparams, "pallas", batch, max_len)
+        print("# bench phase 3: small xla baseline", file=sys.stderr,
+              flush=True)
         base_s = _bench_decode(small, sparams, "xla", batch, max_len)
         vs_baseline = fused_s / base_s
     else:
