@@ -19,11 +19,16 @@ import sys
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the 7B scan program costs minutes to compile
+# through the remote tunnel; cache hits make reruns fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 
 def _bench_decode(config, params, impl: str, batch: int, max_len: int,
-                  iters_lo: int = 4, iters_hi: int = 16) -> float:
+                  iters_lo: int = 0, iters_hi: int = 48) -> float:
     from onebit_tpu.model.bitllama import decode_step, init_kv_cache
-    from onebit_tpu.utils.benchmark import bench_fn_with_state
+    from onebit_tpu.utils.benchmark import bench_step_dispatch
 
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
@@ -35,42 +40,16 @@ def _bench_decode(config, params, impl: str, batch: int, max_len: int,
         nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
         return cache, nxt, idx + 1
 
-    sec_per_step = bench_fn_with_state(step, (cache, ids, jnp.int32(0)),
-                                       iters_lo=iters_lo, iters_hi=iters_hi)
+    sec_per_step = bench_step_dispatch(
+        step, (cache, ids, jnp.int32(0)),
+        iters_lo=max(iters_lo, 8), iters_hi=iters_hi)
     return batch / sec_per_step
 
 
 def _make_params(config, seed=0):
-    """Random packed params generated on HOST (numpy) — on-device random
-    init costs minutes of remote compiles through the tunnel."""
-    import numpy as np
+    from onebit_tpu.utils.randinit import host_random_packed_params
 
-    from onebit_tpu.kernels.bitlinear import BitLinearWeights
-    from onebit_tpu.model.bitllama import _proj_dims
-
-    rng = np.random.default_rng(seed)
-    L, d, v = (config.num_hidden_layers, config.hidden_size,
-               config.vocab_size)
-    f = lambda *shape: jax.device_put(
-        (rng.standard_normal(shape) * 0.02).astype(np.float32)
-    ).astype(jnp.bfloat16)
-    ones = lambda *shape: jax.device_put(
-        np.ones(shape, np.float32)).astype(jnp.bfloat16)
-    params = {
-        "embed_tokens": f(v, d), "lm_head": f(v, d),
-        "final_norm": ones(d),
-        "layers": {
-            "input_layernorm": ones(L, d),
-            "post_attention_layernorm": ones(L, d),
-        },
-    }
-    for name, (out, inp) in _proj_dims(config).items():
-        words = rng.integers(-2**31, 2**31 - 1, (L, out, inp // 32),
-                             dtype=np.int64).astype(np.int32)
-        params["layers"][name] = BitLinearWeights(
-            weight_scale=ones(L, out), input_factor=ones(L, inp),
-            packed=jax.device_put(words))
-    return params
+    return host_random_packed_params(config, seed)
 
 
 def main():

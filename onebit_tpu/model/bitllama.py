@@ -186,7 +186,20 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     q, k = apply_rope(q, k, cos, sin)
 
     new_cache_kv = None
-    if cache_kv is not None:
+    if cache_kv is not None and len(cache_kv) == 4:
+        # INT8 quantized cache: (k_q, k_s, v_q, v_s)
+        from onebit_tpu.model.kv_cache import dequantize_kv, quantize_kv
+        k_q, k_s, v_q, v_s = cache_kv
+        nkq, nks = quantize_kv(k)
+        nvq, nvs = quantize_kv(v)
+        upd = functools.partial(jax.lax.dynamic_update_slice_in_dim,
+                                start_index=cache_index, axis=1)
+        k_q, k_s = upd(k_q, nkq), upd(k_s, nks)
+        v_q, v_s = upd(v_q, nvq), upd(v_s, nvs)
+        k_all = dequantize_kv(k_q, k_s, q.dtype)
+        v_all = dequantize_kv(v_q, v_s, q.dtype)
+        new_cache_kv = (k_q, k_s, v_q, v_s)
+    elif cache_kv is not None:
         ck, cv = cache_kv
         ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_index, axis=1)
         cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_index, axis=1)
@@ -309,15 +322,23 @@ def decode_step(params, cache: KVCache, input_ids, cache_index,
         kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
         mask = mask & (kj >= key_start[:, None, None, None])
 
+    from onebit_tpu.model.kv_cache import QuantKVCache
+    quant = isinstance(cache, QuantKVCache)
+    cache_leaves = tuple(cache)  # KVCache: (k, v); QuantKVCache: 4 arrays
+
     def body(x, layer_in):
-        layer_params, ck, cv = layer_in
-        x, new_kv = _decoder_layer(x, layer_params, cos, sin, mask, (ck, cv),
-                                   cache_index, config, impl)
+        layer_params = layer_in[0]
+        x, new_kv = _decoder_layer(x, layer_params, cos, sin, mask,
+                                   tuple(layer_in[1:]), cache_index, config,
+                                   impl)
         return x, new_kv
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x, new_leaves = jax.lax.scan(body, x,
+                                 (params["layers"],) + cache_leaves)
 
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    new_cache = (QuantKVCache(*new_leaves) if quant
+                 else KVCache(*new_leaves))
+    return logits, new_cache

@@ -68,7 +68,13 @@ def bench_op(fn: Callable, *args, iters_lo: int = 8, iters_hi: int = 64,
 def bench_fn_with_state(step: Callable, init_state, iters_lo: int = 4,
                         iters_hi: int = 32, reps: int = 3) -> float:
     """Median *marginal* seconds per call of a carry-style function
-    ``state -> state`` (e.g. a decode step), chained inside one jit."""
+    ``state -> state`` (e.g. a decode step), chained inside one jit.
+
+    ``iters_lo=0`` uses a single scan program (cheaper to trace/lower —
+    big models cost minutes per program on the host) and accepts the fixed
+    ~30 ms fetch overhead amortized over ``iters_hi`` calls (a slight,
+    conservative underestimate of throughput).
+    """
     def body(state, _):
         return step(state), None
 
@@ -78,16 +84,55 @@ def bench_fn_with_state(step: Callable, init_state, iters_lo: int = 4,
     def sync(out):
         float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
 
-    run_hi, run_lo = make(iters_hi), make(iters_lo)
+    run_hi = make(iters_hi)
+    run_lo = make(iters_lo) if iters_lo else None
     sync(run_hi(init_state))  # compile + warm
-    sync(run_lo(init_state))
+    if run_lo is not None:
+        sync(run_lo(init_state))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         sync(run_hi(init_state))
         t_hi = time.perf_counter() - t0
+        if run_lo is None:
+            ts.append(t_hi / iters_hi)
+            continue
         t0 = time.perf_counter()
         sync(run_lo(init_state))
         t_lo = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
+    return max(statistics.median(ts), 1e-9)
+
+
+def bench_step_dispatch(step: Callable, init_state, iters_lo: int = 8,
+                        iters_hi: int = 32, reps: int = 3) -> float:
+    """Marginal seconds/call via dispatch-chained calls of ONE jitted step.
+
+    Compiles a single program (a scanned loop would re-trace/compile the
+    whole model per scan length — minutes for large models).  Each call's
+    inputs carry the previous call's outputs, so the final host fetch
+    forces every step to really execute.  Includes per-dispatch RPC cost
+    (~1-2 ms), making the result slightly conservative.
+    """
+    jstep = jax.jit(step)
+
+    def sync(out):
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+
+    state = jstep(init_state)
+    sync(state)  # compile + warm
+
+    def run(n):
+        s = init_state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = jstep(s)
+        sync(s)
+        return time.perf_counter() - t0
+
+    ts = []
+    for _ in range(reps):
+        t_hi = run(iters_hi)
+        t_lo = run(iters_lo)
         ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
     return max(statistics.median(ts), 1e-9)

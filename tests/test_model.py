@@ -93,3 +93,29 @@ def test_rope_scaling_configs():
         ids = jnp.arange(4).reshape(1, 4)
         logits = forward(params, ids, config, compute_dtype=jnp.float32)
         assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_quantized_kv_cache_decode(tiny):
+    """INT8 KV cache decode tracks the full-precision forward closely."""
+    from onebit_tpu.model.kv_cache import init_quant_kv_cache
+
+    config, params = tiny
+    B, S = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(5), (B, S), 0,
+                             config.vocab_size)
+    full = forward(params, ids, config, compute_dtype=jnp.float32)
+
+    cache = init_quant_kv_cache(config, B, max_len=16)
+    logits_p, cache = decode_step(params, cache, ids[:, :8], jnp.int32(0),
+                                  config, compute_dtype=jnp.float32)
+    # int8 quantization error: compare softmax-relevant top-1 agreement and
+    # close logits
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(full[:, :8]),
+                               rtol=0.2, atol=0.2)
+    assert (np.asarray(logits_p[:, -1]).argmax(-1) ==
+            np.asarray(full[:, 7]).argmax(-1)).all()
+    for t in range(8, S):
+        logits_t, cache = decode_step(params, cache, ids[:, t:t + 1],
+                                      jnp.int32(t), config,
+                                      compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits_t)).all()
