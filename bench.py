@@ -33,15 +33,16 @@ def _bench_decode(config, params, impl: str, batch: int, max_len: int,
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
 
+    # decode_step is itself jitted; chaining it directly avoids re-lowering
+    # the model into an outer program (minutes for 7B via remote compile)
     def step(state):
-        cache, ids, idx = state
+        cache, idx = state
         logits, cache = decode_step(params, cache, ids, idx, config,
                                     impl=impl, compute_dtype=jnp.bfloat16)
-        nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-        return cache, nxt, idx + 1
+        return cache, idx + 1
 
     sec_per_step = bench_step_dispatch(
-        step, (cache, ids, jnp.int32(0)),
+        step, (cache, jnp.int32(0)),
         iters_lo=max(iters_lo, 8), iters_hi=iters_hi)
     return batch / sec_per_step
 

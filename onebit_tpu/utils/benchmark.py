@@ -113,8 +113,12 @@ def bench_step_dispatch(step: Callable, init_state, iters_lo: int = 8,
     inputs carry the previous call's outputs, so the final host fetch
     forces every step to really execute.  Includes per-dispatch RPC cost
     (~1-2 ms), making the result slightly conservative.
+
+    ``step`` should already be (or call) a jitted function — wrapping it in
+    another jax.jit here would re-lower the whole model into a fresh
+    program (minutes on big models), so we call it as-is.
     """
-    jstep = jax.jit(step)
+    jstep = step
 
     def sync(out):
         float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))

@@ -67,3 +67,18 @@ def test_greedy_until_stops(tiny):
     out2 = greedy_until(params, config, [([5, 6, 7], [first])], detok,
                         max_new_tokens=6)
     assert out2[0] == ""
+
+
+def test_wikitext_task(tiny):
+    from onebit_tpu.eval.tasks.wikitext import (evaluate_wikitext,
+                                                wikitext_detokenize)
+    config, params = tiny
+    assert wikitext_detokenize("1 @-@ 2 @,@ 3") == "1-2,3"
+    assert wikitext_detokenize("a = = b") == "a == b"
+    tokenize = lambda s: [ord(c) % 300 for c in s]
+    res = evaluate_wikitext(params, config,
+                            ["some page text here", "another @-@ page"],
+                            tokenize, max_length=32)
+    assert res["word_perplexity"] > 0
+    assert res["byte_perplexity"] > 0
+    assert res["bits_per_byte"] > 0
