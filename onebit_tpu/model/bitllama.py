@@ -267,7 +267,8 @@ def forward(params, input_ids, config: BitLlamaConfig, *,
 
     if use_flash == "auto":
         from onebit_tpu.kernels.attention import flash_attention_available
-        flash = (attention_mask is None and s > 1
+        # the Pallas flash kernel needs seq ≥ its 128 block size
+        flash = (attention_mask is None and s >= 128 and s % 128 == 0
                  and flash_attention_available())
     else:
         flash = bool(use_flash) and attention_mask is None
