@@ -56,8 +56,10 @@ def _unpack_into(words, s_ref):
     """
     nw = words.shape[1]
     for b in range(WORD_BITS):
-        plane = (1 - 2 * ((words >> b) & 1)).astype(s_ref.dtype)
-        s_ref[:, b * nw:(b + 1) * nw] = plane
+        # ((w << (31-b)) >> 31) | 1 → -1 if bit b set else +1; ~25% fewer
+        # VPU ops than the shift+and+affine form (measured on v5e)
+        plane = (((words << (WORD_BITS - 1 - b)) >> (WORD_BITS - 1)) | 1)
+        s_ref[:, b * nw:(b + 1) * nw] = plane.astype(s_ref.dtype)
 
 
 def _pick_tile(n: int, candidates=(512, 256, 128)) -> int:
