@@ -1,0 +1,239 @@
+"""Explicit tensor-parallel decode: shard_map over the ``model`` axis.
+
+The GSPMD path auto-partitions the XLA implementation, but the fused Pallas
+kernel needs explicit sharding.  This module implements the full Megatron-
+style TP decoder layer with OneBit linears (SURVEY.md §2.2 TP row), where
+the twist is BitLinear's internal LayerNorm:
+
+* q/k/v, gate/up — **column parallel** (out-features sharded): LayerNorm
+  over the sharded axis uses a psum of the two per-row moments only
+  (O(rows) on ICI, see kernels/bitlinear_sharded.py);
+* o_proj, down_proj — **row parallel** (in-features sharded): partial
+  ``((x⊙g)·Sᵀ)⊙h`` psum'd (h is elementwise-out so it commutes with the
+  sum), then LayerNorm locally on the replicated result;
+* attention runs fully locally on the head shard (heads split over
+  ``model``); the KV cache is head-sharded.
+
+Per layer: 5 moment-psums (tiny) + 2 activation psums — the standard
+Megatron collective count, overlapped by XLA's async collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from onebit_tpu.core.bitlinear import LN_EPS, layernorm_noaffine
+from onebit_tpu.kernels.bitlinear import BitLinearWeights
+from onebit_tpu.model import bitllama
+from onebit_tpu.model.bitllama import KVCache
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.rope import apply_rope, rope_cos_sin
+from onebit_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _local_bitlinear_raw(x, w: BitLinearWeights, impl: str):
+    """((x⊙g)·S_localᵀ)⊙h without LayerNorm, fp32 out."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if impl == "pallas" or (impl == "auto"
+                            and jax.default_backend() == "tpu"):
+        from onebit_tpu.kernels.bitlinear_pallas import _call_large_m
+        z = _call_large_m(x2, w.packed, w.input_factor, w.weight_scale,
+                          LN_EPS, interpret=jax.default_backend() == "cpu")
+    else:
+        from onebit_tpu.core.packing import unpack_signs_bitplane
+        s = unpack_signs_bitplane(w.packed, dtype=x.dtype)
+        z = jnp.matmul(x2 * w.input_factor.astype(x.dtype), s.T,
+                       preferred_element_type=jnp.float32)
+        z = z * w.weight_scale.astype(jnp.float32)
+    return z.reshape(*lead, -1)
+
+
+def _column_parallel(x, w, impl, eps=LN_EPS):
+    """out-shard BitLinear with distributed (moment-psum) LayerNorm."""
+    z = _local_bitlinear_raw(x, w, impl).astype(jnp.float32)
+    n_total = jax.lax.psum(z.shape[-1], MODEL_AXIS)
+    s1 = jax.lax.psum(jnp.sum(z, -1, keepdims=True), MODEL_AXIS)
+    s2 = jax.lax.psum(jnp.sum(jnp.square(z), -1, keepdims=True), MODEL_AXIS)
+    mean = s1 / n_total
+    var = s2 / n_total - jnp.square(mean)
+    return ((z - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _row_parallel(x_loc, w, impl, eps=LN_EPS):
+    """in-shard BitLinear: partial product psum'd, LayerNorm local."""
+    z = _local_bitlinear_raw(x_loc, w, impl)
+    z = jax.lax.psum(z, MODEL_AXIS)
+    return layernorm_noaffine(z, eps).astype(x_loc.dtype)
+
+
+def _tp_decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
+                      config: BitLlamaConfig, mp: int, impl: str):
+    b, s, d = x.shape
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    nh_l, nkv_l = nh // mp, nkv // mp
+
+    residual = x
+    hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                           config.rms_norm_eps)
+    q = _column_parallel(hx, layer_params["q_proj"], impl)
+    k = _column_parallel(hx, layer_params["k_proj"], impl)
+    v = _column_parallel(hx, layer_params["v_proj"], impl)
+    q = q.reshape(b, s, nh_l, hd)
+    k = k.reshape(b, s, nkv_l, hd)
+    v = v.reshape(b, s, nkv_l, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    ck, cv = cache_kv
+    ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype),
+                                             cache_index, axis=1)
+    cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype),
+                                             cache_index, axis=1)
+    ctx = bitllama._attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                              mask, num_kv_groups=config.num_kv_groups)
+    attn = _row_parallel(ctx.reshape(b, s, nh_l * hd),
+                         layer_params["o_proj"], impl)
+    x = residual + attn
+
+    residual = x
+    hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                           config.rms_norm_eps)
+    gate = _column_parallel(hx, layer_params["gate_proj"], impl)
+    up = _column_parallel(hx, layer_params["up_proj"], impl)
+    mlp = _row_parallel(jax.nn.silu(gate) * up, layer_params["down_proj"],
+                        impl)
+    return residual + mlp, (ck, cv)
+
+
+def tp_param_specs():
+    """PartitionSpecs for the TP decode param tree (packed inference).
+
+    Column-parallel projections shard out-features; row-parallel ones
+    (o_proj/down_proj) shard the *in* axis: packed columns + input_factor,
+    with weight_scale replicated.
+    """
+    col = BitLinearWeights(weight_scale=P(None, MODEL_AXIS),
+                           input_factor=P(None, None),
+                           packed=P(None, MODEL_AXIS, None))
+    row = BitLinearWeights(weight_scale=P(None, None),
+                           input_factor=P(None, MODEL_AXIS),
+                           packed=P(None, None, MODEL_AXIS))
+    def strip(spec, val):
+        return BitLinearWeights(*[s if v is not None else None
+                                  for s, v in zip(spec, val)])
+    return {
+        "embed_tokens": P(None, None),
+        "lm_head": P(MODEL_AXIS, None),
+        "final_norm": P(None),
+        "layers": {
+            "input_layernorm": P(None, None),
+            "post_attention_layernorm": P(None, None),
+            "q_proj": col, "k_proj": col, "v_proj": col,
+            "gate_proj": col, "up_proj": col,
+            "o_proj": row, "down_proj": row,
+        },
+    }
+
+
+def _match_specs(params):
+    """Spec tree matching a concrete param tree (drop None-field specs)."""
+    specs = tp_param_specs()
+    layers = {}
+    for name, val in params["layers"].items():
+        spec = specs["layers"][name]
+        if isinstance(val, BitLinearWeights):
+            layers[name] = BitLinearWeights(
+                *[s if v is not None else None for s, v in zip(spec, val)])
+        else:
+            layers[name] = spec
+    return dict(specs, layers=layers)
+
+
+def repack_row_parallel(packed, mp: int):
+    """Repack a bitplane plane so word-axis sharding == contiguous K blocks.
+
+    The bitplane layout interleaves elements across the whole word axis
+    (element j ↦ word j % nw), so slicing words does NOT slice K.  For
+    row-parallel (in-sharded) projections each shard must hold a contiguous
+    K block: unpack, split K into ``mp`` blocks, re-pack each block with
+    its own local bitplane layout, concatenate along the word axis.
+    """
+    from onebit_tpu.core.packing import (pack_signs_bitplane,
+                                         unpack_signs_bitplane)
+    dense = unpack_signs_bitplane(packed, dtype=jnp.int8)
+    blocks = jnp.split(dense, mp, axis=-1)
+    return jnp.concatenate([pack_signs_bitplane(b) for b in blocks],
+                           axis=-1)
+
+
+def shard_tp_params(params, mesh):
+    mp = mesh.shape[MODEL_AXIS]
+    params = dict(params)
+    layers = dict(params["layers"])
+    for name in ("o_proj", "down_proj"):
+        w = layers[name]
+        layers[name] = w._replace(packed=repack_row_parallel(w.packed, mp))
+    params["layers"] = layers
+    specs = _match_specs(params)
+    placed = jax.tree.map(
+        lambda p, sp: jax.device_put(p, NamedSharding(mesh, sp)),
+        params, specs)
+    return placed, specs
+
+
+def make_tp_decode_step(mesh, config: BitLlamaConfig, params_template, *,
+                        impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Build a jitted shard_map TP decode step.
+
+    Signature: ``step(params, cache, input_ids, cache_index) ->
+    (logits, cache)`` with params/cache sharded per tp_param_specs and the
+    KV cache head-sharded.  ``params_template`` supplies the pytree
+    structure for the in_specs (any params with the same structure).
+    """
+    mp = mesh.shape[MODEL_AXIS]
+    if config.num_attention_heads % mp or config.num_key_value_heads % mp:
+        raise ValueError(f"heads not divisible by model={mp}")
+    specs = _match_specs(params_template)
+    cache_spec = KVCache(k=P(None, None, None, MODEL_AXIS, None),
+                         v=P(None, None, None, MODEL_AXIS, None))
+
+    def body(params, cache, input_ids, cache_index):
+        b, s = input_ids.shape
+        max_len = cache.max_len
+        x = params["embed_tokens"][input_ids].astype(compute_dtype)
+        positions = cache_index + jnp.arange(s)[None, :]
+        cos, sin = rope_cos_sin(
+            positions, config.head_dim, config.rope_theta,
+            config.rope_scaling, config.max_position_embeddings,
+            seq_len=max_len, dtype=compute_dtype)
+        mask = bitllama._causal_mask(s, max_len, cache_index)
+
+        def layer(x, layer_in):
+            layer_params, ck, cv = layer_in
+            x, new_kv = _tp_decoder_layer(
+                x, layer_params, cos, sin, mask, (ck, cv), cache_index,
+                config, mp, impl)
+            return x, new_kv
+
+        x, (nk, nv) = jax.lax.scan(layer, x,
+                                   (params["layers"], cache.k, cache.v))
+        x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+        # vocab-sharded lm_head: local partial logits over V/mp, all-gather
+        logits_l = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                              preferred_element_type=jnp.float32)
+        logits = jax.lax.all_gather(logits_l, MODEL_AXIS, axis=2,
+                                    tiled=True)
+        return logits, KVCache(k=nk, v=nv)
+
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs, cache_spec, P(), P()),
+        out_specs=(P(), cache_spec),
+        check_vma=False)
+    return jax.jit(smapped)

@@ -1,0 +1,47 @@
+"""Full TP decode (shard_map, explicit collectives) == single-device decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onebit_tpu.model.bitllama import (
+    decode_step,
+    init_kv_cache,
+    init_params,
+    pack_model_params,
+)
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.tp_decode import make_tp_decode_step, shard_tp_params
+from onebit_tpu.parallel.mesh import create_mesh
+
+
+def test_tp_decode_matches_single_device():
+    config = BitLlamaConfig.named("tiny")  # 4 heads, 2 kv heads
+    params = pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent"))
+    B, S = 2, 6
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0,
+                             config.vocab_size)
+
+    # single-device ground truth: prefill then one decode step
+    cache = init_kv_cache(config, B, max_len=16, dtype=jnp.float32)
+    ref_logits, ref_cache = decode_step(params, cache, ids, jnp.int32(0),
+                                        config, compute_dtype=jnp.float32)
+
+    mesh = create_mesh((1, 2))
+    sparams, _ = shard_tp_params(params, mesh)
+    tp_step = make_tp_decode_step(mesh, config, params,
+                                  compute_dtype=jnp.float32, impl="xla")
+    tp_cache = init_kv_cache(config, B, max_len=16, dtype=jnp.float32)
+    tp_logits, tp_cache = tp_step(sparams, tp_cache, ids, jnp.int32(0))
+
+    np.testing.assert_allclose(np.asarray(tp_logits),
+                               np.asarray(ref_logits), rtol=3e-4, atol=3e-4)
+
+    # continue decoding one token on both paths
+    nxt = jnp.argmax(ref_logits[:, -1:], axis=-1).astype(jnp.int32)
+    ref2, _ = decode_step(params, ref_cache, nxt, jnp.int32(S), config,
+                          compute_dtype=jnp.float32)
+    tp2, _ = tp_step(sparams, tp_cache, nxt, jnp.int32(S))
+    np.testing.assert_allclose(np.asarray(tp2), np.asarray(ref2),
+                               rtol=3e-4, atol=3e-4)
