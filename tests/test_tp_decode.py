@@ -45,3 +45,28 @@ def test_tp_decode_matches_single_device():
     tp2, _ = tp_step(sparams, tp_cache, nxt, jnp.int32(S))
     np.testing.assert_allclose(np.asarray(tp2), np.asarray(ref2),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_tp_decode_13b_widths():
+    """Full 13B widths (5120/13824, 40 heads) on a 4-way TP mesh —
+    validates tiling + sharding math at the real dimensions (depth 1)."""
+    config = BitLlamaConfig.named("llama2-13b", num_hidden_layers=1,
+                                  vocab_size=1024)
+    from onebit_tpu.utils.randinit import host_random_packed_params
+    params = host_random_packed_params(config, dtype=jnp.float32)
+
+    mesh = create_mesh((1, 4))
+    sparams, _ = shard_tp_params(params, mesh)
+    tp_step = make_tp_decode_step(mesh, config, params,
+                                  compute_dtype=jnp.float32, impl="xla")
+    cache = init_kv_cache(config, 2, max_len=8, dtype=jnp.float32)
+    ids = jnp.ones((2, 4), jnp.int32)
+    logits, _ = tp_step(sparams, cache, ids, jnp.int32(0))
+    assert logits.shape == (2, 4, 1024)
+    # ground truth on one device
+    ref, _ = decode_step(params, init_kv_cache(config, 2, 8,
+                                               dtype=jnp.float32),
+                         ids, jnp.int32(0), config,
+                         compute_dtype=jnp.float32, impl="xla")
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
