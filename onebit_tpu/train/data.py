@@ -99,19 +99,31 @@ def load_texts(data_dir: str, name: str,
 # Templates (extras.py:205-817's registry, minimal)
 # ---------------------------------------------------------------------------
 
-TEMPLATES: Dict[str, Callable[[str], str]] = {
-    # KD uses `vanilla`: raw query, no chrome (reference extras.py:422-431)
-    "vanilla": lambda q: q,
-    "llama2": lambda q: f"<<SYS>>\n\n<</SYS>>\n\n[INST] {q} [/INST]",
-    "alpaca": lambda q: ("Below is an instruction that describes a task. "
-                         "Write a response that appropriately completes "
-                         f"the request.\n\n### Instruction:\n{q}\n\n"
-                         "### Response:\n"),
-}
+# Rich template registry lives in train/templates.py (18 formats matching
+# the reference's registered names); TEMPLATES maps each to a single-turn
+# render function for the data pipeline.
+from onebit_tpu.train.templates import REGISTRY as _TPL_REGISTRY
+
+
+class _TemplateMap:
+    def __getitem__(self, name: str) -> Callable[[str], str]:
+        tpl = _TPL_REGISTRY[name]
+        return lambda q: tpl.render(q)
+
+    def __contains__(self, name):
+        return name in _TPL_REGISTRY
+
+
+TEMPLATES = _TemplateMap()
 
 
 def register_template(name: str, fn: Callable[[str], str]) -> None:
-    TEMPLATES[name] = fn
+    from onebit_tpu.train.templates import Template, register_template as reg
+    # wrap a plain callable: store the rendered single-turn structure
+    class _FnTemplate(Template):
+        def render(self, query, history=None, system=None):  # type: ignore
+            return fn(query)
+    reg(_FnTemplate(name=name))
 
 
 # ---------------------------------------------------------------------------

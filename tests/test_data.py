@@ -184,3 +184,15 @@ def test_run_sft_and_predictions(tmp_path):
                             max_new_tokens=4)
     line = json.loads(open(path).read().strip())
     assert set(line) == {"label", "predict"}
+
+
+def test_template_registry():
+    from onebit_tpu.train.templates import REGISTRY, get_template
+    assert len(REGISTRY) == 18
+    assert get_template("vanilla").render("hi") == "hi"
+    assert get_template("vicuna").render("hi").endswith("USER: hi ASSISTANT:")
+    out = get_template("default").render("q2", history=[("q1", "a1")])
+    assert "q1" in out and "a1" in out and out.index("q1") < out.index("q2")
+    # data pipeline still resolves template names
+    from onebit_tpu.train.data import TEMPLATES
+    assert TEMPLATES["alpaca"]("do x").startswith("Below is an instruction")
