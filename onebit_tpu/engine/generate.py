@@ -80,6 +80,11 @@ def generate(params, config: BitLlamaConfig,
     total = maxp + max_new_tokens
     if max_len is None:
         max_len = 1 << (total - 1).bit_length()
+    elif total > max_len:
+        raise ValueError(
+            f"prompt ({maxp}) + max_new_tokens ({max_new_tokens}) = {total} "
+            f"exceeds max_len {max_len}; the cache would silently clamp "
+            "writes past the end")
 
     # left-pad prompts with 0 and mask them out via attention positions
     ids = np.zeros((b, maxp), np.int32)

@@ -58,13 +58,17 @@ def loglikelihood_rolling(params, config: BitLlamaConfig,
     all_pairs = []
     spans = []
     for doc in documents:
-        pairs = rolling_windows(doc, max_length - 1, prefix_token)
+        # full windows score max_length tokens each (reference
+        # get_rolling_token_windows with max_seq_len = max_length); the
+        # scorer gets max_length+1 total tokens (ctx 1 + cont max_length),
+        # whose model input is the first max_length of them
+        pairs = rolling_windows(doc, max_length, prefix_token)
         spans.append((len(all_pairs), len(all_pairs) + len(pairs)))
         all_pairs.extend(pairs)
     results = loglikelihood(params, config, all_pairs,
                             batch_size=batch_size,
                             compute_dtype=compute_dtype,
-                            max_length=max_length)
+                            max_length=max_length + 1)
     return [sum(results[i][0] for i in range(s, e)) for s, e in spans]
 
 

@@ -22,7 +22,14 @@ import numpy as np
 
 @dataclasses.dataclass
 class MCDoc:
-    """A multiple-choice doc: context + N choice continuations."""
+    """A multiple-choice doc: context + N choice continuations.
+
+    ``choices`` hold the RAW choice strings (no leading space) — the space
+    is added at request-build time and excluded from acc_norm length
+    normalization, exactly like the reference (MultipleChoiceTask
+    construct_requests adds " {}" while process_results normalizes by
+    len(doc["choices"][i]), base.py).
+    """
     query: str
     choices: List[str]
     gold: int
@@ -46,16 +53,16 @@ class MultipleChoiceTask:
         spans = []
         for doc in docs:
             start = len(requests)
+            # context and continuation tokenized SEPARATELY — the reference
+            # computes tok_encode(ctx) and tok_encode(" " + choice)
+            # independently (base.py construct_requests + :179-181), which
+            # differs from slicing a joint tokenization at BPE seams
+            ctx_toks = tokenize(doc.query)
             for choice in doc.choices:
-                ctx_toks = tokenize(doc.query)
-                # continuation tokenized in context (reference tokenizes
-                # " " + choice appended to ctx, base.py:160-180 semantics)
-                full = tokenize(doc.query + choice)
-                cont = full[len(ctx_toks):]
-                if not cont:  # tokenizer merged boundary; fall back
+                cont = tokenize(" " + choice)
+                if not cont:
                     cont = tokenize(choice)
-                    full = ctx_toks + cont
-                requests.append((full[:len(full) - len(cont)], cont))
+                requests.append((ctx_toks, cont))
             spans.append((start, len(requests)))
         return requests, spans
 
@@ -63,6 +70,8 @@ class MultipleChoiceTask:
         accs, accs_norm = [], []
         for doc, (s, e) in zip(docs, spans):
             lls = np.asarray([results[i][0] for i in range(s, e)])
+            # normalize by the RAW choice length (reference base.py
+            # completion_len = len(doc["choices"][i]), no leading space)
             lens = np.asarray([max(len(c), 1) for c in doc.choices])
             accs.append(float(np.argmax(lls) == doc.gold))
             accs_norm.append(float(np.argmax(lls / lens) == doc.gold))

@@ -86,7 +86,7 @@ class MMLUSubject(_DocListTask):
         prompt += "Answer:"
         gold = (self.KEYS.index(d["answer"])
                 if isinstance(d["answer"], str) else int(d["answer"]))
-        return MCDoc(query=prompt, choices=[" " + c for c in d["choices"]],
+        return MCDoc(query=prompt, choices=list(d["choices"]),
                      gold=gold)
 
 

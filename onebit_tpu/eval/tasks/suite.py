@@ -55,7 +55,7 @@ class PIQA(_DocListTask):
 
     def convert(self, d):
         return MCDoc(query="Question: " + d["goal"] + "\nAnswer:",
-                     choices=[" " + d["sol1"], " " + d["sol2"]],
+                     choices=[d["sol1"], d["sol2"]],
                      gold=int(d["label"]))
 
 
@@ -68,7 +68,7 @@ class ARCEasy(_DocListTask):
         num_to_letter = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
         key = num_to_letter.get(d["answerKey"], d["answerKey"])
         return MCDoc(query="Question: " + d["question"] + "\nAnswer:",
-                     choices=[" " + t for t in d["choices"]["text"]],
+                     choices=list(d["choices"]["text"]),
                      gold=["A", "B", "C", "D", "E"].index(key))
 
 
@@ -85,7 +85,7 @@ class BoolQ(_DocListTask):
     def convert(self, d):
         return MCDoc(
             query=f"{d['passage']}\nQuestion: {d['question']}?\nAnswer:",
-            choices=[" no", " yes"], gold=int(d["label"]))
+            choices=["no", "yes"], gold=int(d["label"]))
 
     def score(self, docs, results, spans):
         # reference BoolQ reports only acc (ll_yes vs ll_no comparison)
@@ -110,7 +110,7 @@ class HellaSwag(_DocListTask):
         ctx = d["ctx_a"] + " " + d["ctx_b"].capitalize()
         return MCDoc(
             query=self._preprocess(d["activity_label"] + ": " + ctx),
-            choices=[" " + self._preprocess(e) for e in d["endings"]],
+            choices=[self._preprocess(e) for e in d["endings"]],
             gold=int(d["label"]))
 
 
@@ -136,13 +136,9 @@ class Winogrande(_DocListTask):
         for doc, contexts in docs:
             start = len(requests)
             for ctx, target in zip(contexts, doc.choices):
-                ctx_toks = tokenize(ctx)
-                full = tokenize(ctx + target)
-                cont = full[len(ctx_toks):]
-                if not cont:
-                    cont = tokenize(target)
-                    full = ctx_toks + cont
-                requests.append((full[:len(full) - len(cont)], cont))
+                # separate tokenization (reference rf.loglikelihood(ctx,
+                # target) with target already " "-prefixed)
+                requests.append((tokenize(ctx), tokenize(target)))
             spans.append((start, len(requests)))
         return requests, spans
 
@@ -163,7 +159,7 @@ class Lambada(_DocListTask):
     def convert(self, d):
         text = d["text"]
         ctx, _, last = text.rpartition(" ")
-        return MCDoc(query=ctx, choices=[" " + last], gold=0)
+        return MCDoc(query=ctx, choices=[last], gold=0)
 
     def score(self, docs, results, spans):
         accs, ppls = [], []

@@ -79,7 +79,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
                           acc_ref, y_ref, s_ref, *, tn: int, eps: float,
-                          has_bias: bool):
+                          has_bias: bool, fuse_ln: bool = True):
     ni = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -96,15 +96,17 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
     @pl.when(ni == n_tiles - 1)
     def _():
         a = acc_ref[:]
-        mean = jnp.mean(a, axis=1, keepdims=True)
-        var = jnp.mean(jnp.square(a - mean), axis=1, keepdims=True)
-        r = (a - mean) * jax.lax.rsqrt(var + eps)
-        if has_bias:
-            r = r + bias_ref[:]
-        out_ref[:] = r.astype(out_ref.dtype)
+        if fuse_ln:
+            mean = jnp.mean(a, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(a - mean), axis=1, keepdims=True)
+            a = (a - mean) * jax.lax.rsqrt(var + eps)
+            if has_bias:
+                a = a + bias_ref[:]
+        out_ref[:] = a.astype(out_ref.dtype)
 
 
-def _call_small_m(x2, packed, g, h, bias, eps, interpret):
+def _call_small_m(x2, packed, g, h, bias, eps, interpret,
+                  fuse_ln: bool = True):
     m, k = x2.shape
     n = packed.shape[0]
     nw = packed.shape[1]
@@ -135,14 +137,15 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret):
                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_fused_small_m_kernel, tn=tn, eps=eps,
-                               has_bias=has_bias)
+                               has_bias=has_bias, fuse_ln=fuse_ln)
+    out_dtype = x2.dtype if fuse_ln else jnp.float32
     out = pl.pallas_call(
         kernel,
         grid=(n // tn,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((m_pad, n), lambda ni: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((m_pad, n), jnp.float32),
             pltpu.VMEM((m_pad, k), x2.dtype),
@@ -242,3 +245,22 @@ def bitlinear_packed_pallas(x, packed, g, h, bias=None, *,
             r = r + bias.astype(r.dtype)
         out = r.astype(x.dtype)
     return out.reshape(*lead, n)
+
+
+def bitlinear_packed_raw(x, packed, g, h, *, interpret: Optional[bool] = None):
+    """``((x⊙g)·Sᵀ)⊙h`` WITHOUT LayerNorm, fp32 out — the per-shard body
+    for tensor parallelism (LN happens after the cross-shard reduction).
+    Dispatches small-M (decode) vs large-M schedules like the fused entry.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    *lead, k = x.shape
+    n = packed.shape[0]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if m <= _SMALL_M:
+        z = _call_small_m(x2, packed, g, h, None, LN_EPS, interpret,
+                          fuse_ln=False)
+    else:
+        z = _call_large_m(x2, packed, g, h, LN_EPS, interpret)
+    return z.reshape(*lead, n)

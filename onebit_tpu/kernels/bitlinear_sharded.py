@@ -43,12 +43,8 @@ def bitlinear_tp_shard(x, packed, g, h, bias=None, *, axis_name: str,
     # local partial projection WITHOUT LayerNorm: z = ((x⊙g)·S_localᵀ)⊙h
     if impl == "pallas" or (impl == "auto" and
                             jax.default_backend() == "tpu"):
-        from onebit_tpu.kernels.bitlinear_pallas import _call_large_m
-        lead = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1])
-        z = _call_large_m(x2, packed, g, h,
-                          eps, interpret=jax.default_backend() == "cpu")
-        z = z.reshape(*lead, -1)
+        from onebit_tpu.kernels.bitlinear_pallas import bitlinear_packed_raw
+        z = bitlinear_packed_raw(x, packed, g, h)
     else:
         from onebit_tpu.core.packing import unpack_signs_bitplane
         sign_w = unpack_signs_bitplane(packed, dtype=x.dtype)

@@ -148,7 +148,7 @@ def rms_norm(x, weight, eps: float):
     return (y * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def _attention(q, k, v, mask, *, num_kv_groups: int):
+def _attention(q, k, v, mask, *, num_kv_groups: int, return_probs=False):
     """GQA attention; q [B,S,nh,hd], k/v [B,T,nkv,hd], mask [B,1,S,T] bool."""
     b, s, nh, hd = q.shape
     t = k.shape[1]
@@ -160,16 +160,21 @@ def _attention(q, k, v, mask, *, num_kv_groups: int):
     scores = jnp.where(mask[:, :, None], scores, jnp.float32(-1e30))
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     ctx = jnp.einsum("bngst,btnh->bsngh", probs, v)
-    return ctx.reshape(b, s, nh, hd)
+    ctx = ctx.reshape(b, s, nh, hd)
+    if return_probs:
+        # [B, nh, S, T] — the reference's output_attentions layout
+        return ctx, probs.reshape(b, nh, s, t)
+    return ctx
 
 
 def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
                    config: BitLlamaConfig, impl: str,
-                   use_flash: bool = False):
+                   use_flash: bool = False, collect_attn: bool = False):
     """One decoder layer. ``cache_kv``: None or (k,v) [B,max_len,nkv,hd].
 
     ``use_flash``: pure-causal full-seq attention runs through the Pallas
     flash kernel (mask must be the unpadded causal mask; caller decides).
+    Returns (x, new_cache_kv[, attn_probs when collect_attn]).
     """
     b, s, d = x.shape
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
@@ -208,11 +213,16 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     else:
         k_all, v_all = k, v
 
-    if use_flash and cache_kv is None:
+    attn_probs = None
+    if use_flash and cache_kv is None and not collect_attn:
         from onebit_tpu.kernels.attention import flash_causal_attention
         ctx = flash_causal_attention(q, k_all.astype(q.dtype),
                                      v_all.astype(q.dtype),
                                      num_kv_groups=config.num_kv_groups)
+    elif collect_attn:
+        ctx, attn_probs = _attention(
+            q, k_all.astype(q.dtype), v_all.astype(q.dtype), mask,
+            num_kv_groups=config.num_kv_groups, return_probs=True)
     else:
         ctx = _attention(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
                          mask, num_kv_groups=config.num_kv_groups)
@@ -227,6 +237,8 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     up = _project(hx, layer_params["up_proj"], impl)
     mlp = _project(jax.nn.silu(gate) * up, layer_params["down_proj"], impl)
     x = residual + mlp
+    if collect_attn:
+        return x, new_cache_kv, attn_probs
     return x, new_cache_kv
 
 
@@ -238,11 +250,12 @@ def _causal_mask(s: int, t: int, offset) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "config", "impl", "output_hidden_states", "compute_dtype", "remat",
-    "use_flash"))
+    "config", "impl", "output_hidden_states", "output_attentions",
+    "compute_dtype", "remat", "use_flash"))
 def forward(params, input_ids, config: BitLlamaConfig, *,
             attention_mask=None, impl: str = "auto",
             compute_dtype=jnp.bfloat16, output_hidden_states: bool = False,
+            output_attentions: bool = False,
             remat: bool = False, use_flash: str = "auto"):
     """Full-sequence forward → logits [B,S,V] fp32.
 
@@ -256,7 +269,12 @@ def forward(params, input_ids, config: BitLlamaConfig, *,
     """
     b, s = input_ids.shape
     x = params["embed_tokens"][input_ids].astype(compute_dtype)
-    positions = jnp.arange(s)[None, :]
+    if attention_mask is not None:
+        # left-pad aware positions (reference derives position_ids from the
+        # attention-mask cumsum, modeling_bitllama.py:1487-1494)
+        positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+    else:
+        positions = jnp.arange(s)[None, :]
     cos, sin = rope_cos_sin(
         positions, config.head_dim, config.rope_theta, config.rope_scaling,
         config.max_position_embeddings, seq_len=s, dtype=compute_dtype)
@@ -274,24 +292,35 @@ def forward(params, input_ids, config: BitLlamaConfig, *,
         flash = bool(use_flash) and attention_mask is None
 
     def body(x, layer_params):
-        x, _ = _decoder_layer(x, layer_params, cos, sin, mask, None, None,
-                              config, impl, use_flash=flash)
-        return x, (x if output_hidden_states else None)
+        if output_attentions:
+            x, _, probs = _decoder_layer(x, layer_params, cos, sin, mask,
+                                         None, None, config, impl,
+                                         use_flash=False, collect_attn=True)
+        else:
+            x, _ = _decoder_layer(x, layer_params, cos, sin, mask, None,
+                                  None, config, impl, use_flash=flash)
+            probs = None
+        return x, ((x if output_hidden_states else None),
+                   (probs if output_attentions else None))
 
     if remat:
         body = jax.checkpoint(body)
 
     x0 = x
-    x, ys = jax.lax.scan(body, x, params["layers"])
+    x, (ys, attn_ys) = jax.lax.scan(body, x, params["layers"])
 
     h = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(h, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
+    extras = []
     if output_hidden_states:
         # stacked [L+1, B, S, D]: embeddings then each layer's output
         # (reference output_hidden_states tuple, modeling_bitllama.py:1106+)
-        hidden = jnp.concatenate([x0[None], ys], axis=0)
-        return logits, hidden
+        extras.append(jnp.concatenate([x0[None], ys], axis=0))
+    if output_attentions:
+        extras.append(attn_ys)  # [L, B, nh, S, T]
+    if extras:
+        return (logits, *extras)
     return logits
 
 

@@ -93,9 +93,10 @@ def attention_map_loss(student_attn, teacher_attn, num_layers: int):
 def kd_total_loss(cfg: KDConfig, *, student_logits, teacher_logits, labels,
                   student_hidden: Optional[Sequence[jax.Array]] = None,
                   teacher_hidden: Optional[Sequence[jax.Array]] = None,
+                  student_attn: Optional[jax.Array] = None,
+                  teacher_attn: Optional[jax.Array] = None,
                   num_layers: Optional[int] = None):
-    """Combined KD objective (reference kd.py:71-98, attention term omitted
-    unless maps are provided via :func:`attention_map_loss` externally)."""
+    """Combined KD objective (reference kd.py:71-111)."""
     kl = kd_kl_loss(student_logits, teacher_logits) if cfg.kd_loss_scale > 0 else 0.0
     ce = causal_ce_loss(student_logits, labels)
     total = cfg.kd_alpha * cfg.kd_loss_scale * kl + (1.0 - cfg.kd_alpha) * ce
@@ -104,5 +105,9 @@ def kd_total_loss(cfg: KDConfig, *, student_logits, teacher_logits, labels,
         pkd = hidden_state_loss(student_hidden, teacher_hidden, num_layers)
         total = total + cfg.kd_beta * pkd
         metrics["pkd_loss"] = pkd
+    if cfg.kd_gamma > 0 and student_attn is not None:
+        attn = attention_map_loss(student_attn, teacher_attn, num_layers)
+        total = total + cfg.kd_gamma * attn
+        metrics["attn_loss"] = attn
     metrics["loss"] = total
     return total, metrics

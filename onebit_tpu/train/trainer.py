@@ -119,9 +119,20 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
     uses ``teacher_forward``).
     """
     need_hidden = kd_cfg.kd_beta > 0
+    need_attn = kd_cfg.kd_gamma > 0
     use_teacher = kd_cfg.kd_loss_scale > 0 or kd_cfg.kd_beta > 0 \
         or kd_cfg.kd_gamma > 0
     accum = max(train_cfg.grad_accum_steps, 1)
+
+    def _unpack_out(out):
+        """(logits, hidden?, attn?) per the forward extras convention."""
+        if not (need_hidden or need_attn):
+            return out, None, None
+        items = list(out)
+        logits = items.pop(0)
+        hidden = items.pop(0) if need_hidden else None
+        attn = items.pop(0) if need_attn else None
+        return logits, hidden, attn
 
     def loss_fn(params, mask, teacher_out, batch):
         params = apply_freeze(params, mask)
@@ -129,19 +140,19 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
             params, batch["input_ids"], config, impl="xla",
             attention_mask=batch.get("attention_mask"),
             compute_dtype=compute_dtype, output_hidden_states=need_hidden,
-            remat=train_cfg.remat)
-        if need_hidden:
-            student_logits, student_hidden = out
-            teacher_logits, teacher_hidden = teacher_out
-        else:
-            student_logits, student_hidden = out, None
-            teacher_logits, teacher_hidden = teacher_out, None
-        if teacher_logits is None:
+            output_attentions=need_attn, remat=train_cfg.remat)
+        student_logits, student_hidden, student_attn = _unpack_out(out)
+        if teacher_out is None:
             teacher_logits = jax.lax.stop_gradient(student_logits)
+            teacher_hidden = teacher_attn = None
+        else:
+            teacher_logits, teacher_hidden, teacher_attn = \
+                _unpack_out(teacher_out)
         total, metrics = kd_total_loss(
             kd_cfg, student_logits=student_logits,
             teacher_logits=teacher_logits, labels=batch["labels"],
             student_hidden=student_hidden, teacher_hidden=teacher_hidden,
+            student_attn=student_attn, teacher_attn=teacher_attn,
             num_layers=config.num_hidden_layers)
         return total, metrics
 
@@ -151,12 +162,11 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
                 teacher_params, micro_batch["input_ids"], config, impl="xla",
                 attention_mask=micro_batch.get("attention_mask"),
                 compute_dtype=compute_dtype,
-                output_hidden_states=need_hidden)
+                output_hidden_states=need_hidden,
+                output_attentions=need_attn)
             teacher_out = jax.lax.stop_gradient(teacher_out)
         else:
-            # pure-CE stage (SFT / kd_alpha=0 without distillation terms):
-            # student logits stand in; kd weight is zero so the value is
-            # irrelevant, but shapes must match for kd_total_loss.
+            # pure-CE stage (SFT / kd_alpha=0 without distillation terms)
             teacher_out = None
         return jax.grad(loss_fn, has_aux=True)(
             params, mask, teacher_out, micro_batch)

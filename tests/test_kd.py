@@ -149,3 +149,28 @@ def test_grad_accum_matches_full_batch():
     # AdamW normalizes by sqrt(v): near-zero grads amplify fp noise, so a
     # loose atol (update magnitude is ~lr=4e-4)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
+def test_attention_map_kd_gamma():
+    """kd_gamma adds the attention-map term (reference kd.py:100-111)."""
+    config = BitLlamaConfig.named("tiny")
+    student = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    teacher = pack_model_params(init_params(config, jax.random.PRNGKey(1),
+                                            mode="latent"))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0,
+                             config.vocab_size)
+    batch = {"input_ids": ids, "labels": ids}
+
+    cfg_g = KDConfig(kd_alpha=1.0, kd_loss_scale=0.01, kd_gamma=0.5)
+    tr = TrainConfig(warmup_steps=0, total_steps=10)
+    state = init_train_state(jax.tree.map(jnp.copy, student), tr)
+    step = make_train_step(config, cfg_g, tr, compute_dtype=jnp.float32,
+                           donate=False)
+    _, metrics = step(state, teacher, batch)
+    assert "attn_loss" in metrics
+    attn_loss = float(metrics["attn_loss"])
+    assert np.isfinite(attn_loss) and attn_loss > 0
+    # total includes gamma * attn_loss
+    base = float(metrics["kd_loss"]) * 0.01
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               base + 0.5 * attn_loss, rtol=1e-5)

@@ -50,8 +50,8 @@ def test_rolling_ll_multi_window_consistency(tiny):
     config, params = tiny
     doc = list(np.random.default_rng(1).integers(0, config.vocab_size, 30))
     rolled = loglikelihood_rolling(params, config, [doc], max_length=12)
-    pairs = rolling_windows(doc, 11, 0)
-    direct = loglikelihood(params, config, pairs, max_length=12)
+    pairs = rolling_windows(doc, 12, 0)
+    direct = loglikelihood(params, config, pairs, max_length=13)
     np.testing.assert_allclose(rolled[0], sum(r[0] for r in direct),
                                rtol=1e-5)
 

@@ -50,7 +50,7 @@ def test_piqa_format():
                "label": 0}])
     doc = t.docs()[0]
     assert doc.query == "Question: fix a flat\nAnswer:"
-    assert doc.choices == [" pump it", " eat it"]
+    assert doc.choices == ["pump it", "eat it"]
     assert doc.gold == 0
 
 
@@ -73,7 +73,7 @@ def test_hellaswag_preprocess():
                     "endings": ["eats [title] it", "leaves"], "label": 1}])
     doc = t.docs()[0]
     assert doc.query == "Cooking: He stirs the pot Then"
-    assert doc.choices[0] == " eats. it"
+    assert doc.choices[0] == "eats. it"
 
 
 def test_winogrande_partial_eval(tiny):
