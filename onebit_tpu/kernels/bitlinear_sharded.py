@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from onebit_tpu.core.bitlinear import LN_EPS
-from onebit_tpu.kernels.bitlinear import BitLinearWeights
 from onebit_tpu.parallel.mesh import MODEL_AXIS
 
 

@@ -20,9 +20,6 @@ Megatron collective count, overlapped by XLA's async collectives.
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
