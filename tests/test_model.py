@@ -119,3 +119,18 @@ def test_quantized_kv_cache_decode(tiny):
                                       jnp.int32(t), config,
                                       compute_dtype=jnp.float32)
     assert np.isfinite(np.asarray(logits_t)).all()
+
+
+def test_left_padding_positions(tiny):
+    """Left-padded rows produce the same logits as unpadded (fix: RoPE
+    positions derive from the attention-mask cumsum)."""
+    config, params = tiny
+    ids = jnp.asarray([[7, 8, 9, 10]])
+    ref = forward(params, ids, config, compute_dtype=jnp.float32)
+
+    padded = jnp.asarray([[0, 0, 7, 8, 9, 10]])
+    mask = jnp.asarray([[0, 0, 1, 1, 1, 1]])
+    got = forward(params, padded, config, attention_mask=mask,
+                  compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got[:, 2:]), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
