@@ -108,6 +108,18 @@ def cmd_eval(args):
             loaded["params"], loaded["config"], tokens, seqlen=args.seqlen,
             batch_size=args.batch_size, limit=args.limit, progress=True)
 
+    if args.wikitext:
+        from transformers import AutoTokenizer
+
+        from onebit_tpu.eval.tasks.wikitext import evaluate_wikitext
+        tok = AutoTokenizer.from_pretrained(args.tokenizer or args.ckpt)
+        with open(args.wikitext) as f:
+            pages = f.read().split("\n\n")
+        results["wikitext"] = evaluate_wikitext(
+            loaded["params"], loaded["config"], pages,
+            lambda s: tok(s, add_special_tokens=False)["input_ids"],
+            batch_size=args.batch_size)
+
     if args.tasks:
         from transformers import AutoTokenizer
 
@@ -212,6 +224,8 @@ def build_parser():
     e = sub.add_parser("eval", help="perplexity + zero-shot eval")
     e.add_argument("--ckpt", required=True)
     e.add_argument("--tokens", help="pre-tokenized stream .npy for ppl")
+    e.add_argument("--wikitext", help="raw wikitext pages file (rolling "
+                   "word/byte perplexity)")
     e.add_argument("--tasks", help="comma list: piqa,arc_easy,arc_challenge,"
                    "boolq,hellaswag,winogrande,lambada_openai,hendrycksTest")
     e.add_argument("--tokenizer")
