@@ -171,7 +171,7 @@ def _matmul_large_m_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref, s_ref):
     z = jax.lax.dot_general(
         y, s_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[:] = z * h_ref[:]
+    out_ref[:] = (z * h_ref[:]).astype(out_ref.dtype)
 
 
 def _call_large_m(x2, packed, g, h, eps, interpret):

@@ -78,3 +78,19 @@ def test_odd_tile_sizes():
     # N=11008-like non-power-of-two tiling (divisible by 128 only via 256/43)
     ref, got = _case(4, 1408, 256, seed=100)  # 1408 = 11*128
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_large_m_bf16_output():
+    """bf16 inputs take the bf16-z fast path (regression: dtype of the
+    kernel store must match the out ref)."""
+    x = jnp.asarray(_rand((300, 128), 110)).astype(jnp.bfloat16)
+    w = jnp.asarray(_rand((256, 128), 111))
+    g = jnp.asarray(_rand((128,), 112))
+    h = jnp.asarray(_rand((256,), 113))
+    ref = bitlinear_fwd(x, jnp.sign(w).astype(jnp.bfloat16), g, h)
+    got = bitlinear_packed_pallas(x, pack_signs_bitplane(w), g, h,
+                                  interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=5e-2)
