@@ -56,6 +56,26 @@ def cmd_convert(args):
     print(f"packed inference checkpoint ({args.format}) → {args.out}")
 
 
+def _apply_config_file(args, parser):
+    """--config FILE (yaml/json): file values become argument defaults
+    (reference core.py:50-77 accepts CLI, .yaml or .json)."""
+    import json as _json
+    if not getattr(args, "config", None):
+        return args
+    with open(args.config) as f:
+        if args.config.endswith((".yaml", ".yml")):
+            import yaml
+            data = yaml.safe_load(f)
+        else:
+            data = _json.load(f)
+    for key, val in data.items():
+        attr = key.replace("-", "_")
+        if not hasattr(args, attr):
+            raise ValueError(f"unknown config key {key!r}")
+        setattr(args, attr, val)
+    return args
+
+
 def cmd_train(args):
     import numpy as np
 
@@ -199,8 +219,9 @@ def build_parser():
     c.set_defaults(fn=cmd_convert)
 
     t = sub.add_parser("train", help="KD training")
-    t.add_argument("--student", required=True)
-    t.add_argument("--teacher", required=True)
+    t.add_argument("--config", help="yaml/json file of argument values")
+    t.add_argument("--student")
+    t.add_argument("--teacher")
     t.add_argument("--data")
     t.add_argument("--dataset")
     t.add_argument("--tokens", help="pre-tokenized blocks .npy")
@@ -253,7 +274,13 @@ def build_parser():
 def main(argv=None):
     from onebit_tpu.utils.platform import honor_jax_platforms_env
     honor_jax_platforms_env()
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if getattr(args, "config", None):
+        args = _apply_config_file(args, parser)
+    if args.fn is cmd_train and (not args.student or not args.teacher):
+        parser.error("train requires --student and --teacher "
+                     "(via flags or --config)")
     args.fn(args)
 
 

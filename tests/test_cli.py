@@ -54,3 +54,28 @@ def test_cli_full_pipeline(tmp_path, capsys):
           "--max-new-tokens", "4", "--greedy"])
     toks = capsys.readouterr().out.strip().splitlines()[-1]
     assert len(toks.split(",")) >= 1
+
+
+def test_cli_train_config_file(tmp_path, capsys):
+    """train --config file.json supplies arguments (reference yaml/json
+    argument files, core.py:50-77)."""
+    import json as _json
+
+    config = BitLlamaConfig.named("tiny")
+    teacher_dir = str(tmp_path / "teacher")
+    save_native(teacher_dir, config,
+                init_params(config, jax.random.PRNGKey(0), mode="linear"))
+    start_dir = str(tmp_path / "start")
+    main(["build-start-ckpt", teacher_dir, start_dir])
+    tokens_path = str(tmp_path / "blocks.npy")
+    np.save(tokens_path, np.random.default_rng(0).integers(
+        0, config.vocab_size, (4, 16)).astype(np.int32))
+
+    cfg = {"student": start_dir, "teacher": teacher_dir,
+           "tokens": tokens_path, "output-dir": str(tmp_path / "out"),
+           "batch-size": 2, "max-steps": 1, "warmup-steps": 0,
+           "save-steps": 5}
+    cfg_path = tmp_path / "train.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    main(["train", "--config", str(cfg_path)])
+    assert (tmp_path / "out" / "trainer_log.jsonl").exists()
