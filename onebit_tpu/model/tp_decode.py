@@ -121,9 +121,6 @@ def tp_param_specs():
     row = BitLinearWeights(weight_scale=P(None, None),
                            input_factor=P(None, MODEL_AXIS),
                            packed=P(None, None, MODEL_AXIS))
-    def strip(spec, val):
-        return BitLinearWeights(*[s if v is not None else None
-                                  for s, v in zip(spec, val)])
     return {
         "embed_tokens": P(None, None),
         "lm_head": P(MODEL_AXIS, None),
