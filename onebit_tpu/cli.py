@@ -195,6 +195,40 @@ def cmd_generate(args):
         print(",".join(map(str, out)))
 
 
+def cmd_serve(args):
+    """Interactive serving loop over the continuous-batching engine:
+    reads one prompt per line from stdin, prints completions as they
+    finish (requests are admitted/retired continuously)."""
+    from onebit_tpu.engine.batching import ContinuousBatchingEngine
+    from onebit_tpu.engine.sampler import SamplingConfig
+
+    loaded = _load_any_ckpt(args.ckpt)
+    tok = None
+    if args.tokenizer:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    sampling = SamplingConfig(greedy=args.greedy,
+                              temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p)
+    eng = ContinuousBatchingEngine(
+        loaded["params"], loaded["config"], max_batch=args.max_batch,
+        max_len=args.max_len, sampling=sampling)
+    prompts = {}
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        toks = (tok(line)["input_ids"] if tok
+                else [int(t) for t in line.split(",")])
+        uid = eng.add_request(toks, max_new_tokens=args.max_new_tokens)
+        prompts[uid] = line
+    out = eng.run()
+    for uid in sorted(out):
+        text = (tok.decode(out[uid]) if tok
+                else ",".join(map(str, out[uid])))
+        print(json.dumps({"prompt": prompts[uid], "completion": text}))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -265,6 +299,19 @@ def build_parser():
     g.add_argument("--top-k", type=int, default=50)
     g.add_argument("--top-p", type=float, default=0.7)
     g.set_defaults(fn=cmd_generate)
+
+    sv = sub.add_parser("serve", help="continuous-batching serving loop "
+                        "(prompts on stdin)")
+    sv.add_argument("--ckpt", required=True)
+    sv.add_argument("--tokenizer")
+    sv.add_argument("--max-batch", type=int, default=8)
+    sv.add_argument("--max-len", type=int, default=2048)
+    sv.add_argument("--max-new-tokens", type=int, default=128)
+    sv.add_argument("--greedy", action="store_true")
+    sv.add_argument("--temperature", type=float, default=0.95)
+    sv.add_argument("--top-k", type=int, default=50)
+    sv.add_argument("--top-p", type=float, default=0.7)
+    sv.set_defaults(fn=cmd_serve)
 
     bn = sub.add_parser("bench", help="decode throughput benchmark")
     bn.set_defaults(fn=cmd_bench)

@@ -79,3 +79,22 @@ def test_cli_train_config_file(tmp_path, capsys):
     cfg_path.write_text(_json.dumps(cfg))
     main(["train", "--config", str(cfg_path)])
     assert (tmp_path / "out" / "trainer_log.jsonl").exists()
+
+
+def test_cli_serve_stdin(tmp_path, capsys, monkeypatch):
+    """serve: prompts on stdin through the continuous-batching engine."""
+    import io
+
+    config = BitLlamaConfig.named("tiny")
+    packed_dir = str(tmp_path / "packed")
+    from onebit_tpu.model.bitllama import pack_model_params
+    save_native(packed_dir, config, pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent")))
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO("5,6,7\n9,10\n"))
+    main(["serve", "--ckpt", packed_dir, "--max-batch", "2",
+          "--max-len", "64", "--max-new-tokens", "4", "--greedy"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rows = [json.loads(l) for l in lines]
+    assert len(rows) == 2
+    assert all("completion" in r for r in rows)
