@@ -135,3 +135,35 @@ def test_native_roundtrip_latent(tmp_path, tiny):
     np.testing.assert_array_equal(
         np.asarray(loaded["params"]["layers"]["q_proj"].latent),
         np.asarray(params["layers"]["q_proj"].latent))
+
+
+def test_load_sharded_bin_checkpoint(tmp_path):
+    """Multi-shard pytorch_model-0000x-of-0000N.bin dirs load correctly."""
+    config = BitLlamaConfig.named("tiny")
+    sd = _write_reference_torch_ckpt(str(tmp_path), config, "latent")
+    # split the single bin into two shards
+    os.remove(os.path.join(tmp_path, "pytorch_model.bin"))
+    keys = sorted(sd)
+    half = len(keys) // 2
+    torch.save({k: sd[k] for k in keys[:half]},
+               os.path.join(tmp_path, "pytorch_model-00001-of-00002.bin"))
+    torch.save({k: sd[k] for k in keys[half:]},
+               os.path.join(tmp_path, "pytorch_model-00002-of-00002.bin"))
+    loaded = load_reference_checkpoint(str(tmp_path))
+    assert loaded["kind"] == "latent"
+    ids = jnp.arange(6).reshape(1, 6)
+    logits = forward(loaded["params"], ids, loaded["config"],
+                     compute_dtype=jnp.float32)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_load_safetensors_checkpoint(tmp_path):
+    """safetensors-format reference checkpoints load (convert bin → st)."""
+    from safetensors.numpy import save_file
+    config = BitLlamaConfig.named("tiny")
+    sd = _write_reference_torch_ckpt(str(tmp_path), config, "packed")
+    os.remove(os.path.join(tmp_path, "pytorch_model.bin"))
+    save_file({k: v.numpy() for k, v in sd.items()},
+              os.path.join(tmp_path, "model.safetensors"))
+    loaded = load_reference_checkpoint(str(tmp_path))
+    assert loaded["kind"] == "packed"
