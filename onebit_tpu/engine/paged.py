@@ -1,0 +1,175 @@
+"""Paged KV cache + paged decode step (BASELINE north star: paged KV).
+
+vLLM-style block tables on TPU: K/V live in fixed-size pages
+``[L, n_kv, num_pages, page_size, head_dim]``; each sequence owns a list of
+pages (``page_indices [B, pages_per_seq]``) plus its ``length``.  Decode
+attention runs through the Pallas ``paged_attention`` kernel on TPU (one
+q-token per sequence, pages gathered on the fly) with a jnp gather
+reference for CPU tests.  Pages are allocated/freed by a host-side
+free-list — sequences of different lengths share the pool, eliminating the
+per-slot max_len reservation of the dense cache.
+
+The reference has nothing comparable (its cache is per-step torch.cat,
+modeling_bitllama.py:379-384).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onebit_tpu.model import bitllama
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.rope import apply_rope, rope_cos_sin
+
+
+class PagedKVCache(NamedTuple):
+    k_pages: jax.Array  # [L, n_kv, num_pages, page_size, head_dim]
+    v_pages: jax.Array  # [L, n_kv, num_pages, page_size, head_dim]
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[2]
+
+
+def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
+                        page_size: int = 16,
+                        dtype=jnp.bfloat16) -> PagedKVCache:
+    shape = (config.num_hidden_layers, config.num_key_value_heads,
+             num_pages, page_size, config.head_dim)
+    return PagedKVCache(k_pages=jnp.zeros(shape, dtype),
+                        v_pages=jnp.zeros(shape, dtype))
+
+
+class PageAllocator:
+    """Host-side free-list of physical pages (page 0 is a reserved null)."""
+
+    def __init__(self, num_pages: int):
+        self.free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self) -> int:
+        if not self.free:
+            raise RuntimeError("out of KV pages")
+        return self.free.pop()
+
+    def release(self, pages) -> None:
+        for p in pages:
+            if p > 0:
+                self.free.append(int(p))
+
+
+def _jnp_paged_attention(q, k_pages, v_pages, lengths, page_indices):
+    """Reference paged attention (CPU): gather pages, mask, soft attention.
+
+    q [B, nh, hd]; pages [nkv, P, ps, hd]; lengths [B];
+    page_indices [B, max_pages] → out [B, nh, hd].
+    """
+    b, nh, hd = q.shape
+    nkv, _, ps, _ = k_pages.shape
+    groups = nh // nkv
+    # [B, nkv, max_pages, ps, hd] → [B, T, nkv, hd]
+    k = jnp.take(k_pages, page_indices, axis=1)   # [nkv, B, mp, ps, hd]
+    v = jnp.take(v_pages, page_indices, axis=1)
+    k = k.transpose(1, 2, 3, 0, 4).reshape(b, -1, nkv, hd)
+    v = v.transpose(1, 2, 3, 0, 4).reshape(b, -1, nkv, hd)
+    t = k.shape[1]
+    qg = q.reshape(b, nkv, groups, hd)
+    scores = jnp.einsum("bngh,btnh->bngt", qg.astype(jnp.float32),
+                        k.astype(jnp.float32)) / (hd ** 0.5)
+    mask = jnp.arange(t)[None, :] < lengths[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bngt,btnh->bngh", probs, v.astype(jnp.float32))
+    return ctx.reshape(b, nh, hd).astype(q.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
+                      page_indices, config: BitLlamaConfig, *,
+                      impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """One token per sequence with paged KV.
+
+    input_ids [B, 1]; lengths [B] (current length, i.e. the write position);
+    page_indices [B, max_pages].  Returns (logits [B, 1, V], new cache).
+    """
+    b = input_ids.shape[0]
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    ps = cache.page_size
+    rows = jnp.arange(b)
+    write_page = jnp.take_along_axis(
+        page_indices, (lengths // ps)[:, None], axis=1)[:, 0]
+    write_slot = lengths % ps
+
+    x = params["embed_tokens"][input_ids].astype(compute_dtype)
+    cos, sin = rope_cos_sin(lengths[:, None], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings,
+                            seq_len=config.max_position_embeddings,
+                            dtype=compute_dtype)
+
+    # the Pallas kernel needs MXU-aligned head geometry (head_dim % 128,
+    # verified for LLaMA-family MHA); small/test configs use the jnp path.
+    # fp32-parity evals should pass impl="xla" (the kernel trades ~1e-2
+    # logit precision for speed).
+    use_kernel = (jax.default_backend() == "tpu" and impl != "xla"
+                  and hd % 128 == 0 and (nkv == nh or nh // nkv >= 8))
+
+    def layer(x, layer_in):
+        layer_params, kp, vp = layer_in
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                               config.rms_norm_eps)
+        q = bitllama._project(hx, layer_params["q_proj"], impl)
+        k = bitllama._project(hx, layer_params["k_proj"], impl)
+        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q = q.reshape(b, 1, nh, hd)
+        k = k.reshape(b, 1, nkv, hd)
+        v = v.reshape(b, 1, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+
+        # scatter the new K/V into (page, slot) per row
+        kp = kp.at[:, write_page, write_slot].set(
+            k[:, 0].transpose(1, 0, 2).astype(kp.dtype))
+        vp = vp.at[:, write_page, write_slot].set(
+            v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
+
+        q1 = q[:, 0]
+        if use_kernel:
+            from jax.experimental.pallas.ops.tpu.paged_attention import (
+                paged_attention,
+            )
+            ctx = paged_attention(
+                (q1 / (hd ** 0.5)).astype(compute_dtype), kp, vp,
+                lengths + 1, page_indices,
+                pages_per_compute_block=max(page_indices.shape[1] // 4, 1))
+        else:
+            ctx = _jnp_paged_attention(q1, kp, vp, lengths + 1, page_indices)
+        attn = bitllama._project(ctx.reshape(b, 1, nh * hd),
+                                 layer_params["o_proj"], impl)
+        x = residual + attn
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                               config.rms_norm_eps)
+        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
+        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        mlp = bitllama._project(jax.nn.silu(gate) * up,
+                                layer_params["down_proj"], impl)
+        return residual + mlp, (kp, vp)
+
+    x, (nk, nv) = jax.lax.scan(layer, x,
+                               (params["layers"], cache.k_pages,
+                                cache.v_pages))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, PagedKVCache(k_pages=nk, v_pages=nv)
