@@ -50,7 +50,9 @@ def _bucket(n: int, minimum: int = 32) -> int:
 class ContinuousBatchingEngine:
     def __init__(self, params, config: BitLlamaConfig, *, max_batch: int = 8,
                  max_len: int = 2048, sampling: Optional[SamplingConfig] = None,
-                 impl: str = "auto", compute_dtype=jnp.bfloat16, seed: int = 0):
+                 impl: str = "auto", compute_dtype=jnp.bfloat16, seed: int = 0,
+                 paged: bool = False, page_size: int = 16,
+                 num_pages: Optional[int] = None):
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -58,8 +60,21 @@ class ContinuousBatchingEngine:
         self.sampling = sampling or SamplingConfig(greedy=True)
         self.impl = impl
         self.compute_dtype = compute_dtype
-        self.cache = init_kv_cache(config, max_batch, max_len,
-                                   dtype=compute_dtype)
+        self.paged = paged
+        if paged:
+            from onebit_tpu.engine.paged import (PageAllocator,
+                                                 init_paged_kv_cache)
+            self.page_size = page_size
+            self.max_pages_per_seq = -(-max_len // page_size)
+            num_pages = num_pages or (max_batch * self.max_pages_per_seq + 1)
+            self.cache = init_paged_kv_cache(config, num_pages, page_size,
+                                             dtype=compute_dtype)
+            self.allocator = PageAllocator(num_pages)
+            self.page_tables = np.zeros(
+                (max_batch, self.max_pages_per_seq), np.int32)
+        else:
+            self.cache = init_kv_cache(config, max_batch, max_len,
+                                       dtype=compute_dtype)
         self.key = jax.random.PRNGKey(seed)
         self._uid = itertools.count()
         self.waiting: List[Request] = []
@@ -105,10 +120,24 @@ class ContinuousBatchingEngine:
             bucket = min(_bucket(plen), self.max_len)
             ids = np.zeros(bucket, np.int32)
             ids[:plen] = req.prompt
-            logits, self.cache = prefill_row(
-                self.params, self.cache, jnp.asarray(ids), jnp.int32(plen),
-                jnp.int32(slot), self.config, impl=self.impl,
-                compute_dtype=self.compute_dtype)
+            if self.paged:
+                from onebit_tpu.engine.paged import paged_prefill_row
+                # pages must cover the padded bucket AND the generation
+                need = -(-max(bucket, plen + req.max_new_tokens)
+                         // self.page_size)
+                table = np.zeros(self.max_pages_per_seq, np.int32)
+                for i in range(need):
+                    table[i] = self.allocator.alloc()
+                self.page_tables[slot] = table
+                logits, self.cache = paged_prefill_row(
+                    self.params, self.cache, jnp.asarray(ids),
+                    jnp.int32(plen), jnp.asarray(table), self.config,
+                    impl=self.impl, compute_dtype=self.compute_dtype)
+            else:
+                logits, self.cache = prefill_row(
+                    self.params, self.cache, jnp.asarray(ids),
+                    jnp.int32(plen), jnp.int32(slot), self.config,
+                    impl=self.impl, compute_dtype=self.compute_dtype)
             self.key, sub = jax.random.split(self.key)
             tok = int(sample_token(logits[None, :], sub, self.sampling)[0])
             self.slots[slot] = req
@@ -121,11 +150,20 @@ class ContinuousBatchingEngine:
         active = np.asarray([s is not None for s in self.slots])
         if not active.any():
             return
-        logits, self.cache = ragged_decode_step(
-            self.params, self.cache,
-            jnp.asarray(self.next_token[:, None]),
-            jnp.asarray(self.row_pos), jnp.asarray(active), self.config,
-            impl=self.impl, compute_dtype=self.compute_dtype)
+        if self.paged:
+            from onebit_tpu.engine.paged import paged_decode_step
+            logits, self.cache = paged_decode_step(
+                self.params, self.cache,
+                jnp.asarray(self.next_token[:, None]),
+                jnp.asarray(self.row_pos), jnp.asarray(self.page_tables),
+                self.config, impl=self.impl,
+                compute_dtype=self.compute_dtype)
+        else:
+            logits, self.cache = ragged_decode_step(
+                self.params, self.cache,
+                jnp.asarray(self.next_token[:, None]),
+                jnp.asarray(self.row_pos), jnp.asarray(active), self.config,
+                impl=self.impl, compute_dtype=self.compute_dtype)
         self.key, sub = jax.random.split(self.key)
         toks = np.asarray(sample_token(logits[:, 0], sub, self.sampling))
         for slot in range(self.max_batch):
@@ -146,3 +184,6 @@ class ContinuousBatchingEngine:
             req.done = True
             self.finished[req.uid] = req
             self.slots[slot] = None
+            if self.paged:
+                self.allocator.release(self.page_tables[slot])
+                self.page_tables[slot] = 0

@@ -173,3 +173,78 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
     return logits, PagedKVCache(k_pages=nk, v_pages=nv)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def paged_prefill_row(params, cache: PagedKVCache, ids, length,
+                      page_indices_row, config: BitLlamaConfig, *,
+                      impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Prefill ONE sequence into its pages.
+
+    ids [S_pad] right-padded prompt; length scalar; page_indices_row
+    [max_pages] this sequence's pages.  Returns (last_logits [V], cache).
+
+    The caller must allocate pages covering the PADDED bucket length
+    (``ceil(S_pad / page_size)``): pad positions scatter into later
+    (page, slot) pairs which decode overwrites before attending, but an
+    under-allocated table would clamp pad writes onto real slots.
+    """
+    s_pad = ids.shape[0]
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    ps = cache.page_size
+    positions = jnp.arange(s_pad)
+    pages = jnp.take(page_indices_row, positions // ps)
+    slots = positions % ps
+
+    attn = (positions < length)[None, :].astype(jnp.int32)
+    x = params["embed_tokens"][ids[None, :]].astype(compute_dtype)
+    cos, sin = rope_cos_sin(positions[None, :], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings,
+                            seq_len=config.max_position_embeddings,
+                            dtype=compute_dtype)
+    mask = bitllama._causal_mask(s_pad, s_pad, 0) & (attn[:, None, None, :] > 0)
+
+    def layer(x, layer_in):
+        layer_params, kp, vp = layer_in
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                               config.rms_norm_eps)
+        q = bitllama._project(hx, layer_params["q_proj"], impl)
+        k = bitllama._project(hx, layer_params["k_proj"], impl)
+        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q = q.reshape(1, s_pad, nh, hd)
+        k = k.reshape(1, s_pad, nkv, hd)
+        v = v.reshape(1, s_pad, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        # scatter all positions into (page, slot); padded positions land in
+        # slots beyond `length` of the last page and are never attended
+        kp = kp.at[:, pages, slots].set(
+            k[0].transpose(1, 0, 2).astype(kp.dtype))
+        vp = vp.at[:, pages, slots].set(
+            v[0].transpose(1, 0, 2).astype(vp.dtype))
+        ctx = bitllama._attention(q, k, v, mask,
+                                  num_kv_groups=config.num_kv_groups)
+        attn_out = bitllama._project(ctx.reshape(1, s_pad, nh * hd),
+                                     layer_params["o_proj"], impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                               config.rms_norm_eps)
+        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
+        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        mlp = bitllama._project(jax.nn.silu(gate) * up,
+                                layer_params["down_proj"], impl)
+        return residual + mlp, (kp, vp)
+
+    x, (nk, nv) = jax.lax.scan(layer, x,
+                               (params["layers"], cache.k_pages,
+                                cache.v_pages))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
+    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, PagedKVCache(k_pages=nk, v_pages=nv)

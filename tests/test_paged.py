@@ -86,3 +86,27 @@ def test_page_allocator():
         a.alloc()
     a.release(pages[:2])
     assert a.alloc() in pages[:2]
+
+
+def test_paged_engine_matches_dense_engine(tiny):
+    """Continuous batching with paged KV == dense-slot engine output."""
+    from onebit_tpu.engine.batching import ContinuousBatchingEngine
+
+    config, params = tiny
+    prompts = [[5, 17, 42, 9], [100, 3], [7, 8, 9, 10, 11]]
+
+    dense = ContinuousBatchingEngine(params, config, max_batch=2,
+                                     max_len=64,
+                                     compute_dtype=jnp.float32)
+    uids_d = [dense.add_request(p, max_new_tokens=5) for p in prompts]
+    out_d = dense.run()
+
+    pg = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                  compute_dtype=jnp.float32, paged=True,
+                                  page_size=4)
+    uids_p = [pg.add_request(p, max_new_tokens=5) for p in prompts]
+    out_p = pg.run()
+    for ud, up in zip(uids_d, uids_p):
+        assert out_d[ud] == out_p[up], (out_d[ud], out_p[up])
+    # all pages returned to the pool
+    assert len(pg.allocator.free) == pg.cache.num_pages - 1
