@@ -52,7 +52,8 @@ class ContinuousBatchingEngine:
                  max_len: int = 2048, sampling: Optional[SamplingConfig] = None,
                  impl: str = "auto", compute_dtype=jnp.bfloat16, seed: int = 0,
                  paged: bool = False, page_size: int = 16,
-                 num_pages: Optional[int] = None):
+                 num_pages: Optional[int] = None,
+                 quantized_kv: bool = False):
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -68,7 +69,8 @@ class ContinuousBatchingEngine:
             self.max_pages_per_seq = -(-max_len // page_size)
             num_pages = num_pages or (max_batch * self.max_pages_per_seq + 1)
             self.cache = init_paged_kv_cache(config, num_pages, page_size,
-                                             dtype=compute_dtype)
+                                             dtype=compute_dtype,
+                                             quantized=quantized_kv)
             self.allocator = PageAllocator(num_pages)
             self.page_tables = np.zeros(
                 (max_batch, self.max_pages_per_seq), np.int32)

@@ -40,13 +40,56 @@ class PagedKVCache(NamedTuple):
         return self.k_pages.shape[2]
 
 
+class QuantPagedKVCache(NamedTuple):
+    """INT8 pages + per-(head, page, slot) absmax scales — the combined
+    north star (paged + quantized KV).  Scale convention matches the
+    Pallas kernel's quantization_utils (absmax over head_dim)."""
+    k_q: jax.Array  # [L, n_kv, num_pages, page_size, head_dim] int8
+    k_s: jax.Array  # [L, n_kv, num_pages, page_size, 1] f32
+    v_q: jax.Array
+    v_s: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k_q.shape[3]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_q.shape[2]
+
+
 def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
-                        page_size: int = 16,
-                        dtype=jnp.bfloat16) -> PagedKVCache:
+                        page_size: int = 16, dtype=jnp.bfloat16,
+                        quantized: bool = False):
     shape = (config.num_hidden_layers, config.num_key_value_heads,
              num_pages, page_size, config.head_dim)
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        return QuantPagedKVCache(
+            k_q=jnp.zeros(shape, jnp.int8),
+            k_s=jnp.zeros(sshape, jnp.float32),
+            v_q=jnp.zeros(shape, jnp.int8),
+            v_s=jnp.zeros(sshape, jnp.float32))
     return PagedKVCache(k_pages=jnp.zeros(shape, dtype),
                         v_pages=jnp.zeros(shape, dtype))
+
+
+_MAX_INT8 = 127.5  # the Pallas kernel's quantization_utils.MAX_INT8
+
+
+def _quantize_kv_int8(x):
+    """[..., hd] → (int8 values, absmax scales [..., 1]) — EXACTLY the
+    kernel's quantization_utils convention (rint(x·127.5/h), dequant
+    q·h/127.5), with an epsilon floor on the stored scale (self-consistent
+    for any positive h; avoids 0/0 on all-zero rows)."""
+    scales = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                                 keepdims=True), 1e-6)
+    q = jnp.rint(x.astype(jnp.float32) * (_MAX_INT8 / scales)).astype(jnp.int8)
+    return q, scales
+
+
+def _dequantize_kv_int8(q, scales, dtype=jnp.float32):
+    return (q.astype(jnp.float32) * (scales / _MAX_INT8)).astype(dtype)
 
 
 class PageAllocator:
@@ -124,8 +167,11 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
     use_kernel = (jax.default_backend() == "tpu" and impl != "xla"
                   and hd % 128 == 0 and (nkv == nh or nh // nkv >= 8))
 
+    quant = isinstance(cache, QuantPagedKVCache)
+
     def layer(x, layer_in):
-        layer_params, kp, vp = layer_in
+        layer_params = layer_in[0]
+        kv_leaves = layer_in[1:]
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
@@ -136,26 +182,52 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
         k = k.reshape(b, 1, nkv, hd)
         v = v.reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
+        k1 = k[:, 0].transpose(1, 0, 2)   # [nkv, B, hd]
+        v1 = v[:, 0].transpose(1, 0, 2)
 
-        # scatter the new K/V into (page, slot) per row
-        kp = kp.at[:, write_page, write_slot].set(
-            k[:, 0].transpose(1, 0, 2).astype(kp.dtype))
-        vp = vp.at[:, write_page, write_slot].set(
-            v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
+        if quant:
+            kq, ks, vq, vs = kv_leaves
+            k_i8, k_sc = _quantize_kv_int8(k1)
+            v_i8, v_sc = _quantize_kv_int8(v1)
+            kq = kq.at[:, write_page, write_slot].set(k_i8)
+            ks = ks.at[:, write_page, write_slot].set(k_sc)
+            vq = vq.at[:, write_page, write_slot].set(v_i8)
+            vs = vs.at[:, write_page, write_slot].set(v_sc)
+            new_leaves = (kq, ks, vq, vs)
+        else:
+            kp, vp = kv_leaves
+            kp = kp.at[:, write_page, write_slot].set(k1.astype(kp.dtype))
+            vp = vp.at[:, write_page, write_slot].set(v1.astype(vp.dtype))
+            new_leaves = (kp, vp)
 
         q1 = q[:, 0]
         if use_kernel:
             from jax.experimental.pallas.ops.tpu.paged_attention import (
                 paged_attention,
             )
+            if quant:
+                from jax.experimental.pallas.ops.tpu.paged_attention import (
+                    quantization_utils as qu,
+                )
+                k_arg = qu.QuantizedTensor(weight=new_leaves[0],
+                                           scales=new_leaves[1])
+                v_arg = qu.QuantizedTensor(weight=new_leaves[2],
+                                           scales=new_leaves[3])
+            else:
+                k_arg, v_arg = new_leaves
             ctx = paged_attention(
-                (q1 / (hd ** 0.5)).astype(compute_dtype), kp, vp,
+                (q1 / (hd ** 0.5)).astype(compute_dtype), k_arg, v_arg,
                 lengths + 1, page_indices,
                 pages_per_compute_block=max(page_indices.shape[1] // 4, 1))
         else:
-            ctx = _jnp_paged_attention(q1, kp, vp, lengths + 1, page_indices)
-        attn = bitllama._project(ctx.reshape(b, 1, nh * hd),
-                                 layer_params["o_proj"], impl)
+            if quant:
+                kf = _dequantize_kv_int8(new_leaves[0], new_leaves[1])
+                vf = _dequantize_kv_int8(new_leaves[2], new_leaves[3])
+            else:
+                kf, vf = new_leaves
+            ctx = _jnp_paged_attention(q1, kf, vf, lengths + 1, page_indices)
+        attn = bitllama._project(ctx.astype(compute_dtype).reshape(
+            b, 1, nh * hd), layer_params["o_proj"], impl)
         x = residual + attn
         residual = x
         hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
@@ -164,15 +236,16 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
         up = bitllama._project(hx, layer_params["up_proj"], impl)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
-        return residual + mlp, (kp, vp)
+        return residual + mlp, new_leaves
 
-    x, (nk, nv) = jax.lax.scan(layer, x,
-                               (params["layers"], cache.k_pages,
-                                cache.v_pages))
+    x, new_leaves = jax.lax.scan(layer, x,
+                                 (params["layers"],) + tuple(cache))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
-    return logits, PagedKVCache(k_pages=nk, v_pages=nv)
+    new_cache = (QuantPagedKVCache(*new_leaves) if quant
+                 else PagedKVCache(*new_leaves))
+    return logits, new_cache
 
 
 @functools.partial(jax.jit,
@@ -207,8 +280,11 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
                             dtype=compute_dtype)
     mask = bitllama._causal_mask(s_pad, s_pad, 0) & (attn[:, None, None, :] > 0)
 
+    quant = isinstance(cache, QuantPagedKVCache)
+
     def layer(x, layer_in):
-        layer_params, kp, vp = layer_in
+        layer_params = layer_in[0]
+        kv_leaves = layer_in[1:]
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
@@ -219,12 +295,24 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
         k = k.reshape(1, s_pad, nkv, hd)
         v = v.reshape(1, s_pad, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
+        k1 = k[0].transpose(1, 0, 2)   # [nkv, S, hd]
+        v1 = v[0].transpose(1, 0, 2)
         # scatter all positions into (page, slot); padded positions land in
         # slots beyond `length` of the last page and are never attended
-        kp = kp.at[:, pages, slots].set(
-            k[0].transpose(1, 0, 2).astype(kp.dtype))
-        vp = vp.at[:, pages, slots].set(
-            v[0].transpose(1, 0, 2).astype(vp.dtype))
+        if quant:
+            kq, ks, vq, vs = kv_leaves
+            k_i8, k_sc = _quantize_kv_int8(k1)
+            v_i8, v_sc = _quantize_kv_int8(v1)
+            kq = kq.at[:, pages, slots].set(k_i8)
+            ks = ks.at[:, pages, slots].set(k_sc)
+            vq = vq.at[:, pages, slots].set(v_i8)
+            vs = vs.at[:, pages, slots].set(v_sc)
+            new_leaves = (kq, ks, vq, vs)
+        else:
+            kp, vp = kv_leaves
+            kp = kp.at[:, pages, slots].set(k1.astype(kp.dtype))
+            vp = vp.at[:, pages, slots].set(v1.astype(vp.dtype))
+            new_leaves = (kp, vp)
         ctx = bitllama._attention(q, k, v, mask,
                                   num_kv_groups=config.num_kv_groups)
         attn_out = bitllama._project(ctx.reshape(1, s_pad, nh * hd),
@@ -237,14 +325,15 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
         up = bitllama._project(hx, layer_params["up_proj"], impl)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
-        return residual + mlp, (kp, vp)
+        return residual + mlp, new_leaves
 
-    x, (nk, nv) = jax.lax.scan(layer, x,
-                               (params["layers"], cache.k_pages,
-                                cache.v_pages))
+    x, new_leaves = jax.lax.scan(layer, x,
+                                 (params["layers"],) + tuple(cache))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     last = jnp.take_along_axis(
         x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
     logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
-    return logits, PagedKVCache(k_pages=nk, v_pages=nv)
+    new_cache = (QuantPagedKVCache(*new_leaves) if quant
+                 else PagedKVCache(*new_leaves))
+    return logits, new_cache

@@ -110,3 +110,52 @@ def test_paged_engine_matches_dense_engine(tiny):
         assert out_d[ud] == out_p[up], (out_d[ud], out_p[up])
     # all pages returned to the pool
     assert len(pg.allocator.free) == pg.cache.num_pages - 1
+
+
+def test_quantized_pages_close_to_float(tiny):
+    """INT8 pages track float pages closely (top-1 agreement)."""
+    config, params = tiny
+    B, S, ps = 2, 8, 4
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0,
+                             config.vocab_size)
+    tables = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    fp = init_paged_kv_cache(config, num_pages=8, page_size=ps,
+                             dtype=jnp.float32)
+    q8 = init_paged_kv_cache(config, num_pages=8, page_size=ps,
+                             quantized=True)
+    for t in range(S):
+        lens = jnp.full((B,), t, jnp.int32)
+        lf, fp = paged_decode_step(params, fp, ids[:, t:t + 1], lens,
+                                   tables, config,
+                                   compute_dtype=jnp.float32)
+        lq, q8 = paged_decode_step(params, q8, ids[:, t:t + 1], lens,
+                                   tables, config,
+                                   compute_dtype=jnp.float32)
+        assert (np.asarray(lf[:, 0]).argmax(-1) ==
+                np.asarray(lq[:, 0]).argmax(-1)).all(), f"t={t}"
+        np.testing.assert_allclose(np.asarray(lq), np.asarray(lf),
+                                   rtol=0.25, atol=0.25)
+
+
+def test_quantized_paged_engine(tiny):
+    """Engine with quantized pages produces the same greedy tokens."""
+    from onebit_tpu.engine.batching import ContinuousBatchingEngine
+
+    config, params = tiny
+    prompts = [[5, 17, 42, 9], [100, 3]]
+    dense = ContinuousBatchingEngine(params, config, max_batch=2,
+                                     max_len=64, compute_dtype=jnp.float32)
+    out_d = None
+    uids = [dense.add_request(p, max_new_tokens=4) for p in prompts]
+    out_d = dense.run()
+
+    q8 = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                  compute_dtype=jnp.float32, paged=True,
+                                  page_size=4, quantized_kv=True)
+    uids_q = [q8.add_request(p, max_new_tokens=4) for p in prompts]
+    out_q = q8.run()
+    for ud, uq in zip(uids, uids_q):
+        # prefill attention is float in both paths → first sampled token
+        # matches exactly; later tokens may diverge from int8 KV rounding
+        assert out_q[uq][0] == out_d[ud][0]
+        assert len(out_q[uq]) == len(out_d[ud])
