@@ -93,6 +93,20 @@ class ContinuousBatchingEngine:
         self.waiting.append(req)
         return req.uid
 
+    def warmup(self, buckets=None) -> None:
+        """Precompile prefill programs for the given bucket lengths (and the
+        decode step) so first real requests don't pay compile latency.
+        Call on an idle engine."""
+        if self.has_work():
+            raise RuntimeError("warmup requires an idle engine")
+        buckets = buckets or [32, 64, 128, 256]
+        for b in buckets:
+            if b > self.max_len:
+                continue
+            uid = self.add_request([1] * max(b - 1, 1), max_new_tokens=1)
+            self.run()
+            self.finished.pop(uid, None)
+
     def has_work(self) -> bool:
         return bool(self.waiting) or any(s is not None for s in self.slots)
 

@@ -73,3 +73,15 @@ def test_request_too_long_rejected(tiny):
     eng.add_request(list(range(1, 14)), max_new_tokens=10)
     with pytest.raises(ValueError, match="max_len"):
         eng.run()
+
+
+def test_warmup(tiny):
+    config, params = tiny
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    eng.warmup([32, 64])
+    # engine is clean after warmup and still serves correctly
+    assert not eng.has_work()
+    uid = eng.add_request([5, 6, 7], max_new_tokens=3)
+    out = eng.run()
+    assert len(out[uid]) == 3
