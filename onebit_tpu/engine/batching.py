@@ -53,7 +53,7 @@ class ContinuousBatchingEngine:
                  impl: str = "auto", compute_dtype=jnp.bfloat16, seed: int = 0,
                  paged: bool = False, page_size: int = 16,
                  num_pages: Optional[int] = None,
-                 quantized_kv: bool = False):
+                 quantized_kv: bool = False, block_steps: int = 1):
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -62,6 +62,7 @@ class ContinuousBatchingEngine:
         self.impl = impl
         self.compute_dtype = compute_dtype
         self.paged = paged
+        self.block_steps = max(block_steps, 1)
         if paged:
             from onebit_tpu.engine.paged import (PageAllocator,
                                                  init_paged_kv_cache)
@@ -166,6 +167,9 @@ class ContinuousBatchingEngine:
         active = np.asarray([s is not None for s in self.slots])
         if not active.any():
             return
+        if self.block_steps > 1:
+            self._decode_block(active)
+            return
         if self.paged:
             from onebit_tpu.engine.paged import paged_decode_step
             logits, self.cache = paged_decode_step(
@@ -190,6 +194,36 @@ class ContinuousBatchingEngine:
             self.row_pos[slot] += 1
             self.next_token[slot] = tok
             self._maybe_finish(slot, tok)
+
+    def _decode_block(self, active) -> None:
+        """block_steps tokens in one device program (fewer host RTTs);
+        rows finishing mid-block have their surplus tokens discarded."""
+        if self.paged:
+            from onebit_tpu.engine.paged import paged_decode_block
+            toks, self.cache, self.key = paged_decode_block(
+                self.params, self.cache, jnp.asarray(self.next_token),
+                jnp.asarray(self.row_pos), jnp.asarray(self.page_tables),
+                self.key, self.config, sampling=self.sampling,
+                n_steps=self.block_steps, impl=self.impl,
+                compute_dtype=self.compute_dtype)
+        else:
+            from onebit_tpu.model.ragged_decode import ragged_decode_block
+            toks, self.cache, self.key = ragged_decode_block(
+                self.params, self.cache, jnp.asarray(self.next_token),
+                jnp.asarray(self.row_pos), jnp.asarray(active), self.key,
+                self.config, sampling=self.sampling,
+                n_steps=self.block_steps, impl=self.impl,
+                compute_dtype=self.compute_dtype)
+        toks = np.asarray(toks)  # [n_steps, B]
+        for step in range(toks.shape[0]):
+            for slot in range(self.max_batch):
+                if self.slots[slot] is None:
+                    continue
+                tok = int(toks[step, slot])
+                self.slots[slot].generated.append(tok)
+                self.row_pos[slot] += 1
+                self.next_token[slot] = tok
+                self._maybe_finish(slot, tok)
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
         req = self.slots[slot]

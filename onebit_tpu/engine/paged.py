@@ -337,3 +337,28 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
     new_cache = (QuantPagedKVCache(*new_leaves) if quant
                  else PagedKVCache(*new_leaves))
     return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "impl", "compute_dtype", "sampling", "n_steps"))
+def paged_decode_block(params, cache, next_token, lengths, page_indices,
+                       key, config: BitLlamaConfig, *, sampling,
+                       n_steps: int, impl: str = "auto",
+                       compute_dtype=jnp.bfloat16):
+    """n_steps paged decode+sample steps in one device program (see
+    ragged_decode_block).  Overflow writes past a row's pages clamp onto
+    the reserved null page 0 by construction."""
+    from onebit_tpu.engine.sampler import sample_token
+
+    def body(carry, _):
+        cache, tok, lens, key = carry
+        logits, cache = paged_decode_step(
+            params, cache, tok[:, None], lens, page_indices, config,
+            impl=impl, compute_dtype=compute_dtype)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits[:, 0], sub, sampling)
+        return (cache, nxt, lens + 1, key), nxt
+
+    (cache, _, _, key), toks = jax.lax.scan(
+        body, (cache, next_token, lengths, key), None, length=n_steps)
+    return toks, cache, key

@@ -154,3 +154,32 @@ def prefill_row(params, cache: KVCache, ids, length, row, config, *,
     logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
     return logits, KVCache(k=new_k, v=new_v)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "config", "impl", "compute_dtype", "sampling", "n_steps"))
+def ragged_decode_block(params, cache, next_token, row_pos, active, key,
+                        config: BitLlamaConfig, *, sampling, n_steps: int,
+                        impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Run ``n_steps`` ragged decode+sample steps in ONE device program.
+
+    Cuts the host round trip per generated token by ``n_steps`` — the
+    serving loop's dominant cost on high-latency runtimes.  Rows that hit
+    EOS mid-block keep decoding garbage into their own slots (the host
+    truncates afterwards; their cache rows are freed and overwritten before
+    reuse).  Returns (tokens [n_steps, B], cache, key).
+    """
+    from onebit_tpu.engine.sampler import sample_token
+
+    def body(carry, _):
+        cache, tok, pos, key = carry
+        logits, cache = ragged_decode_step(
+            params, cache, tok[:, None], pos, active, config, impl=impl,
+            compute_dtype=compute_dtype)
+        key, sub = jax.random.split(key)
+        nxt = sample_token(logits[:, 0], sub, sampling)
+        return (cache, nxt, pos + 1, key), nxt
+
+    (cache, _, _, key), toks = jax.lax.scan(
+        body, (cache, next_token, row_pos, key), None, length=n_steps)
+    return toks, cache, key

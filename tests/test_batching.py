@@ -85,3 +85,38 @@ def test_warmup(tiny):
     uid = eng.add_request([5, 6, 7], max_new_tokens=3)
     out = eng.run()
     assert len(out[uid]) == 3
+
+
+def test_block_decode_matches_single_step(tiny):
+    """block_steps>1 greedy output == per-step engine output."""
+    config, params = tiny
+    prompts = [[5, 17, 42, 9], [100, 3]]
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    uids_r = [ref.add_request(p, max_new_tokens=7) for p in prompts]
+    out_r = ref.run()
+
+    blk = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32, block_steps=4)
+    uids_b = [blk.add_request(p, max_new_tokens=7) for p in prompts]
+    out_b = blk.run()
+    for ur, ub in zip(uids_r, uids_b):
+        assert out_r[ur] == out_b[ub]
+
+
+def test_block_decode_paged(tiny):
+    config, params = tiny
+    prompts = [[5, 17, 42, 9], [100, 3]]
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    uids_r = [ref.add_request(p, max_new_tokens=6) for p in prompts]
+    out_r = ref.run()
+
+    blk = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32, paged=True,
+                                   page_size=4, block_steps=3)
+    uids_b = [blk.add_request(p, max_new_tokens=6) for p in prompts]
+    out_b = blk.run()
+    for ur, ub in zip(uids_r, uids_b):
+        assert out_r[ur] == out_b[ub]
+    assert len(blk.allocator.free) == blk.cache.num_pages - 1
