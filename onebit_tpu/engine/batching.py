@@ -53,7 +53,8 @@ class ContinuousBatchingEngine:
                  impl: str = "auto", compute_dtype=jnp.bfloat16, seed: int = 0,
                  paged: bool = False, page_size: int = 16,
                  num_pages: Optional[int] = None,
-                 quantized_kv: bool = False, block_steps: int = 1):
+                 quantized_kv: bool = False, block_steps: int = 1,
+                 prefill_chunk_size: Optional[int] = None):
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -63,6 +64,9 @@ class ContinuousBatchingEngine:
         self.compute_dtype = compute_dtype
         self.paged = paged
         self.block_steps = max(block_steps, 1)
+        # fixed-shape chunked prefill (dense cache only; paged prefill uses
+        # per-bucket programs until a paged chunk-append lands)
+        self.prefill_chunk_size = prefill_chunk_size
         if paged:
             from onebit_tpu.engine.paged import (PageAllocator,
                                                  init_paged_kv_cache)
@@ -150,6 +154,13 @@ class ContinuousBatchingEngine:
                     self.params, self.cache, jnp.asarray(ids),
                     jnp.int32(plen), jnp.asarray(table), self.config,
                     impl=self.impl, compute_dtype=self.compute_dtype)
+            elif self.prefill_chunk_size:
+                from onebit_tpu.model.ragged_decode import (
+                    chunked_prefill_row)
+                logits, self.cache = chunked_prefill_row(
+                    self.params, self.cache, req.prompt, slot, self.config,
+                    chunk_size=self.prefill_chunk_size, impl=self.impl,
+                    compute_dtype=self.compute_dtype)
             else:
                 logits, self.cache = prefill_row(
                     self.params, self.cache, jnp.asarray(ids),

@@ -183,3 +183,104 @@ def ragged_decode_block(params, cache, next_token, row_pos, active, key,
     (cache, _, _, key), toks = jax.lax.scan(
         body, (cache, next_token, row_pos, key), None, length=n_steps)
     return toks, cache, key
+
+
+@functools.partial(jax.jit, static_argnames=("config", "impl",
+                                             "compute_dtype"))
+def chunk_append_row(params, cache: KVCache, ids, start, length, row,
+                     config: BitLlamaConfig, *, impl: str = "auto",
+                     compute_dtype=jnp.bfloat16):
+    """Append a fixed-size chunk of prompt tokens to ONE cache row.
+
+    Chunked prefill: long prompts are processed as repeated fixed-shape
+    chunk appends (one compiled program regardless of prompt length)
+    instead of per-bucket prefill programs.  ``ids [C]`` chunk tokens
+    (right-padded), ``start`` scalar chunk offset, ``length`` scalar valid
+    tokens in this chunk, ``row`` scalar slot.  The chunk attends to the
+    row's earlier cache content plus itself (causal).  Returns
+    (last_valid_logits [V], new_cache).
+    """
+    c = ids.shape[0]
+    max_len = cache.max_len
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+
+    x = params["embed_tokens"][ids[None, :]].astype(compute_dtype)
+    positions = start + jnp.arange(c)[None, :]
+    cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta,
+                            config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+    # mask over the FULL cache axis: key j visible to chunk query i iff
+    # j <= start + i and j < start + length (pad queries are garbage but
+    # their outputs are unused)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, max_len), 2)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, max_len), 3)
+    mask = kj <= (start + qi)
+
+    def layer(x, layer_in):
+        layer_params, ck, cv = layer_in
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                               config.rms_norm_eps)
+        q = bitllama._project(hx, layer_params["q_proj"], impl)
+        k = bitllama._project(hx, layer_params["k_proj"], impl)
+        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q = q.reshape(1, c, nh, hd)
+        k = k.reshape(1, c, nkv, hd)
+        v = v.reshape(1, c, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (row, start, jnp.int32(0), jnp.int32(0)))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (row, start, jnp.int32(0), jnp.int32(0)))
+        # attend against this row's full cache (now containing the chunk)
+        k_row = jax.lax.dynamic_slice_in_dim(ck, row, 1, axis=0)
+        v_row = jax.lax.dynamic_slice_in_dim(cv, row, 1, axis=0)
+        ctx = bitllama._attention(q, k_row.astype(q.dtype),
+                                  v_row.astype(q.dtype), mask,
+                                  num_kv_groups=config.num_kv_groups)
+        attn_out = bitllama._project(ctx.reshape(1, c, nh * hd),
+                                     layer_params["o_proj"], impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                               config.rms_norm_eps)
+        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
+        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        mlp = bitllama._project(jax.nn.silu(gate) * up,
+                                layer_params["down_proj"], impl)
+        return residual + mlp, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
+    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def chunked_prefill_row(params, cache: KVCache, prompt, row,
+                        config: BitLlamaConfig, *, chunk_size: int = 64,
+                        impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Prefill one slot in fixed-size chunks (host loop over chunk_append_row).
+
+    One compiled program serves any prompt length; returns the logits of
+    the last prompt token and the updated cache.
+    """
+    import numpy as np
+
+    prompt = list(prompt)
+    logits = None
+    for ci in range(0, len(prompt), chunk_size):
+        chunk = prompt[ci:ci + chunk_size]
+        valid = len(chunk)
+        padded = np.zeros(chunk_size, np.int32)
+        padded[:valid] = chunk
+        logits, cache = chunk_append_row(
+            params, cache, jnp.asarray(padded), jnp.int32(ci),
+            jnp.int32(valid), jnp.int32(row), config, impl=impl,
+            compute_dtype=compute_dtype)
+    return logits, cache

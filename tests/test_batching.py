@@ -120,3 +120,54 @@ def test_block_decode_paged(tiny):
     for ur, ub in zip(uids_r, uids_b):
         assert out_r[ur] == out_b[ub]
     assert len(blk.allocator.free) == blk.cache.num_pages - 1
+
+
+def test_chunked_prefill_matches_full(tiny):
+    """Chunked prefill produces the same cache/logits as one-shot prefill."""
+    from onebit_tpu.model.ragged_decode import (chunked_prefill_row,
+                                                prefill_row,
+                                                ragged_decode_step)
+    from onebit_tpu.model.bitllama import init_kv_cache
+
+    config, params = tiny
+    prompt = list(np.random.default_rng(0).integers(
+        1, config.vocab_size, 11))
+    cache_a = init_kv_cache(config, 2, 32, dtype=jnp.float32)
+    cache_b = init_kv_cache(config, 2, 32, dtype=jnp.float32)
+
+    padded = np.zeros(16, np.int32)
+    padded[:len(prompt)] = prompt
+    la, cache_a = prefill_row(params, cache_a, jnp.asarray(padded),
+                              jnp.int32(len(prompt)), jnp.int32(1), config,
+                              compute_dtype=jnp.float32)
+    lb, cache_b = chunked_prefill_row(params, cache_b, prompt, 1, config,
+                                      chunk_size=4,
+                                      compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la), rtol=2e-4,
+                               atol=2e-4)
+    # continue decoding identically from both caches
+    nxt = jnp.asarray([[0], [int(np.asarray(la).argmax())]])
+    pos = jnp.asarray([0, len(prompt)], jnp.int32)
+    act = jnp.asarray([False, True])
+    da, _ = ragged_decode_step(params, cache_a, nxt, pos, act, config,
+                               compute_dtype=jnp.float32)
+    db, _ = ragged_decode_step(params, cache_b, nxt, pos, act, config,
+                               compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(db[1]), np.asarray(da[1]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_chunked_prefill(tiny):
+    config, params = tiny
+    prompts = [[5, 17, 42, 9, 3, 2, 7], [100, 3]]
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    uids_r = [ref.add_request(p, max_new_tokens=5) for p in prompts]
+    out_r = ref.run()
+    chk = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32,
+                                   prefill_chunk_size=4)
+    uids_c = [chk.add_request(p, max_new_tokens=5) for p in prompts]
+    out_c = chk.run()
+    for ur, uc in zip(uids_r, uids_c):
+        assert out_r[ur] == out_c[uc]
