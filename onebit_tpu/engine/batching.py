@@ -64,8 +64,7 @@ class ContinuousBatchingEngine:
         self.compute_dtype = compute_dtype
         self.paged = paged
         self.block_steps = max(block_steps, 1)
-        # fixed-shape chunked prefill (dense cache only; paged prefill uses
-        # per-bucket programs until a paged chunk-append lands)
+        # fixed-shape chunked prefill (dense and paged caches)
         self.prefill_chunk_size = prefill_chunk_size
         if paged:
             from onebit_tpu.engine.paged import (PageAllocator,
@@ -150,10 +149,18 @@ class ContinuousBatchingEngine:
                 for i in range(need):
                     table[i] = self.allocator.alloc()
                 self.page_tables[slot] = table
-                logits, self.cache = paged_prefill_row(
-                    self.params, self.cache, jnp.asarray(ids),
-                    jnp.int32(plen), jnp.asarray(table), self.config,
-                    impl=self.impl, compute_dtype=self.compute_dtype)
+                if self.prefill_chunk_size:
+                    from onebit_tpu.engine.paged import (
+                        paged_chunked_prefill_row)
+                    logits, self.cache = paged_chunked_prefill_row(
+                        self.params, self.cache, req.prompt, table,
+                        self.config, chunk_size=self.prefill_chunk_size,
+                        impl=self.impl, compute_dtype=self.compute_dtype)
+                else:
+                    logits, self.cache = paged_prefill_row(
+                        self.params, self.cache, jnp.asarray(ids),
+                        jnp.int32(plen), jnp.asarray(table), self.config,
+                        impl=self.impl, compute_dtype=self.compute_dtype)
             elif self.prefill_chunk_size:
                 from onebit_tpu.model.ragged_decode import (
                     chunked_prefill_row)

@@ -362,3 +362,118 @@ def paged_decode_block(params, cache, next_token, lengths, page_indices,
     (cache, _, _, key), toks = jax.lax.scan(
         body, (cache, next_token, lengths, key), None, length=n_steps)
     return toks, cache, key
+
+
+@functools.partial(jax.jit, static_argnames=("config", "impl",
+                                             "compute_dtype"))
+def paged_chunk_append_row(params, cache, ids, start, length,
+                           page_indices_row, config: BitLlamaConfig, *,
+                           impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Append a fixed-size prompt chunk to ONE sequence's pages.
+
+    Chunked paged prefill: ``ids [C]`` chunk (right-padded), ``start``
+    chunk offset, ``length`` valid tokens, ``page_indices_row [max_pages]``.
+    The chunk attends to the sequence's earlier pages plus itself.
+    """
+    c = ids.shape[0]
+    quant = isinstance(cache, QuantPagedKVCache)
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    ps = cache.page_size
+    positions = start + jnp.arange(c)
+    pages = jnp.take(page_indices_row, positions // ps)
+    slots = positions % ps
+
+    x = params["embed_tokens"][ids[None, :]].astype(compute_dtype)
+    cos, sin = rope_cos_sin(positions[None, :], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings,
+                            seq_len=config.max_position_embeddings,
+                            dtype=compute_dtype)
+    max_pages = page_indices_row.shape[0]
+    t_full = max_pages * ps
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, t_full), 2)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, t_full), 3)
+    mask = kj <= (start + qi)
+
+    def layer(x, layer_in):
+        layer_params = layer_in[0]
+        kv_leaves = layer_in[1:]
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                               config.rms_norm_eps)
+        q = bitllama._project(hx, layer_params["q_proj"], impl)
+        k = bitllama._project(hx, layer_params["k_proj"], impl)
+        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q = q.reshape(1, c, nh, hd)
+        k = k.reshape(1, c, nkv, hd)
+        v = v.reshape(1, c, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        k1 = k[0].transpose(1, 0, 2)
+        v1 = v[0].transpose(1, 0, 2)
+        if quant:
+            kq, ks, vq, vs = kv_leaves
+            k_i8, k_sc = _quantize_kv_int8(k1)
+            v_i8, v_sc = _quantize_kv_int8(v1)
+            kq = kq.at[:, pages, slots].set(k_i8)
+            ks = ks.at[:, pages, slots].set(k_sc)
+            vq = vq.at[:, pages, slots].set(v_i8)
+            vs = vs.at[:, pages, slots].set(v_sc)
+            new_leaves = (kq, ks, vq, vs)
+            kf = _dequantize_kv_int8(kq, ks)
+            vf = _dequantize_kv_int8(vq, vs)
+        else:
+            kp, vp = kv_leaves
+            kp = kp.at[:, pages, slots].set(k1.astype(kp.dtype))
+            vp = vp.at[:, pages, slots].set(v1.astype(vp.dtype))
+            new_leaves = (kp, vp)
+            kf, vf = kp, vp
+        # gather this sequence's pages → [1, T, nkv, hd]
+        k_seq = jnp.take(kf, page_indices_row, axis=1) \
+            .transpose(1, 2, 0, 3).reshape(1, t_full, nkv, hd)
+        v_seq = jnp.take(vf, page_indices_row, axis=1) \
+            .transpose(1, 2, 0, 3).reshape(1, t_full, nkv, hd)
+        ctx = bitllama._attention(q, k_seq.astype(q.dtype),
+                                  v_seq.astype(q.dtype), mask,
+                                  num_kv_groups=config.num_kv_groups)
+        attn_out = bitllama._project(ctx.reshape(1, c, nh * hd),
+                                     layer_params["o_proj"], impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                               config.rms_norm_eps)
+        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
+        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        mlp = bitllama._project(jax.nn.silu(gate) * up,
+                                layer_params["down_proj"], impl)
+        return residual + mlp, new_leaves
+
+    x, new_leaves = jax.lax.scan(layer, x,
+                                 (params["layers"],) + tuple(cache))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
+    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    new_cache = (QuantPagedKVCache(*new_leaves) if quant
+                 else PagedKVCache(*new_leaves))
+    return logits, new_cache
+
+
+def paged_chunked_prefill_row(params, cache, prompt, page_indices_row,
+                              config: BitLlamaConfig, *,
+                              chunk_size: int = 64, impl: str = "auto",
+                              compute_dtype=jnp.bfloat16):
+    """Chunked paged prefill (host loop over paged_chunk_append_row)."""
+    prompt = list(prompt)
+    logits = None
+    for ci in range(0, len(prompt), chunk_size):
+        chunk = prompt[ci:ci + chunk_size]
+        valid = len(chunk)
+        padded = np.zeros(chunk_size, np.int32)
+        padded[:valid] = chunk
+        logits, cache = paged_chunk_append_row(
+            params, cache, jnp.asarray(padded), jnp.int32(ci),
+            jnp.int32(valid), jnp.asarray(page_indices_row), config,
+            impl=impl, compute_dtype=compute_dtype)
+    return logits, cache

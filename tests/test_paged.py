@@ -159,3 +159,22 @@ def test_quantized_paged_engine(tiny):
         # matches exactly; later tokens may diverge from int8 KV rounding
         assert out_q[uq][0] == out_d[ud][0]
         assert len(out_q[uq]) == len(out_d[ud])
+
+
+def test_paged_chunked_prefill_engine(tiny):
+    """Paged engine with chunked prefill matches the dense engine."""
+    from onebit_tpu.engine.batching import ContinuousBatchingEngine
+
+    config, params = tiny
+    prompts = [[5, 17, 42, 9, 3, 2, 7], [100, 3]]
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    uids_r = [ref.add_request(p, max_new_tokens=5) for p in prompts]
+    out_r = ref.run()
+    chk = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32, paged=True,
+                                   page_size=4, prefill_chunk_size=4)
+    uids_c = [chk.add_request(p, max_new_tokens=5) for p in prompts]
+    out_c = chk.run()
+    for ur, uc in zip(uids_r, uids_c):
+        assert out_r[ur] == out_c[uc]
