@@ -104,3 +104,26 @@ def test_unpack_dtypes():
     for dt in (jnp.bfloat16, jnp.float32, jnp.int8):
         back = np.asarray(unpack_signs(words, dtype=dt)).astype(np.float32)
         np.testing.assert_array_equal(back, s)
+
+
+def test_fuzz_roundtrips():
+    """Property fuzz: pack/unpack identities across random shapes for all
+    three layouts (canonical int32, bitplane, reference int8)."""
+    rng = np.random.default_rng(123)
+    for _ in range(25):
+        rows = int(rng.integers(1, 20))
+        cols = int(rng.integers(1, 12)) * 32
+        s = rng.choice(np.array([-1.0, 1.0], np.float32),
+                       size=(rows, cols))
+        np.testing.assert_array_equal(
+            np.asarray(unpack_signs(pack_signs(s), dtype=jnp.float32)), s)
+        np.testing.assert_array_equal(
+            np.asarray(unpack_signs_bitplane(pack_signs_bitplane(s),
+                                             dtype=jnp.float32)), s)
+        np.testing.assert_array_equal(
+            unpack_signs_int8_np(pack_signs_int8_np(s)), s)
+        # cross-layout conversions are involutions
+        canon = pack_signs(s)
+        np.testing.assert_array_equal(
+            np.asarray(bitplane_to_canonical(canonical_to_bitplane(canon))),
+            np.asarray(canon))
