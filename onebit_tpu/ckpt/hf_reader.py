@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from onebit_tpu.core.packing import (
-    pack_signs_bitplane,
+    pack_signs_device,
     unpack_signs_int8_np,
 )
 from onebit_tpu.kernels.bitlinear import BitLinearWeights
@@ -118,14 +118,12 @@ def load_reference_checkpoint(path: str,
         h = jnp.asarray(_stack(tensors, fmt + ".weight_scale", L), jnp.float32)
         g = jnp.asarray(_stack(tensors, fmt + ".input_factor", L), jnp.float32)
         if kind == "packed":
-            # int8 bytes [out, in//8] → dense ±1 → bitplane words (exact)
+            # int8 bytes [out, in//8] → dense ±1 → device words (exact)
             stacked = np.stack([
                 np.asarray(tensors[fmt.format(i) + ".weight"])
                 for i in range(L)])
             dense = unpack_signs_int8_np(stacked, dtype=np.float32)
-            packed = jnp.asarray(np.stack([
-                np.asarray(pack_signs_bitplane(dense[i]))
-                for i in range(L)]))
+            packed = jnp.asarray(pack_signs_device(dense))
             params["layers"][name] = BitLinearWeights(
                 weight_scale=h, input_factor=g, packed=packed)
         else:  # latent

@@ -22,7 +22,7 @@ import numpy as np
 
 from onebit_tpu.core.packing import (
     pack_signs_int8_np,
-    unpack_signs_bitplane,
+    unpack_signs_device,
 )
 from onebit_tpu.kernels.bitlinear import BitLinearWeights
 from onebit_tpu.kernels.linear import LinearWeights
@@ -107,7 +107,7 @@ def export_reference_int8(path: str, config: BitLlamaConfig,
             key = f"{pre}.{_PROJ_PARENT[name]}.{name}"
             if w.packed is not None:
                 dense = np.asarray(
-                    unpack_signs_bitplane(w.packed[i], dtype=jnp.float32))
+                    unpack_signs_device(w.packed[i], dtype=jnp.float32))
             else:
                 dense = np.sign(np.asarray(
                     w.latent if w.latent is not None else w.dense_sign)[i])

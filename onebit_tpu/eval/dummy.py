@@ -3,7 +3,7 @@
 Returns random loglikelihoods and canned generations — used to smoke the
 eval plumbing (request construction, batching, aggregation, tables) without
 a model.  Same surface as the TPU-backed functions so tasks can be driven
-with ``evaluate_tasks(..., ll_fn=dummy.loglikelihood)``.
+with ``evaluate_tasks(..., lm=DummyLM())``.
 """
 
 from __future__ import annotations

@@ -1,14 +1,24 @@
 """Task framework: the lm-eval-harness Task API, TPU-backed.
 
 Mirrors the reference's task machinery (evaluation/lm_eval/base.py Task /
-MultipleChoiceTask + evaluator.py): a task turns docs into loglikelihood
-requests, scores them with the batched TPU ``loglikelihood``, and
-aggregates metrics (accuracy / normalized accuracy) with bootstrap stderr
-(reference metrics.py).
+MultipleChoiceTask + evaluator.py) re-designed around batched TPU scoring:
 
-Docs are plain dicts; each task ships a converter from its public dataset
-schema (so HF datasets plug in when present) and tests inject synthetic
-docs — data acquisition is decoupled from scoring.
+* ``Task`` exposes ``doc_to_text`` / ``doc_to_target`` /
+  ``fewshot_context`` (reference base.py:576-642 semantics, including the
+  draw-k-from-training vs draw-k+1-minus-self fallback) and
+  ``construct_requests`` returning *string* payloads; tokenization and
+  batching happen centrally so one device program scores everything.
+* three request types (reference base.py LM API): ``loglikelihood``,
+  ``greedy_until``, ``loglikelihood_rolling``.
+* ``evaluate_tasks`` is the evaluator (reference evaluator.py:96-281):
+  seed-42 shuffle, ``num_fewshot``, ``description_dict``, per-metric
+  aggregation with bootstrap stderr, and optional decontamination
+  (reference evaluator.py:215-221) that reports ``<metric>_decontaminate``
+  over the uncontaminated subset.
+
+Docs are plain dicts or ``MCDoc``; each task ships a converter from its
+public dataset schema (so HF datasets plug in when present) and tests
+inject synthetic docs — data acquisition is decoupled from scoring.
 """
 
 from __future__ import annotations
@@ -28,54 +38,187 @@ class MCDoc:
     is added at request-build time and excluded from acc_norm length
     normalization, exactly like the reference (MultipleChoiceTask
     construct_requests adds " {}" while process_results normalizes by
-    len(doc["choices"][i]), base.py).
+    len(doc["choices"][i]), base.py:649-661).
     """
     query: str
     choices: List[str]
     gold: int
 
 
-class MultipleChoiceTask:
+def mean(items):
+    return float(np.mean(items))
+
+
+class Task:
+    """Base task (reference base.py Task).
+
+    ``construct_requests(doc, ctx)`` returns a list of payloads whose shape
+    depends on ``request_type``:
+
+    * ``loglikelihood``: ``(context_str, continuation_str)`` pairs; the
+      result per payload is ``(ll_sum, is_greedy)``.
+    * ``greedy_until``: ``(context_str, [stop_str, ...])``; result is the
+      generated string (truncated at the first stop).
+    * ``loglikelihood_rolling``: a document string; result is the total
+      loglikelihood (float).
+    """
+
+    name: str = "task"
+    VERSION: int = 0
+    request_type: str = "loglikelihood"
+
+    # -- documents ---------------------------------------------------------
+    def docs(self):
+        raise NotImplementedError
+
+    def training_docs(self) -> Optional[List]:
+        """Few-shot example pool (converted docs); None if the task has no
+        training split (then few-shot draws from the eval docs, reference
+        base.py:615-629)."""
+        return None
+
+    # -- few-shot rendering (reference base.py:576-642) ---------------------
+    def doc_to_text(self, doc) -> str:
+        raise NotImplementedError
+
+    def doc_to_target(self, doc) -> str:
+        raise NotImplementedError
+
+    def fewshot_context(self, doc, num_fewshot: int, rnd: random.Random,
+                        description: str = "") -> str:
+        description = description + "\n\n" if description else ""
+        if num_fewshot == 0:
+            labeled = ""
+        else:
+            train = self.training_docs()
+            if train:
+                shots = rnd.sample(list(train), num_fewshot)
+            else:
+                # no training docs: draw k+1 from the eval pool and drop the
+                # current doc if sampled (reference base.py:615-629)
+                pool = list(self.docs())
+                shots = rnd.sample(pool, min(num_fewshot + 1, len(pool)))
+                shots = [x for x in shots if x != doc][:num_fewshot]
+            labeled = "\n\n".join(
+                self.doc_to_text(ex) + self.doc_to_target(ex)
+                for ex in shots) + "\n\n"
+        return description + labeled + self.doc_to_text(doc)
+
+    # -- decontamination hooks (reference base.py:506-510) ------------------
+    def should_decontaminate(self) -> bool:
+        return False
+
+    def doc_to_decontamination_query(self, doc) -> str:
+        return self.doc_to_text(doc)
+
+    # -- requests & metrics --------------------------------------------------
+    def construct_requests(self, doc, ctx: str) -> List:
+        raise NotImplementedError
+
+    def process_results(self, doc, results) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def aggregation(self) -> Dict[str, Callable]:
+        """Per-metric aggregator; metrics not listed aggregate by mean."""
+        return {}
+
+    def higher_is_better(self) -> Dict[str, bool]:
+        return {}
+
+
+class MultipleChoiceTask(Task):
     """Zero/few-shot multiple choice via loglikelihood comparison.
 
     Metrics follow the reference MultipleChoiceTask.process_results
-    (base.py): ``acc`` = argmax of raw loglikelihood, ``acc_norm`` = argmax
-    of byte-length-normalized loglikelihood.
+    (base.py:654-661): ``acc`` = argmax of raw loglikelihood, ``acc_norm``
+    = argmax of byte-length-normalized loglikelihood.
     """
 
-    name: str = "mc_task"
+    name = "mc_task"
 
-    def docs(self) -> List[MCDoc]:
-        raise NotImplementedError
+    def doc_to_text(self, doc: MCDoc) -> str:
+        return doc.query
 
-    def build_requests(self, docs: Sequence[MCDoc], tokenize: Callable):
-        requests = []
-        spans = []
-        for doc in docs:
-            start = len(requests)
-            # context and continuation tokenized SEPARATELY — the reference
-            # computes tok_encode(ctx) and tok_encode(" " + choice)
-            # independently (base.py construct_requests + :179-181), which
-            # differs from slicing a joint tokenization at BPE seams
-            ctx_toks = tokenize(doc.query)
-            for choice in doc.choices:
-                cont = tokenize(" " + choice)
-                if not cont:
-                    cont = tokenize(choice)
-                requests.append((ctx_toks, cont))
-            spans.append((start, len(requests)))
-        return requests, spans
+    def doc_to_target(self, doc: MCDoc) -> str:
+        return " " + doc.choices[doc.gold]
 
-    def score(self, docs: Sequence[MCDoc], results, spans) -> Dict:
-        accs, accs_norm = [], []
-        for doc, (s, e) in zip(docs, spans):
-            lls = np.asarray([results[i][0] for i in range(s, e)])
-            # normalize by the RAW choice length (reference base.py
-            # completion_len = len(doc["choices"][i]), no leading space)
-            lens = np.asarray([max(len(c), 1) for c in doc.choices])
-            accs.append(float(np.argmax(lls) == doc.gold))
-            accs_norm.append(float(np.argmax(lls / lens) == doc.gold))
-        return {"acc": accs, "acc_norm": accs_norm}
+    def construct_requests(self, doc: MCDoc, ctx: str):
+        return [(ctx, " " + choice) for choice in doc.choices]
+
+    def process_results(self, doc: MCDoc, results) -> Dict[str, float]:
+        lls = np.asarray([r[0] for r in results])
+        lens = np.asarray([max(len(c), 1) for c in doc.choices])
+        return {"acc": float(np.argmax(lls) == doc.gold),
+                "acc_norm": float(np.argmax(lls / lens) == doc.gold)}
+
+    def higher_is_better(self):
+        return {"acc": True, "acc_norm": True}
+
+
+class PerplexityTask(Task):
+    """Whole-document perplexity via rolling windows (reference base.py
+    PerplexityTask, :674-760): metrics ``word_perplexity``,
+    ``byte_perplexity``, ``bits_per_byte`` with weighted aggregation."""
+
+    request_type = "loglikelihood_rolling"
+
+    def doc_to_text(self, doc) -> str:
+        return ""
+
+    def doc_to_target(self, doc) -> str:
+        return doc
+
+    def fewshot_context(self, doc, num_fewshot, rnd, description=""):
+        assert num_fewshot == 0, "perplexity tasks are zero-shot only"
+        return ""
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc
+
+    def count_words(self, doc: str) -> int:
+        import re
+        return len(re.split(r"\s+", doc))
+
+    def count_bytes(self, doc: str) -> int:
+        return len(doc.encode("utf-8"))
+
+    def construct_requests(self, doc, ctx):
+        assert not ctx
+        return [self.doc_to_target(doc)]
+
+    def process_results(self, doc, results):
+        (ll,) = results
+        return {"word_perplexity": (ll, self.count_words(self.doc_to_target(doc))),
+                "byte_perplexity": (ll, self.count_bytes(self.doc_to_target(doc))),
+                "bits_per_byte": (ll, self.count_bytes(self.doc_to_target(doc)))}
+
+    def aggregation(self):
+        return {"word_perplexity": weighted_perplexity,
+                "byte_perplexity": weighted_perplexity,
+                "bits_per_byte": bits_per_byte}
+
+    def higher_is_better(self):
+        return {"word_perplexity": False, "byte_perplexity": False,
+                "bits_per_byte": False}
+
+
+def perplexity(items) -> float:
+    """exp(-mean(ll)) (reference metrics.py perplexity)."""
+    return float(np.exp(-np.mean(items)))
+
+
+def weighted_perplexity(items) -> float:
+    """exp(-sum(ll)/sum(weight)) (reference metrics.py weighted_perplexity)."""
+    lls, weights = zip(*items)
+    return float(np.exp(-np.sum(lls) / np.sum(weights)))
+
+
+def bits_per_byte(items) -> float:
+    lls, weights = zip(*items)
+    return float(-np.sum(lls) / np.sum(weights) / np.log(2))
 
 
 def bootstrap_stderr(values: Sequence[float], iters: int = 1000,
@@ -90,35 +233,158 @@ def bootstrap_stderr(values: Sequence[float], iters: int = 1000,
     return float(np.std(means, ddof=1))
 
 
+def bootstrap_stderr_agg(agg: Callable, items: List, iters: int = 200,
+                         seed: int = 1234) -> float:
+    """Bootstrap stderr of an arbitrary aggregation over items (reference
+    metrics.stderr_for_metric / bootstrap_stderr)."""
+    if len(items) <= 1:
+        return 0.0
+    rng = random.Random(seed)
+    stats = []
+    for _ in range(iters):
+        sample = [items[rng.randrange(len(items))] for _ in range(len(items))]
+        try:
+            stats.append(agg(sample))
+        except Exception:
+            return 0.0
+    return float(np.std(np.asarray(stats, np.float64), ddof=1))
+
+
+def _run_requests(params, config, request_type: str, payloads: List,
+                  tokenize, detokenize, *, batch_size: int, impl: str,
+                  compute_dtype, max_new_tokens: int, lm=None):
+    """Dispatch a homogeneous batch of request payloads to the TPU APIs.
+
+    ``lm`` overrides the backend with any object exposing the three-method
+    LM surface (e.g. :class:`onebit_tpu.eval.dummy.DummyLM`), mirroring the
+    reference's model registry (models/dummy.py is its only fake)."""
+    if request_type == "loglikelihood":
+        reqs = []
+        for ctx, cont in payloads:
+            ctx_toks = tokenize(ctx)
+            cont_toks = tokenize(cont)
+            if not cont_toks:
+                cont_toks = tokenize(cont.strip())
+            reqs.append((ctx_toks, cont_toks))
+        if lm is not None:
+            return lm.loglikelihood(reqs)
+        from onebit_tpu.eval.loglikelihood import loglikelihood
+        return loglikelihood(params, config, reqs, batch_size=batch_size,
+                             impl=impl, compute_dtype=compute_dtype,
+                             max_length=config.max_position_embeddings)
+    if request_type == "loglikelihood_rolling":
+        docs_toks = [tokenize(text) for text in payloads]
+        if lm is not None:
+            return lm.loglikelihood_rolling(docs_toks)
+        from onebit_tpu.eval.rolling import loglikelihood_rolling
+        return loglikelihood_rolling(
+            params, config, docs_toks, batch_size=batch_size,
+            compute_dtype=compute_dtype,
+            max_length=config.max_position_embeddings)
+    if request_type == "greedy_until":
+        reqs = [(tokenize(ctx), stops) for ctx, stops in payloads]
+        if lm is not None:
+            return lm.greedy_until(reqs, detokenize=detokenize,
+                                   max_new_tokens=max_new_tokens)
+        if detokenize is None:
+            raise ValueError("greedy_until tasks need a detokenize fn")
+        from onebit_tpu.eval.rolling import greedy_until
+        return greedy_until(params, config, reqs, detokenize,
+                            max_new_tokens=max_new_tokens,
+                            batch_size=batch_size)
+    raise ValueError(f"unknown request type {request_type!r}")
+
+
+def _find_contaminated(task, docs, ngrams_source, n: int = 13) -> set:
+    """Doc indices whose decontamination query shares an n-gram with the
+    training source (reference decontamination/decontaminate.py semantics,
+    13-gram Janitor scan)."""
+    from onebit_tpu.tools.decontam.janitor import Janitor
+
+    janitor = Janitor(ngram_n=n)
+    if isinstance(ngrams_source, str):
+        ngrams_source = [ngrams_source]
+    for text in ngrams_source:
+        janitor.register_contaminant(text)
+    dirty = set()
+    for i, doc in enumerate(docs):
+        query = task.doc_to_decontamination_query(doc)
+        if janitor.contamination_count(query) > 0:
+            dirty.add(i)
+    return dirty
+
+
 def evaluate_tasks(params, config, tasks, tokenize, *, batch_size: int = 16,
                    limit: Optional[int] = None, impl: str = "auto",
-                   compute_dtype=None, seed: int = 42) -> Dict[str, Dict]:
-    """Run MC tasks → {task: {metric: value, metric_stderr: err}}.
+                   compute_dtype=None, seed: int = 42, num_fewshot: int = 0,
+                   description_dict: Optional[Dict[str, str]] = None,
+                   detokenize: Optional[Callable] = None,
+                   max_new_tokens: int = 256,
+                   decontamination_ngrams=None,
+                   bootstrap_iters: int = 1000, lm=None) -> Dict[str, Dict]:
+    """Run tasks → {task: {metric: value, metric_stderr: err}}.
 
-    Doc order is shuffled with the reference's seed-42 convention
-    (evaluator.py:161-210) before applying ``limit``.
+    Doc order is shuffled with the reference's seed-42 convention and the
+    same ``random.Random`` instance then drives few-shot sampling
+    (evaluator.py:176-196).  ``decontamination_ngrams``: training text(s)
+    to scan for 13-gram overlap; adds ``<metric>_decontaminate`` computed
+    over clean docs only plus a ``contaminated`` count
+    (evaluator.py:215-221,252-260).
     """
     import jax.numpy as jnp
-
-    from onebit_tpu.eval.loglikelihood import loglikelihood
 
     compute_dtype = compute_dtype or jnp.float32
     out: Dict[str, Dict] = {}
     for task in tasks:
         docs = list(task.docs())
-        random.Random(seed).shuffle(docs)
+        rnd = random.Random()
+        rnd.seed(seed)
+        rnd.shuffle(docs)
         if limit:
             docs = docs[:limit]
-        requests, spans = task.build_requests(docs, tokenize)
-        results = loglikelihood(params, config, requests,
-                                batch_size=batch_size, impl=impl,
-                                compute_dtype=compute_dtype,
-                                max_length=config.max_position_embeddings)
-        metrics = task.score(docs, results, spans)
-        entry = {}
-        for metric, values in metrics.items():
-            entry[metric] = float(np.mean(values))
-            entry[f"{metric}_stderr"] = bootstrap_stderr(values)
+        description = (description_dict or {}).get(task.name, "")
+
+        payloads, spans = [], []
+        for doc in docs:
+            ctx = task.fewshot_context(doc, num_fewshot, rnd, description)
+            reqs = task.construct_requests(doc, ctx)
+            spans.append((len(payloads), len(payloads) + len(reqs)))
+            payloads.extend(reqs)
+
+        results = _run_requests(
+            params, config, task.request_type, payloads, tokenize,
+            detokenize, batch_size=batch_size, impl=impl,
+            compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
+            lm=lm)
+
+        dirty = set()
+        if decontamination_ngrams is not None and task.should_decontaminate():
+            dirty = _find_contaminated(task, docs, decontamination_ngrams)
+
+        vals: Dict[str, List] = {}
+        clean_vals: Dict[str, List] = {}
+        for i, (doc, (s, e)) in enumerate(zip(docs, spans)):
+            metrics = task.process_results(doc, results[s:e])
+            for metric, value in metrics.items():
+                vals.setdefault(metric, []).append(value)
+                if decontamination_ngrams is not None and i not in dirty:
+                    clean_vals.setdefault(metric, []).append(value)
+
+        aggs = task.aggregation()
+        entry: Dict[str, float] = {}
+        for metric, items in vals.items():
+            agg = aggs.get(metric, mean)
+            entry[metric] = float(agg(items))
+            if agg is mean:
+                entry[f"{metric}_stderr"] = bootstrap_stderr(
+                    [float(v) for v in items], iters=min(bootstrap_iters, 1000))
+            else:
+                entry[f"{metric}_stderr"] = bootstrap_stderr_agg(agg, items)
+        if decontamination_ngrams is not None:
+            entry["contaminated"] = float(len(dirty))
+            for metric, items in clean_vals.items():
+                agg = aggs.get(metric, mean)
+                entry[f"{metric}_decontaminate"] = float(agg(items))
         out[task.name] = entry
     return out
 

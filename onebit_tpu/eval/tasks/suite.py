@@ -27,7 +27,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from onebit_tpu.eval.tasks.base import MCDoc, MultipleChoiceTask
+from onebit_tpu.eval.tasks.base import MCDoc, MultipleChoiceTask, perplexity
 
 
 class _DocListTask(MultipleChoiceTask):
@@ -87,10 +87,14 @@ class BoolQ(_DocListTask):
             query=f"{d['passage']}\nQuestion: {d['question']}?\nAnswer:",
             choices=["no", "yes"], gold=int(d["label"]))
 
-    def score(self, docs, results, spans):
-        # reference BoolQ reports only acc (ll_yes vs ll_no comparison)
-        full = super().score(docs, results, spans)
-        return {"acc": full["acc"]}
+    def process_results(self, doc, results):
+        # reference BoolQ reports only acc (ll_yes vs ll_no comparison,
+        # superglue.py:70-75)
+        lls = np.asarray([r[0] for r in results])
+        return {"acc": float(np.argmax(lls) == doc.gold)}
+
+    def higher_is_better(self):
+        return {"acc": True}
 
 
 class HellaSwag(_DocListTask):
@@ -115,59 +119,91 @@ class HellaSwag(_DocListTask):
 
 
 class Winogrande(_DocListTask):
-    """Partial evaluation: context differs per option, target fixed."""
+    """Partial evaluation (reference winogrande.py:56-104): the option is
+    substituted into the context and the fixed suffix is the continuation;
+    few-shot contexts render with the *correct* option (doc_to_text) and
+    ``append_context`` swaps in each candidate at request time."""
     name = "winogrande"
     DATASET_PATH, DATASET_NAME, DEFAULT_SPLIT = "winogrande", \
         "winogrande_xl", "validation"
 
     def convert(self, d):
-        loc = d["sentence"].index("_")
-        target = " " + d["sentence"][loc + 1:].strip()
-        contexts = [d["sentence"][:loc] + d["option1"],
-                    d["sentence"][:loc] + d["option2"]]
-        return MCDoc(query="", choices=[target, target],
-                     gold=int(d["answer"]) - 1), contexts
+        return {"sentence": d["sentence"], "option1": d["option1"],
+                "option2": d["option2"], "gold": int(d["answer"]) - 1}
 
-    def docs(self):
-        return [self.convert(d) for d in self._raw]
+    @staticmethod
+    def partial_context(doc, option: str) -> str:
+        loc = doc["sentence"].index("_")
+        return doc["sentence"][:loc] + option
 
-    def build_requests(self, docs, tokenize):
-        requests, spans = [], []
-        for doc, contexts in docs:
-            start = len(requests)
-            for ctx, target in zip(contexts, doc.choices):
-                # separate tokenization (reference rf.loglikelihood(ctx,
-                # target) with target already " "-prefixed)
-                requests.append((tokenize(ctx), tokenize(target)))
-            spans.append((start, len(requests)))
-        return requests, spans
+    @staticmethod
+    def partial_target(doc) -> str:
+        loc = doc["sentence"].index("_") + 1
+        return " " + doc["sentence"][loc:].strip()
 
-    def score(self, docs, results, spans):
-        accs = []
-        for (doc, _), (s, e) in zip(docs, spans):
-            lls = np.asarray([results[i][0] for i in range(s, e)])
-            accs.append(float(np.argmax(lls) == doc.gold))
-        return {"acc": accs}
+    def doc_to_text(self, doc):
+        return self.partial_context(
+            doc, doc["option1" if doc["gold"] == 0 else "option2"])
+
+    def doc_to_target(self, doc):
+        return self.partial_target(doc)
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["sentence"]
+
+    @classmethod
+    def append_context(cls, ctx: str, partial_ctx: str) -> str:
+        parts = ctx.split("\n\n")  # few-shot examples are \n\n-separated
+        parts.pop()                # drop the doc_to_text (correct-option) ctx
+        return "\n\n".join([*parts, partial_ctx]) if parts else partial_ctx
+
+    def construct_requests(self, doc, ctx):
+        target = self.partial_target(doc)
+        return [(self.append_context(ctx, self.partial_context(doc, doc[o])),
+                 target) for o in ("option1", "option2")]
+
+    def process_results(self, doc, results):
+        lls = np.asarray([r[0] for r in results])
+        return {"acc": float(np.argmax(lls) == doc["gold"])}
+
+    def higher_is_better(self):
+        return {"acc": True}
 
 
 class Lambada(_DocListTask):
-    """Last-word prediction: ll + greedy-exact accuracy (lambada.py)."""
+    """Last-word prediction: ppl over the target + greedy-exact accuracy
+    (reference lambada.py LambadaBase)."""
     name = "lambada_openai"
     DATASET_PATH, DATASET_NAME, DEFAULT_SPLIT = "EleutherAI/lambada_openai", \
         "en", "test"
 
     def convert(self, d):
-        text = d["text"]
-        ctx, _, last = text.rpartition(" ")
-        return MCDoc(query=ctx, choices=[last], gold=0)
+        return {"text": d["text"]}
 
-    def score(self, docs, results, spans):
-        accs, ppls = [], []
-        for doc, (s, e) in zip(docs, spans):
-            ll, greedy = results[s]
-            accs.append(float(greedy))
-            ppls.append(ll)
-        return {"acc": accs}
+    def doc_to_text(self, doc):
+        return doc["text"].rsplit(" ", 1)[0]
+
+    def doc_to_target(self, doc):
+        return " " + doc["text"].rsplit(" ", 1)[1]
+
+    def should_decontaminate(self):
+        return True
+
+    def doc_to_decontamination_query(self, doc):
+        return doc["text"]
+
+    def construct_requests(self, doc, ctx):
+        return [(ctx, self.doc_to_target(doc))]
+
+    def process_results(self, doc, results):
+        ll, greedy = results[0]
+        return {"ppl": float(ll), "acc": float(greedy)}
+
+    def aggregation(self):
+        return {"ppl": perplexity}
+
+    def higher_is_better(self):
+        return {"ppl": False, "acc": True}
 
 
 TASK_REGISTRY = {

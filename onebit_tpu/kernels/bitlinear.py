@@ -6,7 +6,7 @@ QAT latent form:
 * ``latent``: full-precision latent weight ``[out, in]`` — training (QAT),
   sign taken through the STE (reference ``BitLinear``, bitnet.py:31-68).
 * ``dense_sign``: materialized ±1 matrix — debug/eval.
-* ``packed``: int32 sign words ``[out, in//32]`` — inference (reference
+* ``packed``: int32 sign words ``[in//32, out]`` K-major device layout — inference (reference
   ``BitLinearInf``, bitnet.py:71-122, which unpacks the whole matrix every
   forward; the Pallas path instead streams packed words from HBM and unpacks
   tiles in VMEM on the fly).
@@ -25,7 +25,7 @@ from onebit_tpu.core.bitlinear import (
     layernorm_noaffine,
     sign_ste,
 )
-from onebit_tpu.core.packing import unpack_signs_bitplane
+from onebit_tpu.core.packing import unpack_signs_device
 
 
 class BitLinearWeights(NamedTuple):
@@ -37,8 +37,8 @@ class BitLinearWeights(NamedTuple):
     input_factor: jax.Array            # g, [in]
     latent: Optional[jax.Array] = None       # [out, in] fp
     dense_sign: Optional[jax.Array] = None   # [out, in] ±1
-    packed: Optional[jax.Array] = None       # [out, in//32] int32, bitplane
-    #   device layout (core.packing.pack_signs_bitplane)
+    packed: Optional[jax.Array] = None       # [in//32, out] int32, K-major
+    #   bitplane device layout (core.packing.pack_signs_device)
     bias: Optional[jax.Array] = None         # [out]
 
     @property
@@ -77,6 +77,6 @@ def bitlinear_apply(x, w: BitLinearWeights, *, impl: str = "auto",
     elif mode == "dense_sign":
         sign_w = w.dense_sign
     else:  # packed: unpack-then-dot (the reference's strategy, bitnet.py:112-115)
-        sign_w = unpack_signs_bitplane(w.packed, dtype=x.dtype)
+        sign_w = unpack_signs_device(w.packed, dtype=x.dtype)
     return bitlinear_fwd(x, sign_w, w.input_factor, w.weight_scale,
                          bias=w.bias, eps=eps)

@@ -1,12 +1,20 @@
 """Fused Pallas TPU kernel for the packed OneBit linear.
 
 Computes ``LayerNorm(((x ⊙ g) · sign(W)ᵀ) ⊙ h) (+ bias)`` with ``sign(W)``
-stored as packed int32 words (32 signs/word, bitplane-interleaved device
-layout — core.packing.pack_signs_bitplane).  This replaces the reference's
+stored as packed int32 words in the **K-major device layout**
+(``core.packing.pack_signs_device``: shape ``[K//32, N]``, bitplane
+interleaved along K).  This replaces the reference's
 unpack-everything-every-forward (bitnet.py:98-115), which materializes the
 dense ±1 matrix in HBM on each call: here packed words stream HBM→VMEM
 (16x less traffic than bf16 weights) and each tile is unpacked to ±1
 bfloat16 *in VMEM* exactly once per call, feeding the MXU directly.
+
+Why K-major: the unpacked tile is the dot's **contraction-major** operand
+``S [K, TN]``, so ``(x⊙g) [M, K] · S`` hits the MXU with no transposition,
+and every unpack store writes a contiguous *sublane* slab
+(``s_ref[b*nw:(b+1)*nw, :]``) instead of a lane-dim slice — measured ~2x
+faster than the N-major layout of round 1 on the 7B projection shapes
+(scripts/ubench_unpack.py shootout; 11008-dim shapes improve most).
 
 Two schedules:
 
@@ -15,14 +23,14 @@ Two schedules:
   runs fused in the final grid step.  Unpack cost = one pass over the
   matrix (the roofline floor for 1-bit weights at small batch).
 * ``large-M (prefill/eval)``: grid ``(n_tiles, m_tiles)`` with the unpacked
-  ``[TN, K]`` sign tile cached in VMEM scratch across the inner m loop —
+  ``[K, TN]`` sign tile cached in VMEM scratch across the inner m loop —
   unpack again runs once per matrix, MXU-bound for large M.  LayerNorm is
   applied by the caller (XLA fuses it); the kernel returns
   ``((x⊙g)·Sᵀ)⊙h`` in fp32.
 
 Roofline notes (v5e): at batch B the per-token cost is
 ``max(unpack VPU ≈ 3 ops/weight / B, MXU 2 FLOPs/weight, HBM 1/8 B/weight)``
-so decode is VPU-unpack-bound below B≈100 and MXU-bound above — either way
+so decode is VPU-unpack-bound at small B and MXU-bound above — either way
 strictly faster than dense bf16 decode (HBM-bound at 2 B/weight).
 """
 
@@ -43,23 +51,16 @@ _SMALL_M = 128          # threshold for the fused-LN decode schedule
 _LANE = 128
 
 
-def _unpack_into(words, s_ref):
-    """Unpack [T, nw] int32 (bitplane layout) into s_ref [T, nw*32] as ±1.
+def _unpack_planes(words, s_ref, nw: int):
+    """Unpack [K/32, TN] int32 (K-major bitplane) into s_ref [K, TN] as ±1.
 
-    Bitplane b occupies output lanes [b*nw, (b+1)*nw) — a static shift per
-    plane stored straight into the scratch slice.  Plane-wise stores beat a
-    32-piece lane concat ~2x on v5e and keep live intermediates at one
-    [T, nw] int32 plane instead of the whole [T, K] int32 matrix (which blows
-    the scoped-VMEM stack for large tiles).  The canonical (non-bitplane)
-    layout would need a minor-dim reshape Mosaic cannot lower; see
-    core.packing.pack_signs_bitplane.
+    Bitplane b lands in sublane rows [b*nw, (b+1)*nw) — a contiguous slab
+    store per plane.  ``((w << (31-b)) >> 31) | 1`` → -1 if bit b set else
+    +1 (~25% fewer VPU ops than the shift+and+affine form, measured v5e).
     """
-    nw = words.shape[1]
     for b in range(WORD_BITS):
-        # ((w << (31-b)) >> 31) | 1 → -1 if bit b set else +1; ~25% fewer
-        # VPU ops than the shift+and+affine form (measured on v5e)
         plane = (((words << (WORD_BITS - 1 - b)) >> (WORD_BITS - 1)) | 1)
-        s_ref[:, b * nw:(b + 1) * nw] = plane.astype(s_ref.dtype)
+        s_ref[pl.ds(b * nw, nw), :] = plane.astype(s_ref.dtype)
 
 
 def _pick_tile(n: int, candidates=(512, 256, 128)) -> int:
@@ -78,8 +79,8 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
-                          acc_ref, y_ref, s_ref, *, tn: int, eps: float,
-                          has_bias: bool, fuse_ln: bool = True):
+                          acc_ref, y_ref, s_ref, *, tn: int, k: int,
+                          eps: float, has_bias: bool, fuse_ln: bool = True):
     ni = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -87,9 +88,9 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
     def _():
         y_ref[:] = x_ref[:] * g_ref[:]
 
-    _unpack_into(packed_ref[:], s_ref)                       # [TN, K]
+    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS)     # [K, TN]
     z = jax.lax.dot_general(
-        y_ref[:], s_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        y_ref[:], s_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [M, TN]
     acc_ref[:, pl.ds(ni * tn, tn)] = z * h_ref[:]
 
@@ -108,8 +109,7 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
 def _call_small_m(x2, packed, g, h, bias, eps, interpret,
                   fuse_ln: bool = True):
     m, k = x2.shape
-    n = packed.shape[0]
-    nw = packed.shape[1]
+    nw, n = packed.shape
     tn = _pick_tile(n)
     while tn * k * x2.dtype.itemsize > 4 * 1024 * 1024 and tn > 128:
         tn //= 2
@@ -124,7 +124,7 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
     in_specs = [
         pl.BlockSpec((m_pad, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, k), lambda ni: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tn, nw), lambda ni: (ni, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nw, tn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tn), lambda ni: (0, ni), memory_space=pltpu.VMEM),
     ]
     if has_bias:
@@ -136,7 +136,7 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
         in_specs.append(pl.BlockSpec((1, 1), lambda ni: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    kernel = functools.partial(_fused_small_m_kernel, tn=tn, eps=eps,
+    kernel = functools.partial(_fused_small_m_kernel, tn=tn, k=k, eps=eps,
                                has_bias=has_bias, fuse_ln=fuse_ln)
     out_dtype = x2.dtype if fuse_ln else jnp.float32
     out = pl.pallas_call(
@@ -149,7 +149,7 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
         scratch_shapes=[
             pltpu.VMEM((m_pad, n), jnp.float32),
             pltpu.VMEM((m_pad, k), x2.dtype),
-            pltpu.VMEM((tn, k), x2.dtype),
+            pltpu.VMEM((k, tn), x2.dtype),
         ],
         interpret=interpret,
     )(*inputs)
@@ -160,24 +160,24 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
 # large-M kernel (prefill): grid (n_tiles, m_tiles), unpack cached per n tile
 # ---------------------------------------------------------------------------
 
-def _matmul_large_m_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref, s_ref):
+def _matmul_large_m_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref, s_ref,
+                           *, k: int):
     mi = pl.program_id(1)
 
     @pl.when(mi == 0)
     def _():
-        _unpack_into(packed_ref[:], s_ref)
+        _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS)
 
     y = x_ref[:] * g_ref[:]
     z = jax.lax.dot_general(
-        y, s_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        y, s_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[:] = (z * h_ref[:]).astype(out_ref.dtype)
 
 
 def _call_large_m(x2, packed, g, h, eps, interpret):
     m, k = x2.shape
-    n = packed.shape[0]
-    nw = packed.shape[1]
+    nw, n = packed.shape
     # tile choice: tn from the largest divisor (isolated sweeps favored
     # tn=128 but in-model eval throughput measured ~12% faster with the
     # larger tiles); shrink under VMEM pressure for fp32/large-K
@@ -198,14 +198,14 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
     # fp32 in the caller); fp32 inputs keep fp32 out for the parity path
     out_dtype = jnp.float32 if x2.dtype == jnp.float32 else x2.dtype
     out = pl.pallas_call(
-        _matmul_large_m_kernel,
+        functools.partial(_matmul_large_m_kernel, k=k),
         grid=(n // tn, m_pad // tm),
         in_specs=[
             pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k), lambda ni, mi: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, nw), lambda ni, mi: (ni, 0),
+            pl.BlockSpec((nw, tn), lambda ni, mi: (0, ni),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda ni, mi: (0, ni),
                          memory_space=pltpu.VMEM),
@@ -213,7 +213,7 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
         out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tn, k), x2.dtype)],
+        scratch_shapes=[pltpu.VMEM((k, tn), x2.dtype)],
         interpret=interpret,
     )(x2, g2, packed, h2)
     return out[:m]
@@ -228,13 +228,14 @@ def bitlinear_packed_pallas(x, packed, g, h, bias=None, *,
                             interpret: Optional[bool] = None):
     """Packed OneBit linear: ``x [..., K]`` → ``[..., N]`` (x.dtype).
 
-    ``packed``: int32 ``[N, K//32]`` sign words.  ``g [K]``, ``h [N]``.
+    ``packed``: int32 ``[K//32, N]`` sign words (K-major device layout,
+    core.packing.pack_signs_device).  ``g [K]``, ``h [N]``.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     *lead, k = x.shape
-    n = packed.shape[0]
-    if packed.shape[1] * WORD_BITS != k:
+    n = packed.shape[1]
+    if packed.shape[0] * WORD_BITS != k:
         raise ValueError(f"packed words {packed.shape} mismatch K={k}")
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
@@ -261,7 +262,7 @@ def bitlinear_packed_raw(x, packed, g, h, *, interpret: Optional[bool] = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     *lead, k = x.shape
-    n = packed.shape[0]
+    n = packed.shape[1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     if m <= _SMALL_M:

@@ -33,11 +33,12 @@ def bitlinear_tp_shard(x, packed, g, h, bias=None, *, axis_name: str,
                        eps: float = LN_EPS, impl: str = "auto"):
     """Per-shard body: call inside shard_map.
 
-    x [..., K] replicated; packed [N/mp, K//32], h [N/mp] sharded.
-    Returns the local [..., N/mp] shard of the full BitLinear output.
+    x [..., K] replicated; packed [K//32, N/mp] (K-major device layout),
+    h [N/mp] sharded.  Returns the local [..., N/mp] shard of the full
+    BitLinear output.
     """
     mp = jax.lax.psum(1, axis_name)
-    n_total = packed.shape[0] * mp
+    n_total = packed.shape[1] * mp
 
     # local partial projection WITHOUT LayerNorm: z = ((x⊙g)·S_localᵀ)⊙h
     if impl == "pallas" or (impl == "auto" and
@@ -45,8 +46,8 @@ def bitlinear_tp_shard(x, packed, g, h, bias=None, *, axis_name: str,
         from onebit_tpu.kernels.bitlinear_pallas import bitlinear_packed_raw
         z = bitlinear_packed_raw(x, packed, g, h)
     else:
-        from onebit_tpu.core.packing import unpack_signs_bitplane
-        sign_w = unpack_signs_bitplane(packed, dtype=x.dtype)
+        from onebit_tpu.core.packing import unpack_signs_device
+        sign_w = unpack_signs_device(packed, dtype=x.dtype)
         y = (x * g.astype(x.dtype))
         z = jnp.matmul(y, sign_w.T, preferred_element_type=jnp.float32)
         z = z * h.astype(jnp.float32)
@@ -73,7 +74,7 @@ def make_tp_bitlinear(mesh, *, eps: float = LN_EPS, impl: str = "auto"):
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(MODEL_AXIS, None), P(), P(MODEL_AXIS)),
+        in_specs=(P(), P(None, MODEL_AXIS), P(), P(MODEL_AXIS)),
         out_specs=P(None, MODEL_AXIS),
         check_vma=False,
     )

@@ -28,7 +28,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from onebit_tpu.core.packing import pack_signs_bitplane
+from onebit_tpu.core.packing import pack_signs_device
 from onebit_tpu.kernels.bitlinear import BitLinearWeights, bitlinear_apply
 from onebit_tpu.kernels.linear import LinearWeights, linear_apply
 from onebit_tpu.model.config import BitLlamaConfig
@@ -103,7 +103,7 @@ def init_params(config: BitLlamaConfig, key, mode: str = "latent",
             w = jax.random.normal(next(keys), (L, out, inp), dtype) * std
             blw = BitLinearWeights(weight_scale=h, input_factor=g, latent=w)
         elif mode == "packed":
-            words = jax.random.randint(next(keys), (L, out, inp // 32),
+            words = jax.random.randint(next(keys), (L, inp // 32, out),
                                        jnp.iinfo(jnp.int32).min,
                                        jnp.iinfo(jnp.int32).max, jnp.int32)
             blw = BitLinearWeights(weight_scale=h, input_factor=g, packed=words)
@@ -129,7 +129,7 @@ def pack_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
         if w.mode == "packed":
             continue
         dense = w.latent if w.latent is not None else w.dense_sign
-        packed = jax.vmap(pack_signs_bitplane)(dense)  # over stacked layers
+        packed = pack_signs_device(dense)  # leading layer axis preserved
         layers[name] = BitLinearWeights(
             weight_scale=w.weight_scale, input_factor=w.input_factor,
             packed=packed, bias=w.bias)

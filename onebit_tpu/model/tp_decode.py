@@ -43,8 +43,8 @@ def _local_bitlinear_raw(x, w: BitLinearWeights, impl: str):
         z = _call_large_m(x2, w.packed, w.input_factor, w.weight_scale,
                           LN_EPS, interpret=jax.default_backend() == "cpu")
     else:
-        from onebit_tpu.core.packing import unpack_signs_bitplane
-        s = unpack_signs_bitplane(w.packed, dtype=x.dtype)
+        from onebit_tpu.core.packing import unpack_signs_device
+        s = unpack_signs_device(w.packed, dtype=x.dtype)
         z = jnp.matmul(x2 * w.input_factor.astype(x.dtype), s.T,
                        preferred_element_type=jnp.float32)
         z = z * w.weight_scale.astype(jnp.float32)
@@ -115,12 +115,13 @@ def tp_param_specs():
     (o_proj/down_proj) shard the *in* axis: packed columns + input_factor,
     with weight_scale replicated.
     """
+    # K-major packed layout [L, K//32, N]: out = last axis, words = middle
     col = BitLinearWeights(weight_scale=P(None, MODEL_AXIS),
                            input_factor=P(None, None),
-                           packed=P(None, MODEL_AXIS, None))
+                           packed=P(None, None, MODEL_AXIS))
     row = BitLinearWeights(weight_scale=P(None, None),
                            input_factor=P(None, MODEL_AXIS),
-                           packed=P(None, None, MODEL_AXIS))
+                           packed=P(None, MODEL_AXIS, None))
     return {
         "embed_tokens": P(None, None),
         "lm_head": P(MODEL_AXIS, None),
@@ -156,14 +157,15 @@ def repack_row_parallel(packed, mp: int):
     (element j ↦ word j % nw), so slicing words does NOT slice K.  For
     row-parallel (in-sharded) projections each shard must hold a contiguous
     K block: unpack, split K into ``mp`` blocks, re-pack each block with
-    its own local bitplane layout, concatenate along the word axis.
+    its own local bitplane layout, concatenate along the word axis (-2 in
+    the K-major device layout ``[..., K//32, N]``).
     """
-    from onebit_tpu.core.packing import (pack_signs_bitplane,
-                                         unpack_signs_bitplane)
-    dense = unpack_signs_bitplane(packed, dtype=jnp.int8)
+    from onebit_tpu.core.packing import (pack_signs_device,
+                                         unpack_signs_device)
+    dense = unpack_signs_device(packed, dtype=jnp.int8)   # [..., N, K]
     blocks = jnp.split(dense, mp, axis=-1)
-    return jnp.concatenate([pack_signs_bitplane(b) for b in blocks],
-                           axis=-1)
+    return jnp.concatenate([pack_signs_device(b) for b in blocks],
+                           axis=-2)
 
 
 def shard_tp_params(params, mesh):

@@ -2,7 +2,7 @@
 
 Tensor-parallel layout (SURVEY.md §2.2): every BitLinear shards its
 **out-feature** axis over ``model`` — sign planes (latent ``[L,out,in]`` or
-packed ``[L,out,in//32]``) and the ``weight_scale`` vector ``[L,out]`` —
+K-major packed ``[L,in//32,out]``) and the ``weight_scale`` vector ``[L,out]`` —
 while ``input_factor`` follows the *in* axis (replicated except where the in
 axis itself is the sharded intermediate).  Vocab (embed/lm_head) shards over
 ``model`` as well.  GSPMD inserts the cross-shard collectives (including the
@@ -34,7 +34,9 @@ def _bitlinear_spec(name: str) -> BitLinearWeights:
     return BitLinearWeights(
         weight_scale=P(None, MODEL_AXIS),
         input_factor=in_spec,
-        latent=plane, dense_sign=plane, packed=plane,
+        latent=plane, dense_sign=plane,
+        # K-major device layout [L, in//32, out]: out is the last axis
+        packed=P(None, None, MODEL_AXIS),
         bias=P(None, MODEL_AXIS),
     )
 

@@ -84,6 +84,11 @@ class Janitor:
     def register_contaminant(self, dirt_string: str) -> None:
         self.dirt_ngrams.update(self._ngrams(dirt_string))
 
+    def contamination_count(self, dirty_string: str) -> int:
+        """Number of registered dirt n-grams appearing in the string."""
+        return sum(1 for g in self._ngrams(dirty_string)
+                   if g in self.dirt_ngrams)
+
     def clean(self, dirty_string: str) -> List[str]:
         """Remove contaminated windows; [] if too dirty (≥cutoff hits)."""
         hits = [(g, s, e) for g, s, e in

@@ -40,7 +40,7 @@ def host_random_packed_params(config: BitLlamaConfig, seed: int = 0,
         },
     }
     for name, (out, inp) in _proj_dims(config).items():
-        words = rng.integers(-2 ** 31, 2 ** 31 - 1, (L, out, inp // 32),
+        words = rng.integers(-2 ** 31, 2 ** 31 - 1, (L, inp // 32, out),
                              dtype=np.int64).astype(np.int32)
         params["layers"][name] = BitLinearWeights(
             weight_scale=ones(L, out), input_factor=ones(L, inp),

@@ -13,7 +13,7 @@ from onebit_tpu.core.bitlinear import (
     layernorm_noaffine,
     sign_ste,
 )
-from onebit_tpu.core.packing import pack_signs_bitplane
+from onebit_tpu.core.packing import pack_signs_device
 from onebit_tpu.kernels.bitlinear import BitLinearWeights, bitlinear_apply
 
 
@@ -69,7 +69,7 @@ def test_packed_apply_matches_dense():
     packed = bitlinear_apply(
         jnp.asarray(x),
         BitLinearWeights(weight_scale=jnp.asarray(h), input_factor=jnp.asarray(g),
-                         packed=pack_signs_bitplane(jnp.asarray(w))), impl="xla")
+                         packed=pack_signs_device(jnp.asarray(w))), impl="xla")
     np.testing.assert_allclose(np.asarray(dense), np.asarray(packed),
                                rtol=1e-6, atol=1e-6)
 

@@ -87,11 +87,11 @@ def test_load_reference_kinds(tmp_path, kind):
         assert isinstance(params["layers"]["q_proj"], LinearWeights)
     if kind == "packed":
         # packed weights re-packed exactly: sign matrix round-trips
-        from onebit_tpu.core.packing import (unpack_signs_bitplane,
+        from onebit_tpu.core.packing import (unpack_signs_device,
                                              unpack_signs_int8_np)
         ref_dense = unpack_signs_int8_np(
             sd["model.layers.0.self_attn.q_proj.weight"].numpy())
-        got_dense = np.asarray(unpack_signs_bitplane(
+        got_dense = np.asarray(unpack_signs_device(
             params["layers"]["q_proj"].packed[0], dtype=jnp.float32))
         np.testing.assert_array_equal(got_dense, ref_dense)
 

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from onebit_tpu.core.bitlinear import bitlinear_fwd
-from onebit_tpu.core.packing import pack_signs_bitplane
+from onebit_tpu.core.packing import pack_signs_device
 from onebit_tpu.kernels.bitlinear_pallas import bitlinear_packed_pallas
 
 
@@ -21,7 +21,7 @@ def _case(m, n, k, seed, bias=False, dtype=jnp.float32):
     g = jnp.asarray(_rand((k,), seed + 2))
     h = jnp.asarray(_rand((n,), seed + 3))
     b = jnp.asarray(_rand((n,), seed + 4)) if bias else None
-    packed = pack_signs_bitplane(w)
+    packed = pack_signs_device(w)
     ref = bitlinear_fwd(x, jnp.sign(w).astype(dtype), g, h, bias=b)
     got = bitlinear_packed_pallas(x, packed, g, h, bias=b, interpret=True)
     return np.asarray(ref, np.float32), np.asarray(got, np.float32)
@@ -53,7 +53,7 @@ def test_bf16_input():
     w = jnp.asarray(_rand((128, 128), 81))
     g = jnp.asarray(_rand((128,), 82))
     h = jnp.asarray(_rand((128,), 83))
-    packed = pack_signs_bitplane(w)
+    packed = pack_signs_device(w)
     ref = bitlinear_fwd(x, jnp.sign(w).astype(jnp.bfloat16), g, h)
     got = bitlinear_packed_pallas(x, packed, g, h, interpret=True)
     assert got.dtype == jnp.bfloat16
@@ -68,7 +68,7 @@ def test_3d_input():
     g = jnp.asarray(_rand((128,), 92))
     h = jnp.asarray(_rand((256,), 93))
     ref = bitlinear_fwd(x, jnp.sign(w), g, h)
-    got = bitlinear_packed_pallas(x, pack_signs_bitplane(w), g, h, interpret=True)
+    got = bitlinear_packed_pallas(x, pack_signs_device(w), g, h, interpret=True)
     assert got.shape == (2, 5, 256)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
@@ -88,7 +88,7 @@ def test_large_m_bf16_output():
     g = jnp.asarray(_rand((128,), 112))
     h = jnp.asarray(_rand((256,), 113))
     ref = bitlinear_fwd(x, jnp.sign(w).astype(jnp.bfloat16), g, h)
-    got = bitlinear_packed_pallas(x, pack_signs_bitplane(w), g, h,
+    got = bitlinear_packed_pallas(x, pack_signs_device(w), g, h,
                                   interpret=True)
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),

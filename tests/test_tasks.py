@@ -81,14 +81,34 @@ def test_winogrande_partial_eval(tiny):
     t = Winogrande([{"sentence": "The cup fell because _ was heavy.",
                      "option1": "the cup", "option2": "the table",
                      "answer": "1"}])
-    reqs, spans = t.build_requests(t.docs(), char_tokenize)
+    doc = t.docs()[0]
+    ctx = t.fewshot_context(doc, 0, __import__("random").Random(42))
+    reqs = t.construct_requests(doc, ctx)
     assert len(reqs) == 2
-    # both requests share the same continuation tokens (" was heavy.")
-    assert reqs[0][1] == reqs[1][1]
+    # both requests share the same continuation (" was heavy.")
+    assert reqs[0][1] == reqs[1][1] == " was heavy."
     # contexts differ by option
-    assert reqs[0][0] != reqs[1][0]
+    assert reqs[0][0] == "The cup fell because the cup"
+    assert reqs[1][0] == "The cup fell because the table"
     res = evaluate_tasks(params, config, [t], char_tokenize)
     assert "acc" in res["winogrande"]
+
+
+def test_winogrande_fewshot_swaps_option(tiny):
+    """Few-shot examples render with the CORRECT option; the current doc's
+    context is swapped per candidate (reference winogrande append_context)."""
+    import random as _random
+    docs = [{"sentence": f"A{i} _ B{i}.", "option1": f"x{i}",
+             "option2": f"y{i}", "answer": "1"} for i in range(4)]
+    t = Winogrande(docs)
+    doc = t.docs()[0]
+    ctx = t.fewshot_context(doc, 2, _random.Random(7))
+    reqs = t.construct_requests(doc, ctx)
+    # few-shot prefix identical across options, final context differs
+    p0, p1 = reqs[0][0], reqs[1][0]
+    assert p0.rsplit("\n\n", 1)[0] == p1.rsplit("\n\n", 1)[0]
+    assert p0.endswith("A0 x0")
+    assert p1.endswith("A0 y0")
 
 
 def test_full_suite_runs(tiny):
@@ -120,6 +140,59 @@ def test_mmlu_taxonomy_complete():
     cats = {c for v in SUBCATEGORIES.values() for c in v}
     listed = {c for v in CATEGORIES.values() for c in v}
     assert cats == listed
+
+
+def test_fewshot_context_layout(tiny):
+    """k examples joined by \\n\\n with targets appended, then the eval doc
+    (reference base.py:576-642)."""
+    import random as _random
+    t = PIQA([{"goal": f"g{i}", "sol1": "a", "sol2": "b", "label": 0}
+              for i in range(6)])
+    doc = t.docs()[0]
+    ctx = t.fewshot_context(doc, 2, _random.Random(42),
+                            description="Answer the question.")
+    parts = ctx.split("\n\n")
+    assert parts[0] == "Answer the question."
+    assert len(parts) == 4  # description + 2 shots + eval doc
+    for shot in parts[1:3]:
+        assert shot.startswith("Question: g")
+        assert shot.endswith(" a")  # target appended
+    assert parts[3] == doc.query  # eval doc has no target
+    # the eval doc itself never appears as a shot
+    assert all(not p.startswith("Question: g0\n") for p in parts[1:3])
+
+
+def test_fewshot_end_to_end(tiny):
+    config, params = tiny
+    t = PIQA([{"goal": f"g{i}", "sol1": "a", "sol2": "b", "label": 0}
+              for i in range(5)])
+    res = evaluate_tasks(params, config, [t], char_tokenize, num_fewshot=2)
+    assert 0.0 <= res["piqa"]["acc"] <= 1.0
+
+
+def test_decontamination_reporting(tiny):
+    """Planted 13-gram overlap → contaminated count + clean-only metric
+    (reference evaluator.py:215-221)."""
+    config, params = tiny
+    dirty_text = ("the quick brown fox jumps over the lazy dog while "
+                  "seven wizards watch quietly tonight")
+    docs = [{"text": dirty_text + " end"},
+            {"text": "completely different words in this one two three "
+                     "four five six seven eight nine ten eleven done"}]
+    t = Lambada(docs)
+    res = evaluate_tasks(params, config, [t], char_tokenize,
+                         decontamination_ngrams=[dirty_text])
+    assert res["lambada_openai"]["contaminated"] == 1.0
+    assert "acc_decontaminate" in res["lambada_openai"]
+
+
+def test_dummy_lm_backend():
+    """evaluate_tasks runs against DummyLM with no model (reference
+    models/dummy.py smoke path)."""
+    from onebit_tpu.eval.dummy import DummyLM
+    t = PIQA([{"goal": "g", "sol1": "a", "sol2": "b", "label": 0}] * 4)
+    res = evaluate_tasks(None, None, [t], char_tokenize, lm=DummyLM())
+    assert 0.0 <= res["piqa"]["acc"] <= 1.0
 
 
 def test_bootstrap_stderr():

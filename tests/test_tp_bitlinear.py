@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from onebit_tpu.core.bitlinear import bitlinear_fwd
-from onebit_tpu.core.packing import pack_signs_bitplane
+from onebit_tpu.core.packing import pack_signs_device
 from onebit_tpu.kernels.bitlinear_sharded import make_tp_bitlinear
 from onebit_tpu.parallel.mesh import create_mesh
 
@@ -21,7 +21,7 @@ def test_tp_bitlinear_matches_reference():
 
     ref = bitlinear_fwd(x, jnp.sign(w), g, h)
 
-    packed = pack_signs_bitplane(w)
+    packed = pack_signs_device(w)
     tp = make_tp_bitlinear(mesh, impl="xla")
     got = jax.jit(tp)(x, packed, g, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -39,6 +39,6 @@ def test_tp_bitlinear_pallas_interpret():
 
     ref = bitlinear_fwd(x, jnp.sign(w), g, h)
     tp = make_tp_bitlinear(mesh, impl="pallas")
-    got = jax.jit(tp)(x, pack_signs_bitplane(w), g, h)
+    got = jax.jit(tp)(x, pack_signs_device(w), g, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
