@@ -25,9 +25,39 @@ from __future__ import annotations
 
 import dataclasses
 import random
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Request:
+    """A typed scoring request (reference base.py Request + RequestFactory).
+
+    ``type`` ∈ {loglikelihood, greedy_until, loglikelihood_rolling}; ``args``
+    is the payload for that type.  Tasks may mix types in one
+    ``construct_requests`` (e.g. squad: generation + an unanswerable
+    loglikelihood probe) — the evaluator groups by type, batches each group
+    through the TPU once, and scatters results back into per-doc order.
+    """
+    type: str
+    args: Tuple
+
+
+class rf:
+    """Request factory (reference base.py ``rf``)."""
+
+    @staticmethod
+    def loglikelihood(ctx: str, cont: str) -> Request:
+        return Request("loglikelihood", (ctx, cont))
+
+    @staticmethod
+    def greedy_until(ctx: str, stops: Sequence[str]) -> Request:
+        return Request("greedy_until", (ctx, tuple(stops)))
+
+    @staticmethod
+    def loglikelihood_rolling(doc: str) -> Request:
+        return Request("loglikelihood_rolling", (doc,))
 
 
 @dataclasses.dataclass
@@ -43,6 +73,8 @@ class MCDoc:
     query: str
     choices: List[str]
     gold: int
+    extra: Optional[dict] = None   # task-specific fields (e.g. the raw
+    #   passage for decontamination queries)
 
 
 def mean(items):
@@ -153,6 +185,49 @@ class MultipleChoiceTask(Task):
 
     def higher_is_better(self):
         return {"acc": True, "acc_norm": True}
+
+
+class DocTask(Task):
+    """Injectable-doc task: eval docs (and optionally a few-shot training
+    pool) are raw dataset rows passed to the constructor; ``convert``
+    translates the public dataset schema.  ``from_datasets`` is the
+    convenience loader when the corpus is on local disk (offline-first —
+    data acquisition is decoupled from scoring, unlike the reference whose
+    Task.__init__ downloads from the hub)."""
+
+    DATASET_PATH: Optional[str] = None
+    DATASET_NAME: Optional[str] = None
+    DEFAULT_SPLIT: str = "validation"
+    TRAIN_SPLIT: Optional[str] = "train"
+
+    def __init__(self, raw_docs: Sequence, raw_train: Optional[Sequence] = None):
+        self._raw = list(raw_docs)
+        self._raw_train = list(raw_train) if raw_train is not None else None
+
+    def convert(self, doc):
+        return doc
+
+    def docs(self) -> List:
+        return [self.convert(d) for d in self._raw]
+
+    def training_docs(self) -> Optional[List]:
+        if self._raw_train is None:
+            return None
+        return [self.convert(d) for d in self._raw_train]
+
+    @classmethod
+    def from_datasets(cls, split: Optional[str] = None,
+                      with_train: bool = False, **load_kwargs):
+        import datasets
+        split = split or cls.DEFAULT_SPLIT
+        ds = datasets.load_dataset(cls.DATASET_PATH, cls.DATASET_NAME,
+                                   split=split, **load_kwargs)
+        train = None
+        if with_train and cls.TRAIN_SPLIT:
+            train = list(datasets.load_dataset(
+                cls.DATASET_PATH, cls.DATASET_NAME, split=cls.TRAIN_SPLIT,
+                **load_kwargs))
+        return cls(list(ds), train)
 
 
 class PerplexityTask(Task):
@@ -344,18 +419,30 @@ def evaluate_tasks(params, config, tasks, tokenize, *, batch_size: int = 16,
             docs = docs[:limit]
         description = (description_dict or {}).get(task.name, "")
 
-        payloads, spans = [], []
+        requests, spans = [], []
         for doc in docs:
             ctx = task.fewshot_context(doc, num_fewshot, rnd, description)
-            reqs = task.construct_requests(doc, ctx)
-            spans.append((len(payloads), len(payloads) + len(reqs)))
-            payloads.extend(reqs)
+            reqs = [r if isinstance(r, Request) else Request(task.request_type,
+                                                             tuple(r) if isinstance(r, (tuple, list)) else (r,))
+                    for r in task.construct_requests(doc, ctx)]
+            spans.append((len(requests), len(requests) + len(reqs)))
+            requests.extend(reqs)
 
-        results = _run_requests(
-            params, config, task.request_type, payloads, tokenize,
-            detokenize, batch_size=batch_size, impl=impl,
-            compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
-            lm=lm)
+        # group by request type; one batched device dispatch per type
+        results: List = [None] * len(requests)
+        by_type: Dict[str, List[int]] = {}
+        for i, r in enumerate(requests):
+            by_type.setdefault(r.type, []).append(i)
+        for rtype, idxs in by_type.items():
+            payloads = [requests[i].args if rtype != "loglikelihood_rolling"
+                        else requests[i].args[0] for i in idxs]
+            res = _run_requests(
+                params, config, rtype, payloads, tokenize, detokenize,
+                batch_size=batch_size, impl=impl,
+                compute_dtype=compute_dtype, max_new_tokens=max_new_tokens,
+                lm=lm)
+            for i, v in zip(idxs, res):
+                results[i] = v
 
         dirty = set()
         if decontamination_ngrams is not None and task.should_decontaminate():

@@ -27,26 +27,19 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from onebit_tpu.eval.tasks.base import MCDoc, MultipleChoiceTask, perplexity
+from onebit_tpu.eval.tasks.base import (
+    DocTask,
+    MCDoc,
+    MultipleChoiceTask,
+    perplexity,
+)
 
 
-class _DocListTask(MultipleChoiceTask):
-    def __init__(self, raw_docs: Sequence[dict]):
-        self._raw = list(raw_docs)
-
-    def docs(self) -> List[MCDoc]:
-        return [self.convert(d) for d in self._raw]
+class _DocListTask(MultipleChoiceTask, DocTask):
+    """Injectable multiple-choice task (docs convert to :class:`MCDoc`)."""
 
     def convert(self, doc: dict) -> MCDoc:
         raise NotImplementedError
-
-    @classmethod
-    def from_datasets(cls, split: Optional[str] = None, **load_kwargs):
-        import datasets
-        split = split or cls.DEFAULT_SPLIT
-        ds = datasets.load_dataset(cls.DATASET_PATH, cls.DATASET_NAME,
-                                   split=split, **load_kwargs)
-        return cls(list(ds))
 
 
 class PIQA(_DocListTask):
