@@ -146,22 +146,47 @@ def unpack_signs_bitplane(words, dtype=jnp.bfloat16, axis: int = -1):
 
 
 def pack_signs_device(w):
-    """Pack ``w [..., out, in]`` into THE device layout: K-major transposed
-    bitplane words ``[..., in//32, out]`` int32.
+    """Pack ``w [..., out, in]`` into THE device layout: K-major
+    **byte-plane** words ``[..., in//32, out]`` int32.
 
-    Same bit convention as :func:`pack_signs_bitplane` (dense in-index ``j``
-    ↦ word ``j % nw`` at bit ``j // nw``), stored word-axis-major so the
-    Pallas kernel's unpack writes contiguous sublane slabs and the MXU dot
-    contracts the unpacked axis directly (kernels/bitlinear_pallas.py).
-    Measured ~2x faster than the N-major layout on v5e decode.
+    Bit assignment (with ``nw = in//32``): dense in-index
+    ``k = p*(4*nw) + 4*i + c`` lives in word row ``i`` at bit ``8*c + p``
+    (byte ``c``, byte-plane ``p``).  Chosen to invert the TPU's int32→int8
+    sublane bitcast order (byte ``c`` of int32 sublane ``i`` lands at int8
+    sublane ``4*i + c``, verified by scripts/probe_primitives.py), so the
+    Pallas kernel materializes a **±1 int8** sign tile with 2 VPU ops + one
+    bitcast per 4 elements — ``(w >> p) & 0x01010101`` then
+    ``0x01010101 + bits * 0xFE`` — feeding the MXU's mixed bf16×int8 dot
+    directly (kernels/bitlinear_pallas.py; measured fastest of 6 strategies
+    in scripts/ubench_unpack.py, ~1.6x the int32-bitplane layout at 7B
+    decode shapes and faster than bf16×bf16 even at prefill M=512).
     """
-    return jnp.swapaxes(pack_signs_bitplane(w), -1, -2)
+    w = jnp.asarray(w)
+    *lead, n_out, k = w.shape
+    if k % WORD_BITS != 0:
+        raise ValueError(f"in-axis length {k} not a multiple of {WORD_BITS}")
+    nw = k // WORD_BITS
+    bits = jnp.swapaxes((w < 0).astype(jnp.uint32), -1, -2)  # [..., in, out]
+    b = bits.reshape(*lead, 8, nw, 4, n_out)     # k = p*(4nw) + 4i + c
+    p = jnp.arange(8, dtype=jnp.uint32)[:, None, None, None]
+    c = jnp.arange(4, dtype=jnp.uint32)[None, None, :, None]
+    words = jnp.sum(b << (8 * c + p), axis=(-4, -2),
+                    dtype=jnp.uint32).astype(jnp.int32)      # [..., nw, out]
+    return words
 
 
 def unpack_signs_device(words, dtype=jnp.bfloat16):
     """Unpack the device layout ``[..., in//32, out]`` → dense ±1
-    ``[..., out, in]``."""
-    return unpack_signs_bitplane(jnp.swapaxes(words, -1, -2), dtype=dtype)
+    ``[..., out, in]`` (inverse of :func:`pack_signs_device`)."""
+    words = jnp.asarray(words)
+    *lead, nw, n_out = words.shape
+    u = words.astype(jnp.uint32)
+    p = jnp.arange(8, dtype=jnp.uint32)[:, None, None, None]
+    c = jnp.arange(4, dtype=jnp.uint32)[None, None, :, None]
+    bits = (u[..., None, :, None, :] >> (8 * c + p)) & jnp.uint32(1)
+    bits = bits.reshape(*lead, nw * WORD_BITS, n_out)        # [..., in, out]
+    signs = (1 - 2 * bits.astype(jnp.int32)).astype(dtype)
+    return jnp.swapaxes(signs, -1, -2)
 
 
 def canonical_to_bitplane(words):

@@ -342,26 +342,44 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
 @functools.partial(jax.jit, static_argnames=(
     "config", "impl", "compute_dtype", "sampling", "n_steps"))
 def paged_decode_block(params, cache, next_token, lengths, page_indices,
-                       key, config: BitLlamaConfig, *, sampling,
-                       n_steps: int, impl: str = "auto",
+                       active, budget, key, config: BitLlamaConfig, *,
+                       sampling, n_steps: int, impl: str = "auto",
                        compute_dtype=jnp.bfloat16):
-    """n_steps paged decode+sample steps in one device program (see
-    ragged_decode_block).  Overflow writes past a row's pages clamp onto
-    the reserved null page 0 by construction."""
+    """n_steps paged decode+sample steps in one device program with
+    ON-DEVICE EOS + per-row budget handling (see ragged_decode_block).
+    Overflow writes past a row's pages clamp onto the reserved null page 0
+    by construction.  Returns (tokens [n_steps, B], valid [n_steps, B],
+    cache, key)."""
     from onebit_tpu.engine.sampler import sample_token
 
-    def body(carry, _):
-        cache, tok, lens, key = carry
+    eos = jnp.int32(config.eos_token_id)
+
+    def step(carry):
+        cache, tok, lens, done, budget, key = carry
         logits, cache = paged_decode_step(
             params, cache, tok[:, None], lens, page_indices, config,
             impl=impl, compute_dtype=compute_dtype)
         key, sub = jax.random.split(key)
         nxt = sample_token(logits[:, 0], sub, sampling)
-        return (cache, nxt, lens + 1, key), nxt
+        valid = active & ~done
+        nxt = jnp.where(valid, nxt, tok)
+        lens = jnp.where(valid, lens + 1, lens)
+        budget = jnp.where(valid, budget - 1, budget)
+        done = done | (valid & ((nxt == eos) | (budget <= 0)))
+        return (cache, nxt, lens, done, budget, key), valid
 
-    (cache, _, _, key), toks = jax.lax.scan(
-        body, (cache, next_token, lengths, key), None, length=n_steps)
-    return toks, cache, key
+    def body(carry, _):
+        done = carry[3]
+        new_carry, valid = jax.lax.cond(
+            jnp.all(done | ~active),
+            lambda c: (c, jnp.zeros_like(active)),
+            step, carry)
+        return new_carry, (new_carry[1], valid)
+
+    carry0 = (cache, next_token, lengths, ~active, budget, key)
+    (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
+        body, carry0, None, length=n_steps)
+    return toks, valid, cache, key
 
 
 @functools.partial(jax.jit, static_argnames=("config", "impl",

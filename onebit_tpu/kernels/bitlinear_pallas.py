@@ -1,20 +1,21 @@
 """Fused Pallas TPU kernel for the packed OneBit linear.
 
 Computes ``LayerNorm(((x ⊙ g) · sign(W)ᵀ) ⊙ h) (+ bias)`` with ``sign(W)``
-stored as packed int32 words in the **K-major device layout**
-(``core.packing.pack_signs_device``: shape ``[K//32, N]``, bitplane
-interleaved along K).  This replaces the reference's
-unpack-everything-every-forward (bitnet.py:98-115), which materializes the
-dense ±1 matrix in HBM on each call: here packed words stream HBM→VMEM
-(16x less traffic than bf16 weights) and each tile is unpacked to ±1
-bfloat16 *in VMEM* exactly once per call, feeding the MXU directly.
+stored as packed int32 words in the **K-major byte-plane device layout**
+(``core.packing.pack_signs_device``: shape ``[K//32, N]``).  This replaces
+the reference's unpack-everything-every-forward (bitnet.py:98-115), which
+materializes the dense ±1 matrix in HBM on each call: here packed words
+stream HBM→VMEM (16x less traffic than bf16 weights) and each tile is
+materialized as a ±1 **int8** tile in VMEM exactly once per call, feeding
+the MXU's mixed bf16×int8 dot directly.
 
 Why K-major: the unpacked tile is the dot's **contraction-major** operand
 ``S [K, TN]``, so ``(x⊙g) [M, K] · S`` hits the MXU with no transposition,
-and every unpack store writes a contiguous *sublane* slab
-(``s_ref[b*nw:(b+1)*nw, :]``) instead of a lane-dim slice — measured ~2x
-faster than the N-major layout of round 1 on the 7B projection shapes
-(scripts/ubench_unpack.py shootout; 11008-dim shapes improve most).
+and every unpack store writes a contiguous *sublane* slab.  Why byte-plane
+int8: 4x-packed stores + 3 VPU ops per 4 elements (see ``_unpack_planes``)
+— measured 1.6x the int32-bitplane/bf16 strategy at 7B decode shapes and
+faster than a bf16 weight operand even at prefill (scripts/ubench_unpack.py,
+scripts/probe_primitives.py).
 
 Two schedules:
 
@@ -52,15 +53,25 @@ _LANE = 128
 
 
 def _unpack_planes(words, s_ref, nw: int):
-    """Unpack [K/32, TN] int32 (K-major bitplane) into s_ref [K, TN] as ±1.
+    """Unpack [K/32, TN] int32 (K-major **byte-plane** layout,
+    core.packing.pack_signs_device) into s_ref [K, TN] as ±1 **int8**.
 
-    Bitplane b lands in sublane rows [b*nw, (b+1)*nw) — a contiguous slab
-    store per plane.  ``((w << (31-b)) >> 31) | 1`` → -1 if bit b set else
-    +1 (~25% fewer VPU ops than the shift+and+affine form, measured v5e).
+    Per byte-plane p: ``(w >> p) & 0x01010101`` extracts 4 bits/lane, then
+    ``0x01010101 + bits*0xFE`` turns each byte into +1 (bit 0) or 0xFF = -1
+    (bit 1) with no cross-byte carry; a single int32→int8 bitcast scatters
+    byte c of int32 sublane i to int8 sublane 4i+c — matching the pack
+    layout, so each iteration stores one contiguous [4*nw, TN] slab.  Cost:
+    ~3 VPU ops per 4 elements + int8 (4x-packed) stores — measured the
+    fastest of 6 materialization strategies on v5e
+    (scripts/ubench_unpack.py); the MXU consumes the int8 tile via the
+    mixed bf16×int8 dot at full (or better) bf16 throughput.
     """
-    for b in range(WORD_BITS):
-        plane = (((words << (WORD_BITS - 1 - b)) >> (WORD_BITS - 1)) | 1)
-        s_ref[pl.ds(b * nw, nw), :] = plane.astype(s_ref.dtype)
+    w = pltpu.bitcast(words, jnp.uint32)
+    msk = jnp.uint32(0x01010101)
+    for p in range(8):
+        bits = (w >> p) & msk
+        t = msk + bits * jnp.uint32(0xFE)
+        s_ref[pl.ds(p * 4 * nw, 4 * nw), :] = pltpu.bitcast(t, jnp.int8)
 
 
 def _pick_tile(n: int, candidates=(512, 256, 128)) -> int:
@@ -88,9 +99,12 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
     def _():
         y_ref[:] = x_ref[:] * g_ref[:]
 
-    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS)     # [K, TN]
+    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS)     # [K, TN] int8
+    s = s_ref[:]
+    if y_ref.dtype == jnp.float32:   # f32 parity path: no f32xint8 MXU mode
+        s = s.astype(jnp.float32)
     z = jax.lax.dot_general(
-        y_ref[:], s_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        y_ref[:], s, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [M, TN]
     acc_ref[:, pl.ds(ni * tn, tn)] = z * h_ref[:]
 
@@ -149,7 +163,7 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
         scratch_shapes=[
             pltpu.VMEM((m_pad, n), jnp.float32),
             pltpu.VMEM((m_pad, k), x2.dtype),
-            pltpu.VMEM((k, tn), x2.dtype),
+            pltpu.VMEM((k, tn), jnp.int8),
         ],
         interpret=interpret,
     )(*inputs)
@@ -169,8 +183,11 @@ def _matmul_large_m_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref, s_ref,
         _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS)
 
     y = x_ref[:] * g_ref[:]
+    s = s_ref[:]
+    if y.dtype == jnp.float32:       # f32 parity path: no f32xint8 MXU mode
+        s = s.astype(jnp.float32)
     z = jax.lax.dot_general(
-        y, s_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        y, s, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out_ref[:] = (z * h_ref[:]).astype(out_ref.dtype)
 
@@ -213,7 +230,7 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
         out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((k, tn), x2.dtype)],
+        scratch_shapes=[pltpu.VMEM((k, tn), jnp.int8)],
         interpret=interpret,
     )(x2, g2, packed, h2)
     return out[:m]

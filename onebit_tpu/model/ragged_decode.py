@@ -158,31 +158,52 @@ def prefill_row(params, cache: KVCache, ids, length, row, config, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "config", "impl", "compute_dtype", "sampling", "n_steps"))
-def ragged_decode_block(params, cache, next_token, row_pos, active, key,
-                        config: BitLlamaConfig, *, sampling, n_steps: int,
-                        impl: str = "auto", compute_dtype=jnp.bfloat16):
+def ragged_decode_block(params, cache, next_token, row_pos, active, budget,
+                        key, config: BitLlamaConfig, *, sampling,
+                        n_steps: int, impl: str = "auto",
+                        compute_dtype=jnp.bfloat16):
     """Run ``n_steps`` ragged decode+sample steps in ONE device program.
 
     Cuts the host round trip per generated token by ``n_steps`` — the
-    serving loop's dominant cost on high-latency runtimes.  Rows that hit
-    EOS mid-block keep decoding garbage into their own slots (the host
-    truncates afterwards; their cache rows are freed and overwritten before
-    reuse).  Returns (tokens [n_steps, B], cache, key).
+    serving loop's dominant cost on high-latency runtimes.  EOS and the
+    per-row token ``budget`` are handled ON DEVICE: a row that emits EOS or
+    exhausts its budget is frozen (token/position held, its cache slot is
+    idempotently rewritten with identical values), and once every row is
+    done the remaining block steps skip the model entirely via ``cond``.
+    Returns (tokens [n_steps, B], valid [n_steps, B] bool, cache, key);
+    ``valid[s, b]`` marks real tokens (False after a row finished).
     """
     from onebit_tpu.engine.sampler import sample_token
 
-    def body(carry, _):
-        cache, tok, pos, key = carry
+    eos = jnp.int32(config.eos_token_id)
+
+    def step(carry):
+        cache, tok, pos, done, budget, key = carry
         logits, cache = ragged_decode_step(
-            params, cache, tok[:, None], pos, active, config, impl=impl,
-            compute_dtype=compute_dtype)
+            params, cache, tok[:, None], pos, active & ~done, config,
+            impl=impl, compute_dtype=compute_dtype)
         key, sub = jax.random.split(key)
         nxt = sample_token(logits[:, 0], sub, sampling)
-        return (cache, nxt, pos + 1, key), nxt
+        valid = active & ~done
+        nxt = jnp.where(valid, nxt, tok)
+        pos = jnp.where(valid, pos + 1, pos)
+        budget = jnp.where(valid, budget - 1, budget)
+        done = done | (valid & ((nxt == eos) | (budget <= 0)))
+        return (cache, nxt, pos, done, budget, key), valid
 
-    (cache, _, _, key), toks = jax.lax.scan(
-        body, (cache, next_token, row_pos, key), None, length=n_steps)
-    return toks, cache, key
+    def body(carry, _):
+        done = carry[3]
+        new_carry, valid = jax.lax.cond(
+            jnp.all(done | ~active),
+            lambda c: (c, jnp.zeros_like(active)),   # all finished: no-op
+            step, carry)
+        return new_carry, (new_carry[1], valid)
+
+    done0 = ~active
+    carry0 = (cache, next_token, row_pos, done0, budget, key)
+    (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
+        body, carry0, None, length=n_steps)
+    return toks, valid, cache, key
 
 
 @functools.partial(jax.jit, static_argnames=("config", "impl",

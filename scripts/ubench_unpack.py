@@ -310,8 +310,8 @@ def reference(x, wsign, g, h):
     return (a - mean) / np.sqrt(var + EPS)
 
 
-def make_r1_call(n, k):
-    from onebit_tpu.core.packing import pack_signs_bitplane
+def make_repo_call(n, k):
+    """The committed kernel (K-major device layout) as the baseline."""
     from onebit_tpu.kernels.bitlinear_pallas import bitlinear_packed_pallas
 
     @jax.jit
@@ -335,16 +335,16 @@ def main():
         xb = jnp.asarray(x, jnp.bfloat16)
         gj, hj = jnp.asarray(g), jnp.asarray(h)
 
-        # round-1 N-major baseline
-        from onebit_tpu.core.packing import pack_signs_bitplane
-        packed_r1 = pack_signs_bitplane(jnp.asarray(wsign))
-        call_r1 = make_r1_call(n, k)
-        out = np.asarray(call_r1(xb, packed_r1, gj, hj))
+        # the committed kernel as baseline
+        from onebit_tpu.core.packing import pack_signs_device
+        packed_repo = pack_signs_device(jnp.asarray(wsign))
+        call_repo = make_repo_call(n, k)
+        out = np.asarray(call_repo(xb, packed_repo, gj, hj))
         err = np.abs(out - ref).max()
-        t = bench_op(call_r1, xb, packed_r1, gj, hj,
+        t = bench_op(call_repo, xb, packed_repo, gj, hj,
                      iters_lo=8, iters_hi=64, reps=3)
-        results.setdefault("r1_nmajor", {})[f"{n}x{k}"] = (t, err)
-        print(f"{'r1_nmajor':10s} {n}x{k}: {t*1e6:9.1f} us  max_err {err:.4f}",
+        results.setdefault("repo", {})[f"{n}x{k}"] = (t, err)
+        print(f"{'repo':10s} {n}x{k}: {t*1e6:9.1f} us  max_err {err:.4f}",
               flush=True)
 
         for name in VARIANTS:

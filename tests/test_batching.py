@@ -70,9 +70,8 @@ def test_request_too_long_rejected(tiny):
     config, params = tiny
     eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=16,
                                    compute_dtype=jnp.float32)
-    eng.add_request(list(range(1, 14)), max_new_tokens=10)
     with pytest.raises(ValueError, match="max_len"):
-        eng.run()
+        eng.add_request(list(range(1, 14)), max_new_tokens=10)
 
 
 def test_warmup(tiny):
