@@ -72,7 +72,112 @@ def c4_eval_tokens(tokenize: Callable, source, *, seqlen: int = 2048,
 
 def ptb_tokens(tokenize: Callable, source=None,
                split: str = "test") -> np.ndarray:
-    """" ".join(sentence) tokenized whole (datautils.py ptb_new path)."""
+    """" ".join(sentence) tokenized whole (datautils.py:122-131 ptb_new:
+    test split, space join)."""
     source = source or ("ptb_text_only", "penn_treebank")
     texts = _load_texts(source, split, text_column="sentence")
     return np.asarray(tokenize(" ".join(texts)), np.int32)
+
+
+def ptb_val_tokens(tokenize: Callable, source=None) -> np.ndarray:
+    """Original ptb eval stream: "\\n\\n".join(validation split)
+    (datautils.py:56-65 get_ptb)."""
+    source = source or ("ptb_text_only", "penn_treebank")
+    texts = _load_texts(source, "validation", text_column="sentence")
+    return np.asarray(tokenize("\n\n".join(texts)), np.int32)
+
+
+def c4_new_eval_tokens(tokenize: Callable, source, *, seqlen: int = 2048,
+                       n_windows: int = 256) -> np.ndarray:
+    """c4_new eval stream: " ".join(first 1100 val docs) truncated to
+    256*seqlen tokens (datautils.py:173-174)."""
+    texts = _load_texts(source, "validation")[:1100]
+    toks = np.asarray(tokenize(" ".join(texts)), np.int32)
+    return toks[: n_windows * seqlen]
+
+
+def pile_tokens(tokenize: Callable, source, n_docs: int = 1000) -> np.ndarray:
+    """Pile stream: "\\n\\n".join(first 1000 docs) tokenized whole
+    (datautils.py:16-21; the reference uses it for calibration crops only —
+    exposed here for both calibration and rolling ppl)."""
+    texts = _load_texts(source, "train")[:n_docs]
+    return np.asarray(tokenize("\n\n".join(texts)), np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Calibration crop loaders (the reference's `trainloader` half of
+# datautils.get_loaders — nsamples random seqlen crops, labels masked to the
+# final position; used by OmniQuant-style calibration consumers)
+# ---------------------------------------------------------------------------
+
+def calibration_crops(tokens: np.ndarray, nsamples: int, seqlen: int,
+                      seed: int) -> List[np.ndarray]:
+    """nsamples random [seqlen] crops of a flat token stream with the
+    reference's randint convention (datautils.py:45-53)."""
+    rng = random.Random(seed)
+    crops = []
+    for _ in range(nsamples):
+        i = rng.randint(0, len(tokens) - seqlen - 1)
+        crops.append(np.asarray(tokens[i:i + seqlen], np.int32))
+    return crops
+
+
+def c4_calibration_crops(tokenize: Callable, source, nsamples: int,
+                         seqlen: int, seed: int,
+                         min_len_plus: int = 1) -> List[np.ndarray]:
+    """Per-doc resampling crops (datautils.py:92-105: while-loop until a doc
+    holds seqlen+1 tokens, then one random window).  ``min_len_plus=0``
+    reproduces the c4_new >= seqlen quirk (:164)."""
+    texts = _load_texts(source, "train")
+    rng = random.Random(seed)
+    crops = []
+    for _ in range(nsamples):
+        while True:
+            i = rng.randint(0, len(texts) - 1)
+            toks = tokenize(texts[i])
+            if len(toks) >= seqlen + min_len_plus:
+                break
+        i = rng.randint(0, len(toks) - seqlen - 1)
+        crops.append(np.asarray(toks[i:i + seqlen], np.int32))
+    return crops
+
+
+def mix_calibration_crops(tokenize: Callable, nsamples: int, seqlen: int,
+                          seed: int, *, wiki_source=None, ptb_source=None,
+                          c4_source=None) -> List[np.ndarray]:
+    """wiki + ptb + c4 thirds (datautils.py:193-199 get_loaders 'mix')."""
+    third = nsamples // 3
+    wiki = calibration_crops(
+        wikitext2_tokens(tokenize, wiki_source, split="train"),
+        third, seqlen, seed)
+    ptb = calibration_crops(
+        np.asarray(tokenize("\n\n".join(_load_texts(
+            ptb_source or ("ptb_text_only", "penn_treebank"), "train",
+            text_column="sentence"))), np.int32),
+        third, seqlen, seed)
+    c4 = c4_calibration_crops(tokenize, c4_source, third, seqlen, seed)
+    return wiki + ptb + c4
+
+
+def get_eval_tokens(name: str, tokenize: Callable, *, source=None,
+                    seqlen: int = 2048) -> Optional[np.ndarray]:
+    """Name-dispatch eval stream loader (reference get_loaders
+    datautils.py:178-199 test-side).  Returns None for corpora the
+    reference defines no eval stream for (pile, mix)."""
+    if "wikitext2" in name:
+        return wikitext2_tokens(tokenize, source)
+    if "pile" in name:
+        return None
+    if "ptb" in name:
+        if "new" in name:
+            return ptb_tokens(tokenize, source)
+        return ptb_val_tokens(tokenize, source)
+    if "c4" in name:
+        if source is None:
+            raise ValueError("c4 needs a local source (zero-egress)")
+        if "new" in name:
+            return c4_new_eval_tokens(tokenize, source, seqlen=seqlen)
+        return c4_eval_tokens(tokenize, source, seqlen=seqlen)
+    if "mix" in name:
+        return None
+    raise ValueError(f"unknown ppl corpus {name!r}")

@@ -61,13 +61,24 @@ class KDRunConfig:
     resume_from: Optional[str] = None
     plot: bool = True
     seed: int = 42
+    # held-out evaluation (the reference Trainer's eval loop): either pass
+    # eval_blocks to run_kd, or set val_split to carve them from `blocks`
+    # with train.data.split_dataset semantics (dsets.py:42-63)
+    val_split: float = 0.0
+    eval_steps: Optional[int] = None   # default: evaluate at save points
+    eval_batches: int = 16             # eval subset size cap (batches)
 
 
 def run_kd(config: BitLlamaConfig, student_params, teacher_params,
            blocks: np.ndarray, *, kd_cfg: KDConfig = KDConfig(),
            train_cfg: TrainConfig = TrainConfig(),
-           run_cfg: KDRunConfig = KDRunConfig()) -> TrainState:
+           run_cfg: KDRunConfig = KDRunConfig(),
+           eval_blocks: Optional[np.ndarray] = None) -> TrainState:
     """Train the student against the teacher on pre-chunked token blocks."""
+    if eval_blocks is None and run_cfg.val_split > 0:
+        from onebit_tpu.train.data import split_dataset
+        blocks, eval_blocks = split_dataset(blocks, run_cfg.val_split,
+                                            seed=run_cfg.seed)
     steps_per_epoch = len(blocks) // run_cfg.batch_size
     total = run_cfg.max_steps or steps_per_epoch * run_cfg.num_epochs
     train_cfg = dataclasses.replace(train_cfg, total_steps=total)
@@ -99,8 +110,29 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
 
     step_fn = make_train_step(config, kd_cfg, train_cfg,
                               compute_dtype=run_cfg.compute_dtype)
-    from onebit_tpu.train.trainer import make_schedule
+    from onebit_tpu.train.trainer import make_eval_step, make_schedule
     schedule = make_schedule(train_cfg)
+
+    eval_fn = None
+    if eval_blocks is not None and len(eval_blocks) >= run_cfg.batch_size:
+        eval_fn = make_eval_step(config, kd_cfg, train_cfg,
+                                 compute_dtype=run_cfg.compute_dtype)
+
+    def run_eval(params):
+        """Mean held-out metrics over up to eval_batches batches."""
+        sums: Dict[str, float] = {}
+        count = 0
+        for mb in batch_iterator(eval_blocks, run_cfg.batch_size,
+                                 shuffle=False, epochs=1):
+            mb = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                  for k, v in mb.items()}
+            m = eval_fn(params, teacher_params, mb)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            if count >= run_cfg.eval_batches:
+                break
+        return {f"eval_{k}": v / count for k, v in sums.items()}
 
     tlog = TrainerLog(run_cfg.output_dir, total)
     start_step = int(state.step)
@@ -125,6 +157,14 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
                 f"kd={m.get('kd_loss', 0):.4f} "
                 f"ce={m.get('student_loss', 0):.4f} "
                 f"lr={m['learning_rate']:.2e} eta={entry['remaining_time']}")
+        eval_every = run_cfg.eval_steps or run_cfg.save_steps
+        if eval_fn is not None and ((step_idx + 1) % eval_every == 0
+                                    or step_idx + 1 == total):
+            em = run_eval(state.params)
+            tlog.log(step_idx + 1, em,
+                     epoch=(step_idx + 1) / max(steps_per_epoch, 1))
+            logger.info(f"eval step {step_idx + 1}: "
+                        f"loss={em.get('eval_loss', float('nan')):.4f}")
         if (step_idx + 1) % run_cfg.save_steps == 0 or step_idx + 1 == total:
             ckpt_dir = os.path.join(run_cfg.output_dir,
                                     f"checkpoint-{step_idx + 1}")

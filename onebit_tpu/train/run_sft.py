@@ -70,8 +70,14 @@ def run_sft(config: BitLlamaConfig, params,
 def save_predictions(output_dir: str, params, config: BitLlamaConfig,
                      prompts: Sequence[str], labels: Sequence[str],
                      tokenize: Callable, detokenize: Callable, *,
-                     max_new_tokens: int = 64) -> str:
-    """Greedy-generate per prompt and dump jsonl (reference sft.py:167-192)."""
+                     max_new_tokens: int = 64,
+                     compute_metrics: bool = True) -> str:
+    """Greedy-generate per prompt and dump jsonl (reference sft.py:167-192).
+
+    With ``compute_metrics`` (the reference's ComputeMetrics predict stage,
+    sft.py:31-68) also writes ``predict_results.json`` holding mean
+    rouge-1/2/l and bleu-4 over the (prediction, label) pairs.
+    """
     from onebit_tpu.engine.generate import generate
     from onebit_tpu.engine.sampler import SamplingConfig
 
@@ -80,10 +86,16 @@ def save_predictions(output_dir: str, params, config: BitLlamaConfig,
     outs = generate(params, config, token_prompts,
                     max_new_tokens=max_new_tokens,
                     sampling=SamplingConfig(greedy=True))
+    preds = [detokenize(out) for out in outs]
     path = os.path.join(output_dir, "generated_predictions.jsonl")
     with open(path, "w", encoding="utf-8") as f:
-        for label, out in zip(labels, outs):
-            f.write(json.dumps({"label": label,
-                                "predict": detokenize(out)},
+        for label, pred in zip(labels, preds):
+            f.write(json.dumps({"label": label, "predict": pred},
                                ensure_ascii=False) + "\n")
+    if compute_metrics:
+        from onebit_tpu.train.gen_metrics import compute_generation_metrics
+        metrics = compute_generation_metrics(preds, list(labels))
+        with open(os.path.join(output_dir, "predict_results.json"),
+                  "w", encoding="utf-8") as f:
+            json.dump(metrics, f, indent=2)
     return path

@@ -105,24 +105,15 @@ def init_train_state(params: Dict[str, Any], cfg: TrainConfig) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
-                    train_cfg: TrainConfig, *, compute_dtype=jnp.bfloat16,
-                    donate: bool = True):
-    """Build the jit'd KD train step.
-
-    Signature: ``step(state, teacher_params, batch) -> (state, metrics)``
-    where ``batch = {"input_ids": [B,S], "labels": [B,S]}``.  The teacher is
-    a *packed or dense* BitLlama param tree evaluated without gradients — for
-    FP16-teacher parity load the teacher as dense full-precision weights in a
-    plain-Llama param tree via ``onebit_tpu.ckpt`` (same pytree layout,
-    dense_sign holding real-valued weights would change math, so teacher
-    uses ``teacher_forward``).
-    """
+def _build_loss(config: BitLlamaConfig, kd_cfg: KDConfig,
+                train_cfg: TrainConfig, compute_dtype):
+    """Shared loss plumbing for the train and eval steps: returns
+    ``(loss_fn(params, mask, teacher_out, batch), teacher_fwd(teacher_params,
+    batch) -> teacher_out|None)``."""
     need_hidden = kd_cfg.kd_beta > 0
     need_attn = kd_cfg.kd_gamma > 0
     use_teacher = kd_cfg.kd_loss_scale > 0 or kd_cfg.kd_beta > 0 \
         or kd_cfg.kd_gamma > 0
-    accum = max(train_cfg.grad_accum_steps, 1)
 
     def _unpack_out(out):
         """(logits, hidden?, attn?) per the forward extras convention."""
@@ -156,18 +147,40 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
             num_layers=config.num_hidden_layers)
         return total, metrics
 
-    def micro_grads(params, mask, teacher_params, micro_batch):
-        if use_teacher:
-            teacher_out = bitllama.forward(
-                teacher_params, micro_batch["input_ids"], config, impl="xla",
-                attention_mask=micro_batch.get("attention_mask"),
-                compute_dtype=compute_dtype,
-                output_hidden_states=need_hidden,
-                output_attentions=need_attn)
-            teacher_out = jax.lax.stop_gradient(teacher_out)
-        else:
+    def teacher_fwd(teacher_params, batch):
+        if not use_teacher:
             # pure-CE stage (SFT / kd_alpha=0 without distillation terms)
-            teacher_out = None
+            return None
+        out = bitllama.forward(
+            teacher_params, batch["input_ids"], config, impl="xla",
+            attention_mask=batch.get("attention_mask"),
+            compute_dtype=compute_dtype,
+            output_hidden_states=need_hidden,
+            output_attentions=need_attn)
+        return jax.lax.stop_gradient(out)
+
+    return loss_fn, teacher_fwd
+
+
+def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
+                    train_cfg: TrainConfig, *, compute_dtype=jnp.bfloat16,
+                    donate: bool = True):
+    """Build the jit'd KD train step.
+
+    Signature: ``step(state, teacher_params, batch) -> (state, metrics)``
+    where ``batch = {"input_ids": [B,S], "labels": [B,S]}``.  The teacher is
+    a *packed or dense* BitLlama param tree evaluated without gradients — for
+    FP16-teacher parity load the teacher as dense full-precision weights in a
+    plain-Llama param tree via ``onebit_tpu.ckpt`` (same pytree layout,
+    dense_sign holding real-valued weights would change math, so teacher
+    uses ``teacher_forward``).
+    """
+    accum = max(train_cfg.grad_accum_steps, 1)
+    loss_fn, teacher_fwd = _build_loss(config, kd_cfg, train_cfg,
+                                       compute_dtype)
+
+    def micro_grads(params, mask, teacher_params, micro_batch):
+        teacher_out = teacher_fwd(teacher_params, micro_batch)
         return jax.grad(loss_fn, has_aux=True)(
             params, mask, teacher_out, micro_batch)
 
@@ -207,3 +220,25 @@ def make_train_step(config: BitLlamaConfig, kd_cfg: KDConfig,
                           step=state.step + 1), metrics
 
     return train_step
+
+
+def make_eval_step(config: BitLlamaConfig, kd_cfg: KDConfig,
+                   train_cfg: TrainConfig, *, compute_dtype=jnp.bfloat16):
+    """Loss-only jit step for held-out evaluation during training — the
+    reference HF Trainer's eval loop (Seq2SeqTrainingArguments
+    ``evaluation_strategy`` path) that the round-1 ``run_kd`` lacked.
+
+    Signature: ``eval_step(params, teacher_params, batch) -> metrics`` (same
+    metric keys as the train step, no gradient/optimizer work).
+    """
+    loss_fn, teacher_fwd = _build_loss(config, kd_cfg, train_cfg,
+                                       compute_dtype)
+
+    @jax.jit
+    def eval_step(params, teacher_params, batch):
+        mask = trainable_mask(params)
+        teacher_out = teacher_fwd(teacher_params, batch)
+        _, metrics = loss_fn(params, mask, teacher_out, batch)
+        return metrics
+
+    return eval_step
