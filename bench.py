@@ -65,15 +65,22 @@ def main():
     best_impl = "pallas" if on_tpu else "xla"
 
     # Full-model throughput with the fused kernel (the headline number).
+    # fuse_for_decode concatenates q/k/v and gate/up along N so each decode
+    # step dispatches 4 projection kernels per layer instead of 7 — the
+    # per-call overhead dominates at small batch (scripts/profile_decode.py).
     print(f"# bench phase 1: full {size} {best_impl}", file=sys.stderr,
           flush=True)
     params = _make_params(config)
+    if best_impl == "pallas" and not os.environ.get("ONEBIT_BENCH_NO_FUSE"):
+        from onebit_tpu.model.bitllama import fuse_for_decode
+        params = fuse_for_decode(params, config)
     try:
         value = _bench_decode(config, params, best_impl, batch, max_len)
     except Exception as e:
         print(f"# pallas path failed, falling back to xla: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
         best_impl = "xla"
+        params = _make_params(config)
         value = _bench_decode(config, params, "xla", batch, max_len)
     del params
 

@@ -52,6 +52,43 @@ class BitLinearWeights(NamedTuple):
         raise ValueError("empty BitLinearWeights")
 
 
+class FusedBitLinearWeights(NamedTuple):
+    """ns same-width packed projections sharing one input (qkv / gate+up),
+    concatenated along N with each segment zero-padded to ``seg_pad =
+    packed.shape[-1] // ns``.  Built by ``model.bitllama.fuse_for_decode``;
+    one kernel dispatch computes all segments sharing a single sign-tile
+    unpack pass (kernels/bitlinear_pallas.bitlinear_packed_fused)."""
+    weight_scale: jax.Array            # [ns*seg_pad], zero on pads
+    input_factor: jax.Array            # [ns, in]
+    packed: jax.Array                  # [in//32, ns*seg_pad] int32
+
+    @property
+    def ns(self) -> int:
+        return self.input_factor.shape[-2]
+
+
+def fused_bitlinear_apply(x, w: FusedBitLinearWeights, n_true: int, *,
+                          impl: str = "auto", eps: float = LN_EPS):
+    """Apply ns fused projections → list of ns arrays ``[..., n_true]``."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from onebit_tpu.kernels.bitlinear_pallas import bitlinear_packed_fused
+        return bitlinear_packed_fused(x, w.packed, w.input_factor,
+                                      w.weight_scale, n_true=n_true, eps=eps)
+    # XLA fallback: per-segment unpack-then-dot (column slices of the
+    # concatenated packed words ARE the per-projection packed arrays)
+    ns = w.ns
+    seg_pad = w.packed.shape[-1] // ns
+    outs = []
+    for j in range(ns):
+        packed_j = w.packed[..., j * seg_pad:j * seg_pad + n_true]
+        sign_w = unpack_signs_device(packed_j, dtype=x.dtype)
+        h_j = w.weight_scale[j * seg_pad:j * seg_pad + n_true]
+        outs.append(bitlinear_fwd(x, sign_w, w.input_factor[j], h_j, eps=eps))
+    return outs
+
+
 def bitlinear_apply(x, w: BitLinearWeights, *, impl: str = "auto",
                     eps: float = LN_EPS):
     """Apply a BitLinear projection to ``x [..., in]`` → ``[..., out]``.

@@ -51,26 +51,33 @@ WORD_BITS = 32
 _SMALL_M = 128          # threshold for the fused-LN decode schedule
 _LANE = 128
 
+# decode-schedule unpack variant; override with ONEBIT_UNPACK_VARIANT
+import os as _os
+DECODE_UNPACK_VARIANT = _os.environ.get("ONEBIT_UNPACK_VARIANT", "sgn")
 
-def _unpack_planes(words, s_ref, nw: int):
+
+def _unpack_planes(words, s_ref, nw: int, variant: str = "sgn"):
     """Unpack [K/32, TN] int32 (K-major **byte-plane** layout,
-    core.packing.pack_signs_device) into s_ref [K, TN] as ±1 **int8**.
+    core.packing.pack_signs_device) into s_ref [K, TN] int8.
 
-    Per byte-plane p: ``(w >> p) & 0x01010101`` extracts 4 bits/lane, then
-    ``0x01010101 + bits*0xFE`` turns each byte into +1 (bit 0) or 0xFF = -1
-    (bit 1) with no cross-byte carry; a single int32→int8 bitcast scatters
-    byte c of int32 sublane i to int8 sublane 4i+c — matching the pack
-    layout, so each iteration stores one contiguous [4*nw, TN] slab.  Cost:
-    ~3 VPU ops per 4 elements + int8 (4x-packed) stores — measured the
-    fastest of 6 materialization strategies on v5e
-    (scripts/ubench_unpack.py); the MXU consumes the int8 tile via the
-    mixed bf16×int8 dot at full (or better) bf16 throughput.
+    ``variant="sgn"``: ±1 tiles.  Per byte-plane p: ``(w >> p) & 0x01010101``
+    extracts 4 bits/lane, then ``0x01010101 + bits*0xFE`` turns each byte
+    into +1 (bit 0) or 0xFF = -1 (bit 1) with no cross-byte carry; a single
+    int32→int8 bitcast scatters byte c of int32 sublane i to int8 sublane
+    4i+c — matching the pack layout, so each iteration stores one contiguous
+    [4*nw, TN] slab.  ~3 VPU ops per 4 elements + 4x-packed int8 stores —
+    measured fastest of 6 strategies on v5e (scripts/ubench_unpack.py).
+
+    ``variant="b01"``: raw 0/1 **bit** tiles (2 VPU ops per 4 elements);
+    the consumer must apply the sign correction
+    ``z = rowsum(y) - 2*(y·B)`` (since ``s = 1 - 2b``), which folds into
+    the epilogue as one rank-1 update (scripts/probe_kernel_v2.py).
     """
     w = pltpu.bitcast(words, jnp.uint32)
     msk = jnp.uint32(0x01010101)
     for p in range(8):
         bits = (w >> p) & msk
-        t = msk + bits * jnp.uint32(0xFE)
+        t = bits if variant == "b01" else msk + bits * jnp.uint32(0xFE)
         s_ref[pl.ds(p * 4 * nw, 4 * nw), :] = pltpu.bitcast(t, jnp.int8)
 
 
@@ -91,7 +98,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
                           acc_ref, y_ref, s_ref, *, tn: int, k: int,
-                          eps: float, has_bias: bool, fuse_ln: bool = True):
+                          eps: float, has_bias: bool, fuse_ln: bool = True,
+                          variant: str = "sgn"):
     ni = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
@@ -99,13 +107,18 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
     def _():
         y_ref[:] = x_ref[:] * g_ref[:]
 
-    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS)     # [K, TN] int8
+    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS, variant)  # [K, TN]
     s = s_ref[:]
     if y_ref.dtype == jnp.float32:   # f32 parity path: no f32xint8 MXU mode
         s = s.astype(jnp.float32)
+    y = y_ref[:]
     z = jax.lax.dot_general(
-        y_ref[:], s, dimension_numbers=(((1,), (0,)), ((), ())),
+        y, s, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [M, TN]
+    if variant == "b01":
+        # s held bits b = (1-sign)/2, so true z = rowsum(y) - 2*(y·B)
+        rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
+        z = rs - 2.0 * z
     acc_ref[:, pl.ds(ni * tn, tn)] = z * h_ref[:]
 
     @pl.when(ni == n_tiles - 1)
@@ -121,11 +134,15 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
 
 
 def _call_small_m(x2, packed, g, h, bias, eps, interpret,
-                  fuse_ln: bool = True):
+                  fuse_ln: bool = True, variant: str = None):
+    if variant is None:
+        variant = DECODE_UNPACK_VARIANT
     m, k = x2.shape
     nw, n = packed.shape
+    # s_ref is int8: cap its VMEM footprint at 8 MB (the round-1 cap sized
+    # it as bf16, silently forcing tn=128 for K=11008 — 2x slower unpack)
     tn = _pick_tile(n)
-    while tn * k * x2.dtype.itemsize > 4 * 1024 * 1024 and tn > 128:
+    while tn * k > 8 * 1024 * 1024 and tn > 128:
         tn //= 2
     m_pad = max(_round_up(m, 16), 16)
     if m_pad != m:
@@ -151,7 +168,8 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_fused_small_m_kernel, tn=tn, k=k, eps=eps,
-                               has_bias=has_bias, fuse_ln=fuse_ln)
+                               has_bias=has_bias, fuse_ln=fuse_ln,
+                               variant=variant)
     out_dtype = x2.dtype if fuse_ln else jnp.float32
     out = pl.pallas_call(
         kernel,
@@ -168,6 +186,187 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
         interpret=interpret,
     )(*inputs)
     return out[:m]
+
+
+# ---------------------------------------------------------------------------
+# fused multi-projection kernels: ns same-shape projections sharing one x
+# (qkv / gate+up).  Segments are concatenated along N (each zero-padded to
+# seg_pad); one kernel dispatch unpacks each packed tile once and selects
+# the segment's y = x*g_j for the dot.  Replaces 3 (or 2) dispatches + 3
+# x-loads with 1 — the per-call overhead dominates decode at batch<=16
+# (scripts/probe_kernel_v2.py).
+# ---------------------------------------------------------------------------
+
+def _fused_multiseg_small_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
+                                 acc_ref, y_ref, s_ref, *, tn: int, k: int,
+                                 ns: int, seg_pad: int, n_true: int,
+                                 m_pad: int, eps: float, variant: str,
+                                 fuse_ln: bool):
+    ni = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    @pl.when(ni == 0)
+    def _():
+        for j in range(ns):
+            y_ref[pl.ds(j * m_pad, m_pad), :] = \
+                x_ref[:] * g_ref[j, :][None, :]
+
+    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS, variant)
+    s = s_ref[:]
+    if y_ref.dtype == jnp.float32:
+        s = s.astype(jnp.float32)
+    seg = ni * tn // seg_pad              # tiles never straddle segments
+    y = y_ref[pl.ds(seg * m_pad, m_pad), :]
+    z = jax.lax.dot_general(
+        y, s, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if variant == "b01":
+        rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
+        z = rs - 2.0 * z
+    acc_ref[:, pl.ds(ni * tn, tn)] = z * h_ref[:]
+
+    @pl.when(ni == n_tiles - 1)
+    def _():
+        if fuse_ln:
+            inv_n = 1.0 / n_true
+            for j in range(ns):
+                a = acc_ref[:, j * seg_pad:(j + 1) * seg_pad]
+                # moment-form LN over the TRUE width: pads have h=0 so they
+                # contribute 0 to both sums
+                s1 = jnp.sum(a, axis=1, keepdims=True) * inv_n
+                s2 = jnp.sum(jnp.square(a), axis=1, keepdims=True) * inv_n
+                var = s2 - jnp.square(s1)
+                out_ref[:, j * seg_pad:(j + 1) * seg_pad] = \
+                    ((a - s1) * jax.lax.rsqrt(var + eps)).astype(out_ref.dtype)
+        else:
+            out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _matmul_fused_large_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
+                               s_ref, *, tn: int, k: int, seg_pad: int,
+                               variant: str):
+    ni, mi = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _():
+        _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS, variant)
+
+    seg = ni * tn // seg_pad
+    y = x_ref[:] * g_ref[seg, :][None, :]
+    s = s_ref[:]
+    if y.dtype == jnp.float32:
+        s = s.astype(jnp.float32)
+    z = jax.lax.dot_general(
+        y, s, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if variant == "b01":
+        rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
+        z = rs - 2.0 * z
+    out_ref[:] = (z * h_ref[:]).astype(out_ref.dtype)
+
+
+def bitlinear_packed_fused(x, packed, g, h, *, n_true: int,
+                           eps: float = LN_EPS,
+                           interpret: Optional[bool] = None):
+    """ns same-width projections fused along N: ``x [..., K]`` →
+    list of ns arrays ``[..., n_true]``, each LayerNorm'd.
+
+    ``packed``: int32 ``[K//32, ns*seg_pad]`` (segments zero-padded to
+    ``seg_pad``), ``g [ns, K]``, ``h [ns*seg_pad]`` (zero on pads).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    *lead, k = x.shape
+    ns, gk = g.shape
+    n_cat = packed.shape[1]
+    seg_pad = n_cat // ns
+    if gk != k or packed.shape[0] * WORD_BITS != k or seg_pad * ns != n_cat:
+        raise ValueError(f"fused shape mismatch: x K={k}, g {g.shape}, "
+                         f"packed {packed.shape}")
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    variant = DECODE_UNPACK_VARIANT
+    tn = 128
+    for cand in (1024, 512, 256):
+        if seg_pad % cand == 0 and cand * k <= 8 * 1024 * 1024:
+            tn = cand
+            break
+
+    g2 = g.astype(x2.dtype)
+    h2 = h.reshape(1, n_cat).astype(jnp.float32)
+
+    if m <= _SMALL_M:
+        m_pad = max(_round_up(m, 16), 16)
+        if m_pad != m:
+            x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(
+                _fused_multiseg_small_kernel, tn=tn, k=k, ns=ns,
+                seg_pad=seg_pad, n_true=n_true, m_pad=m_pad, eps=eps,
+                variant=variant, fuse_ln=True),
+            grid=(n_cat // tn,),
+            in_specs=[
+                pl.BlockSpec((m_pad, k), lambda ni: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns, k), lambda ni: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // WORD_BITS, tn), lambda ni: (0, ni),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn), lambda ni: (0, ni),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m_pad, n_cat), lambda ni: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n_cat), x2.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((m_pad, n_cat), jnp.float32),
+                pltpu.VMEM((ns * m_pad, k), x2.dtype),
+                pltpu.VMEM((k, tn), jnp.int8),
+            ],
+            interpret=interpret,
+        )(x2, g2, packed, h2)
+        out = out[:m]
+    else:
+        itemsize = x2.dtype.itemsize
+        tm = 256
+        while tm > 64 and (tm * k * itemsize * 2 + tn * k) > 12 * 1024 * 1024:
+            tm //= 2
+        m_pad = _round_up(m, tm)
+        if m_pad != m:
+            x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+        out_dtype = jnp.float32 if x2.dtype == jnp.float32 else x2.dtype
+        z = pl.pallas_call(
+            functools.partial(_matmul_fused_large_kernel, tn=tn, k=k,
+                              seg_pad=seg_pad, variant=variant),
+            grid=(n_cat // tn, m_pad // tm),
+            in_specs=[
+                pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns, k), lambda ni, mi: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k // WORD_BITS, tn), lambda ni, mi: (0, ni),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn), lambda ni, mi: (0, ni),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n_cat), out_dtype),
+            scratch_shapes=[pltpu.VMEM((k, tn), jnp.int8)],
+            interpret=interpret,
+        )(x2, g2, packed, h2)
+        z = z[:m]
+        # LayerNorm per segment in the caller (XLA fuses)
+        outs = []
+        for j in range(ns):
+            a = z[:, j * seg_pad:j * seg_pad + n_true].astype(jnp.float32)
+            mean = jnp.mean(a, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(a - mean), axis=-1, keepdims=True)
+            outs.append(((a - mean) * jax.lax.rsqrt(var + eps))
+                        .astype(x.dtype).reshape(*lead, n_true))
+        return outs
+    return [out[:, j * seg_pad:j * seg_pad + n_true].reshape(*lead, n_true)
+            for j in range(ns)]
 
 
 # ---------------------------------------------------------------------------

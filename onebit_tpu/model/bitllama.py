@@ -117,6 +117,71 @@ def init_params(config: BitLlamaConfig, key, mode: str = "latent",
     return params
 
 
+def _pad_last(a, target: int):
+    pad = target - a.shape[-1]
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    return jnp.pad(a, widths)
+
+
+def fuse_for_decode(params: Dict[str, Any],
+                    config: BitLlamaConfig) -> Dict[str, Any]:
+    """Fuse q/k/v and gate/up packed projections for serving decode.
+
+    Replaces the five per-projection entries with two
+    ``FusedBitLinearWeights`` ("qkv_proj", "gateup_proj") whose packed sign
+    words are concatenated along N (segments zero-padded to a 512-multiple,
+    ``h = 0`` on pads so the in-kernel moment-form LayerNorm is exact).
+    One kernel dispatch + one unpack pass then serves 3 (resp. 2)
+    projections — the per-call overhead dominates decode at small batch.
+
+    Requires packed weights and (for qkv) equal projection widths (MHA:
+    ``num_key_value_heads == num_attention_heads``, true of every OneBit
+    target model).  No-op when preconditions fail.  The fused entries are
+    views over the SAME information (column slices recover each
+    projection), so training/TP paths keep using unfused checkpoints.
+    """
+    from onebit_tpu.kernels.bitlinear import FusedBitLinearWeights
+
+    layers = dict(params["layers"])
+
+    def _fusable(names):
+        ws = [layers.get(n) for n in names]
+        if not all(isinstance(w, BitLinearWeights) and w.mode == "packed"
+                   and w.bias is None for w in ws):
+            return None
+        n_out = {w.packed.shape[-1] for w in ws}
+        return ws if len(n_out) == 1 else None
+
+    def _fuse(ws):
+        n_true = ws[0].packed.shape[-1]
+        seg_pad = -(-n_true // 512) * 512
+        packed = jnp.concatenate(
+            [_pad_last(w.packed, seg_pad) for w in ws], axis=-1)
+        h = jnp.concatenate(
+            [_pad_last(w.weight_scale.astype(jnp.float32), seg_pad)
+             for w in ws], axis=-1)
+        g = jnp.stack([w.input_factor.astype(jnp.float32) for w in ws],
+                      axis=-2)  # [L, ns, K]
+        return FusedBitLinearWeights(weight_scale=h, input_factor=g,
+                                     packed=packed)
+
+    qkv = _fusable(("q_proj", "k_proj", "v_proj"))
+    if qkv is not None:
+        layers["qkv_proj"] = _fuse(qkv)
+        for n in ("q_proj", "k_proj", "v_proj"):
+            del layers[n]
+    gu = _fusable(("gate_proj", "up_proj"))
+    if gu is not None:
+        layers["gateup_proj"] = _fuse(gu)
+        for n in ("gate_proj", "up_proj"):
+            del layers[n]
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def pack_model_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Convert latent/dense-sign projections to packed int32 inference form.
 
@@ -146,6 +211,30 @@ def rms_norm(x, weight, eps: float):
     var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
     y = x32 * jax.lax.rsqrt(var + eps)
     return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attention_quant(q, k_q, k_s, v_q, v_s, mask, *, num_kv_groups: int):
+    """GQA attention directly on an INT8 cache — no full-cache dequant.
+
+    Scales fold exactly: ``scores = (q·k_qᵀ) * k_s`` and
+    ``ctx = (probs ⊙ v_s) · v_q`` (the per-(position, head) scale is
+    constant along the contracted head_dim, resp. multiplies one softmax
+    column).  HBM reads stay int8 — the entire point of the quantized
+    cache; the round-1 path re-materialized bf16 K/V per layer per step.
+    q [B,S,nh,hd]; k_q/v_q [B,T,nkv,hd] int8; k_s/v_s [B,T,nkv] f32.
+    """
+    b, s, nh, hd = q.shape
+    nkv = k_q.shape[2]
+    qg = q.reshape(b, s, nkv, num_kv_groups, hd)
+    scores = jnp.einsum("bsngh,btnh->bngst", qg, k_q.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * jnp.moveaxis(k_s, 1, 2)[:, :, None, None, :]
+    scores = scores * (hd ** -0.5)
+    scores = jnp.where(mask[:, :, None], scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1)
+    pv = (probs * jnp.moveaxis(v_s, 1, 2)[:, :, None, None, :]).astype(q.dtype)
+    ctx = jnp.einsum("bngst,btnh->bsngh", pv, v_q.astype(q.dtype))
+    return ctx.reshape(b, s, nh, hd)
 
 
 def _attention(q, k, v, mask, *, num_kv_groups: int, return_probs=False):
@@ -182,9 +271,14 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     residual = x
     hx = rms_norm(x, layer_params["input_layernorm"], config.rms_norm_eps)
 
-    q = _project(hx, layer_params["q_proj"], impl)
-    k = _project(hx, layer_params["k_proj"], impl)
-    v = _project(hx, layer_params["v_proj"], impl)
+    if "qkv_proj" in layer_params:
+        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
+        q, k, v = fused_bitlinear_apply(hx, layer_params["qkv_proj"],
+                                        nkv * hd, impl=impl)
+    else:
+        q = _project(hx, layer_params["q_proj"], impl)
+        k = _project(hx, layer_params["k_proj"], impl)
+        v = _project(hx, layer_params["v_proj"], impl)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
@@ -192,8 +286,10 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
 
     new_cache_kv = None
     if cache_kv is not None and len(cache_kv) == 4:
-        # INT8 quantized cache: (k_q, k_s, v_q, v_s)
-        from onebit_tpu.model.kv_cache import dequantize_kv, quantize_kv
+        # INT8 quantized cache: (k_q, k_s, v_q, v_s); attention reads the
+        # int8 arrays directly with scales folded into scores/probs
+        # (_attention_quant) — no full-cache dequantization
+        from onebit_tpu.model.kv_cache import quantize_kv
         k_q, k_s, v_q, v_s = cache_kv
         nkq, nks = quantize_kv(k)
         nvq, nvs = quantize_kv(v)
@@ -201,9 +297,30 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
                                 start_index=cache_index, axis=1)
         k_q, k_s = upd(k_q, nkq), upd(k_s, nks)
         v_q, v_s = upd(v_q, nvq), upd(v_s, nvs)
-        k_all = dequantize_kv(k_q, k_s, q.dtype)
-        v_all = dequantize_kv(v_q, v_s, q.dtype)
         new_cache_kv = (k_q, k_s, v_q, v_s)
+        attn_out = _project(
+            _attention_quant(q, k_q, k_s, v_q, v_s, mask,
+                             num_kv_groups=config.num_kv_groups
+                             ).reshape(b, s, nh * hd),
+            layer_params["o_proj"], impl)
+        x = residual + attn_out
+        residual = x
+        hx = rms_norm(x, layer_params["post_attention_layernorm"],
+                      config.rms_norm_eps)
+        if "gateup_proj" in layer_params:
+            from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
+            gate, up = fused_bitlinear_apply(
+                hx, layer_params["gateup_proj"],
+                config.intermediate_size, impl=impl)
+        else:
+            gate = _project(hx, layer_params["gate_proj"], impl)
+            up = _project(hx, layer_params["up_proj"], impl)
+        mlp = _project(jax.nn.silu(gate) * up, layer_params["down_proj"],
+                       impl)
+        x = residual + mlp
+        if collect_attn:
+            return x, new_cache_kv, None
+        return x, new_cache_kv
     elif cache_kv is not None:
         ck, cv = cache_kv
         ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_index, axis=1)
@@ -233,8 +350,13 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     residual = x
     hx = rms_norm(x, layer_params["post_attention_layernorm"],
                   config.rms_norm_eps)
-    gate = _project(hx, layer_params["gate_proj"], impl)
-    up = _project(hx, layer_params["up_proj"], impl)
+    if "gateup_proj" in layer_params:
+        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
+        gate, up = fused_bitlinear_apply(hx, layer_params["gateup_proj"],
+                                         config.intermediate_size, impl=impl)
+    else:
+        gate = _project(hx, layer_params["gate_proj"], impl)
+        up = _project(hx, layer_params["up_proj"], impl)
     mlp = _project(jax.nn.silu(gate) * up, layer_params["down_proj"], impl)
     x = residual + mlp
     if collect_attn:
