@@ -128,6 +128,29 @@ def cmd_eval(args):
             loaded["params"], loaded["config"], tokens, seqlen=args.seqlen,
             batch_size=args.batch_size, limit=args.limit, progress=True)
 
+    if args.corpus:
+        # one-command real-checkpoint parity path (SURVEY §7 phase-2 exit
+        # criterion): e.g.
+        #   python -m onebit_tpu eval --ckpt <packed> --corpus wikitext2 \
+        #     --expect expected/onebit_llama_7b.json
+        from transformers import AutoTokenizer
+
+        from onebit_tpu.eval.datasets import get_eval_tokens
+        from onebit_tpu.eval.ppl import perplexity
+        tok = AutoTokenizer.from_pretrained(args.tokenizer or args.ckpt)
+        for name in args.corpus.split(","):
+            name = name.strip()
+            stream = get_eval_tokens(
+                name, lambda s: tok(s, add_special_tokens=False)["input_ids"],
+                source=args.corpus_source, seqlen=args.seqlen)
+            if stream is None:
+                print(f"{name}: no eval stream defined (reference parity)")
+                continue
+            results[f"ppl_{name}"] = perplexity(
+                loaded["params"], loaded["config"], stream,
+                seqlen=args.seqlen, batch_size=args.batch_size,
+                limit=args.limit, progress=True)
+
     if args.wikitext:
         from transformers import AutoTokenizer
 
@@ -163,7 +186,8 @@ def cmd_eval(args):
                 tasks.append(TASK_REGISTRY[name].from_datasets())
         task_results = evaluate_tasks(
             loaded["params"], loaded["config"], tasks, tokenize,
-            batch_size=args.batch_size, limit=args.limit)
+            batch_size=args.batch_size, limit=args.limit,
+            num_fewshot=args.num_fewshot)
         print(make_table(task_results))
         results.update(task_results)
         mmlu = aggregate_mmlu(task_results)
@@ -171,6 +195,33 @@ def cmd_eval(args):
             results["mmlu"] = mmlu
 
     print(json.dumps(results, default=float))
+
+    if args.expect:
+        # pinned-numbers assertion: {"metric": {"value": v, "atol": a}, ...}
+        with open(args.expect) as f:
+            expected = json.load(f)
+        failures = []
+        for metric, spec in expected.items():
+            if metric.startswith("_"):
+                continue  # comment fields
+            got = results
+            for part in metric.split("."):
+                got = got.get(part) if isinstance(got, dict) else None
+                if got is None:
+                    break
+            if got is None:
+                failures.append(f"{metric}: MISSING (wanted "
+                                f"{spec['value']}±{spec.get('atol', 0.1)})")
+                continue
+            atol = float(spec.get("atol", 0.1))
+            ok = abs(float(got) - float(spec["value"])) <= atol
+            line = (f"{metric}: got {float(got):.4f}, want "
+                    f"{spec['value']}±{atol} -> {'PASS' if ok else 'FAIL'}")
+            print(line)
+            if not ok:
+                failures.append(line)
+        if failures:
+            raise SystemExit("expectation failures:\n" + "\n".join(failures))
 
 
 def cmd_generate(args):
@@ -184,11 +235,19 @@ def cmd_generate(args):
         prompt = tok(args.prompt)["input_ids"]
     else:
         prompt = [int(t) for t in args.prompt.split(",")]
-    sampling = SamplingConfig(greedy=args.greedy,
-                              temperature=args.temperature,
-                              top_k=args.top_k, top_p=args.top_p)
-    out = generate(loaded["params"], loaded["config"], [prompt],
-                   max_new_tokens=args.max_new_tokens, sampling=sampling)[0]
+    if args.num_beams > 1:
+        from onebit_tpu.engine.beam import beam_generate
+        out = beam_generate(loaded["params"], loaded["config"], [prompt],
+                            num_beams=args.num_beams,
+                            max_new_tokens=args.max_new_tokens,
+                            length_penalty=args.length_penalty)[0][0][0]
+    else:
+        sampling = SamplingConfig(greedy=args.greedy,
+                                  temperature=args.temperature,
+                                  top_k=args.top_k, top_p=args.top_p)
+        out = generate(loaded["params"], loaded["config"], [prompt],
+                       max_new_tokens=args.max_new_tokens,
+                       sampling=sampling)[0]
     if args.tokenizer:
         print(tok.decode(out))
     else:
@@ -287,6 +346,13 @@ def build_parser():
     e.add_argument("--seqlen", type=int, default=2048)
     e.add_argument("--batch-size", type=int, default=4)
     e.add_argument("--limit", type=int)
+    e.add_argument("--corpus", help="comma list of ppl corpora (wikitext2,"
+                   "c4,c4_new,ptb,ptb_new) loaded by protocol")
+    e.add_argument("--corpus-source", help="local corpus path (text/jsonl/"
+                   "load_from_disk dir) for --corpus")
+    e.add_argument("--num-fewshot", type=int, default=0)
+    e.add_argument("--expect", help="pinned expected-numbers JSON; exits "
+                   "nonzero when any metric misses its tolerance")
     e.set_defaults(fn=cmd_eval)
 
     g = sub.add_parser("generate", help="text generation")
@@ -295,6 +361,8 @@ def build_parser():
     g.add_argument("--tokenizer")
     g.add_argument("--max-new-tokens", type=int, default=64)
     g.add_argument("--greedy", action="store_true")
+    g.add_argument("--num-beams", type=int, default=1)
+    g.add_argument("--length-penalty", type=float, default=1.0)
     g.add_argument("--temperature", type=float, default=0.95)
     g.add_argument("--top-k", type=int, default=50)
     g.add_argument("--top-p", type=float, default=0.7)

@@ -98,3 +98,36 @@ def test_cli_serve_stdin(tmp_path, capsys, monkeypatch):
     rows = [json.loads(l) for l in lines]
     assert len(rows) == 2
     assert all("completion" in r for r in rows)
+
+
+def test_cli_eval_expect_pass_and_fail(tmp_path, capsys):
+    """--corpus + --expect: the one-command real-checkpoint parity path."""
+    import pytest
+
+    config = BitLlamaConfig.named("tiny")
+    ckpt = str(tmp_path / "m")
+    save_native(ckpt, config, init_params(config, jax.random.PRNGKey(1),
+                                          mode="packed"))
+    corpus = tmp_path / "wiki.txt"
+    # token stream via the char tokenizer is too exotic for the CLI (it
+    # uses AutoTokenizer); use --tokens + --expect instead
+    tokens_path = str(tmp_path / "t.npy")
+    np.save(tokens_path, np.random.default_rng(0).integers(
+        0, config.vocab_size, (80,)).astype(np.int32))
+
+    main(["eval", "--ckpt", ckpt, "--tokens", tokens_path,
+          "--seqlen", "16", "--batch-size", "2"])
+    ppl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["ppl"]
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"ppl": {"value": ppl, "atol": 0.5}}))
+    main(["eval", "--ckpt", ckpt, "--tokens", tokens_path, "--seqlen", "16",
+          "--batch-size", "2", "--expect", str(good)])
+    assert "PASS" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"ppl": {"value": ppl + 10, "atol": 0.1},
+                               "missing_metric": {"value": 1.0}}))
+    with pytest.raises(SystemExit, match="expectation failures"):
+        main(["eval", "--ckpt", ckpt, "--tokens", tokens_path,
+              "--seqlen", "16", "--batch-size", "2", "--expect", str(bad)])
