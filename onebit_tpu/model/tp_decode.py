@@ -233,3 +233,73 @@ def make_tp_decode_step(mesh, config: BitLlamaConfig, params_template, *,
         out_specs=(P(), cache_spec),
         check_vma=False)
     return jax.jit(smapped)
+
+
+def make_tp_greedy_step(mesh, config: BitLlamaConfig, params_template, *,
+                        impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """TP decode step returning greedy next tokens — no logits all-gather.
+
+    ``make_tp_decode_step`` all-gathers the full fp32 logits ``[B, S, V]``
+    every step (B·S·V·4 bytes over ICI).  For greedy decode only the argmax
+    survives, and argmax commutes with the vocab sharding: each shard
+    argmaxes its local ``V/mp`` slice, then ``mp`` (value, index) scalar
+    pairs per row are combined — per-step collective bytes drop
+    ``V/(2·mp)``-fold (e.g. 32000/8 = 4000× at mp=4).  Addresses the
+    reference surface HF ``GenerationMixin.generate`` greedy path
+    (modeling_bitllama.py:1464-1510) with a collective-minimal TP design.
+
+    Signature: ``step(params, cache, input_ids, cache_index) ->
+    (next_token [B] int32, cache)``; token-exact vs single-device argmax
+    (ties broken toward the lowest global vocab index, matching
+    ``jnp.argmax`` on the full row).
+    """
+    mp = mesh.shape[MODEL_AXIS]
+    if config.num_attention_heads % mp or config.num_key_value_heads % mp:
+        raise ValueError(f"heads not divisible by model={mp}")
+    specs = _match_specs(params_template)
+    cache_spec = KVCache(k=P(None, None, None, MODEL_AXIS, None),
+                         v=P(None, None, None, MODEL_AXIS, None))
+
+    def body(params, cache, input_ids, cache_index):
+        b, s = input_ids.shape
+        max_len = cache.max_len
+        x = params["embed_tokens"][input_ids].astype(compute_dtype)
+        positions = cache_index + jnp.arange(s)[None, :]
+        cos, sin = rope_cos_sin(
+            positions, config.head_dim, config.rope_theta,
+            config.rope_scaling, config.max_position_embeddings,
+            seq_len=max_len, dtype=compute_dtype)
+        mask = bitllama._causal_mask(s, max_len, cache_index)
+
+        def layer(x, layer_in):
+            layer_params, ck, cv = layer_in
+            x, new_kv = _tp_decoder_layer(
+                x, layer_params, cos, sin, mask, (ck, cv), cache_index,
+                config, mp, impl)
+            return x, new_kv
+
+        x, (nk, nv) = jax.lax.scan(layer, x,
+                                   (params["layers"], cache.k, cache.v))
+        x = bitllama.rms_norm(x[:, -1:], params["final_norm"],
+                              config.rms_norm_eps)
+        logits_l = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                              preferred_element_type=jnp.float32)[:, 0]
+        v_local = logits_l.shape[-1]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        local_max = jnp.max(logits_l, axis=-1)                    # [B]
+        local_arg = (jnp.argmax(logits_l, axis=-1).astype(jnp.int32)
+                     + shard * v_local)                           # [B]
+        # [mp, B] each — the only cross-shard traffic for the lm head
+        all_max = jax.lax.all_gather(local_max, MODEL_AXIS)
+        all_arg = jax.lax.all_gather(local_arg, MODEL_AXIS)
+        best_shard = jnp.argmax(all_max, axis=0)                  # [B]
+        token = jnp.take_along_axis(all_arg, best_shard[None, :],
+                                    axis=0)[0]
+        return token, KVCache(k=nk, v=nv)
+
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(specs, cache_spec, P(), P()),
+        out_specs=(P(), cache_spec),
+        check_vma=False)
+    return jax.jit(smapped)

@@ -47,6 +47,37 @@ def test_tp_decode_matches_single_device():
                                rtol=3e-4, atol=3e-4)
 
 
+def test_tp_greedy_step_token_exact():
+    """Local-argmax greedy TP step == argmax of the full-logits path,
+    through a 3-token greedy rollout (cache state must stay in sync)."""
+    from onebit_tpu.model.tp_decode import make_tp_greedy_step
+    config = BitLlamaConfig.named("tiny")
+    params = pack_model_params(
+        init_params(config, jax.random.PRNGKey(2), mode="latent"))
+    B, S = 3, 5
+    ids = jax.random.randint(jax.random.PRNGKey(3), (B, S), 0,
+                             config.vocab_size)
+
+    mesh = create_mesh((1, 2))
+    sparams, _ = shard_tp_params(params, mesh)
+    greedy = make_tp_greedy_step(mesh, config, params,
+                                 compute_dtype=jnp.float32, impl="xla")
+
+    ref_cache = init_kv_cache(config, B, max_len=16, dtype=jnp.float32)
+    tp_cache = init_kv_cache(config, B, max_len=16, dtype=jnp.float32)
+    step_ids, idx = ids, jnp.int32(0)
+    for _ in range(3):
+        ref_logits, ref_cache = decode_step(params, ref_cache, step_ids,
+                                            idx, config,
+                                            compute_dtype=jnp.float32)
+        want = jnp.argmax(ref_logits[:, -1], axis=-1).astype(jnp.int32)
+        got, tp_cache = greedy(sparams, tp_cache, step_ids, idx)
+        assert got.shape == (B,)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        idx = idx + step_ids.shape[1]
+        step_ids = want[:, None]
+
+
 def test_tp_decode_13b_widths():
     """Full 13B widths (5120/13824, 40 heads) on a 4-way TP mesh —
     validates tiling + sharding math at the real dimensions (depth 1)."""
