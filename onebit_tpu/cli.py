@@ -111,6 +111,10 @@ def cmd_train(args):
                           max_steps=args.max_steps,
                           save_steps=args.save_steps,
                           resume_from=args.resume_from)
+    # student-vs-teacher cross-checks need both configs; run_kd re-validates
+    # the rest (reference get_train_args, core.py:81-215)
+    from onebit_tpu.train.validate import validate_kd
+    validate_kd(kd_cfg, config, teacher["config"])
     run_kd(config, student["params"], teacher["params"], blocks,
            kd_cfg=kd_cfg, train_cfg=train_cfg, run_cfg=run_cfg)
 

@@ -82,6 +82,18 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
     steps_per_epoch = len(blocks) // run_cfg.batch_size
     total = run_cfg.max_steps or steps_per_epoch * run_cfg.num_epochs
     train_cfg = dataclasses.replace(train_cfg, total_steps=total)
+    if train_cfg.warmup_steps >= total:
+        # short runs (smoke tests, tiny corpora) keep the default warmup of
+        # 500 (llama_7b.sh:45); clamp rather than reject
+        logger.info(f"clamping warmup_steps {train_cfg.warmup_steps} -> "
+                    f"{max(total // 10, 1)} (total_steps={total})")
+        train_cfg = dataclasses.replace(train_cfg,
+                                        warmup_steps=max(total // 10, 1))
+
+    # pre-flight cross-validation (reference get_train_args, core.py:81-215)
+    from onebit_tpu.train.validate import validate_train_run
+    validate_train_run(config, kd_cfg, train_cfg, run_cfg,
+                       n_blocks=len(blocks), block_len=int(blocks.shape[1]))
 
     mesh_shape = run_cfg.mesh_shape
     if mesh_shape is None:
