@@ -74,3 +74,64 @@ def test_native_clean_end_to_end():
     jp.register_contaminant(dirt)
     assert jn.dirt_ngrams == jp.dirt_ngrams
     assert jn.clean(doc) == jp.clean(doc)
+
+
+# -- archiver + pre-built ngram overlap (reference archiver.py /
+# decontaminate.py:get_train_overlap) ---------------------------------------
+
+def test_zstd_archive_round_trip(tmp_path):
+    from onebit_tpu.tools.decontam.archiver import Archive, Reader
+    path = str(tmp_path / "docs.jsonl.zst")
+    arch = Archive(path)
+    arch.add_data("hello world", meta={"id": 1})
+    arch.add_data(["para one", "para two"])  # list -> paragraph auto-join
+    arch.commit()
+    docs = list(Reader().read(path))
+    assert docs == ["hello world", "para one\n\npara two"]
+    with_meta = list(Reader().read(path, get_meta=True))
+    assert with_meta[0] == ("hello world", {"id": 1})
+
+
+def test_text_archive_round_trip(tmp_path):
+    from onebit_tpu.tools.decontam.archiver import (TextArchive,
+                                                    read_text_lines)
+    path = str(tmp_path / "t.txt")
+    ta = TextArchive(path)
+    ta.add_data("line one")
+    ta.add_data("line two")
+    ta.commit()
+    assert list(read_text_lines(path)) == ["line one", "line two"]
+
+
+def test_get_train_overlap_prebuilt_buckets(tmp_path):
+    """Planted 4-gram overlap via the sorted-bucket path; clean docs and
+    clean tasks stay clean; cache round-trips."""
+    import json as _json
+
+    from onebit_tpu.tools.decontam.archiver import write_sorted_ngrams
+    from onebit_tpu.tools.decontam.overlap import get_train_overlap
+
+    ngrams_dir = tmp_path / "ngrams"
+    ngrams_dir.mkdir()
+    (ngrams_dir / "info.json").write_text(_json.dumps({"ngram_size": 4}))
+    # training-set ngrams, sorted, "<ngram> <doc_id>" lines incl. duplicates
+    lines = sorted([
+        "alpha beta gamma delta 0",
+        "alpha beta gamma delta 7",
+        "epsilon zeta eta theta 3",
+    ])
+    write_sorted_ngrams(str(ngrams_dir / "ngrams_0.bkt.txt.sorted.zst"),
+                        lines)
+
+    docs_by_task = {
+        "taskA": ["intro Alpha BETA gamma delta outro",   # dirty (doc 0)
+                  "totally unrelated clean words here"],  # clean  (doc 1)
+        "taskB": ["nothing matches in this one at all"],
+    }
+    cache = str(tmp_path / "cache")
+    got = get_train_overlap(docs_by_task, str(ngrams_dir), cache_dir=cache)
+    assert got == {"taskA": {0}, "taskB": set()}
+    # second call hits the pickle cache and agrees
+    again = get_train_overlap(docs_by_task, str(ngrams_dir),
+                              cache_dir=cache)
+    assert again == got
