@@ -1,0 +1,167 @@
+"""LM backends for the task harness beyond the native quantized model.
+
+The reference's eval fork keeps a model registry (lm_eval/models/__init__.py:
+hf-causal via huggingface.py:18-44, gpt2 via models_utils.BaseLM, API models,
+dummy) so the SAME task battery scores FP16 baselines next to the quantized
+model.  Here the harness's ``lm=`` hook (eval/tasks/base.py:_run_requests)
+takes any object with the three-method surface; this module provides:
+
+* :class:`TorchCausalLM` — any HuggingFace ``*ForCausalLM`` (e.g. the FP16
+  teacher on host CPU), so the "FP16" columns of the reference's README
+  tables reproduce through our harness.
+* :class:`JaxLM` — the native model wrapped into the same object surface,
+  for code that wants a uniform handle instead of (params, config).
+
+API keys / remote backends (reference gpt3.py, textsynth.py) are out of
+scope in a zero-egress environment.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from onebit_tpu.eval.rolling import rolling_windows
+
+
+class TorchCausalLM:
+    """The reference's hf-causal adapter (huggingface.py:18-44 +
+    models_utils.BaseLM loglikelihood machinery) for torch models.
+
+    Token-level API: requests arrive pre-tokenized from the harness.
+    Batches are padded right; continuation logprobs are gathered under
+    fp32 log_softmax (reference base.py:294-325).
+    """
+
+    def __init__(self, model, *, max_length: int = 2048,
+                 batch_size: int = 8, device: str = "cpu"):
+        import torch
+        self._torch = torch
+        self.model = model.to(device).eval()
+        self.device = device
+        self.max_length = max_length
+        self.batch_size = batch_size
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kw):
+        from transformers import AutoModelForCausalLM
+        model = AutoModelForCausalLM.from_pretrained(path)
+        max_len = getattr(model.config, "max_position_embeddings", 2048)
+        kw.setdefault("max_length", max_len)
+        return cls(model, **kw)
+
+    # -- request API --------------------------------------------------------
+
+    def loglikelihood(self, requests: Sequence[Tuple[Sequence[int],
+                                                     Sequence[int]]]
+                      ) -> List[Tuple[float, bool]]:
+        torch = self._torch
+        out: List[Optional[Tuple[float, bool]]] = [None] * len(requests)
+        # ranked collation: sort by total length so batches pad minimally
+        # (reference base.py:257-292 _collate)
+        order = sorted(range(len(requests)),
+                       key=lambda i: -(len(requests[i][0])
+                                       + len(requests[i][1])))
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            rows, conts = [], []
+            for i in idxs:
+                ctx, cont = requests[i]
+                toks = (list(ctx) + list(cont))[-self.max_length:]
+                cont = list(cont)[-self.max_length + 1:] if len(cont) \
+                    >= self.max_length else list(cont)
+                rows.append(toks)
+                conts.append(cont)
+            width = max(len(r) for r in rows)
+            batch = np.zeros((len(rows), width), np.int64)
+            for j, r in enumerate(rows):
+                batch[j, :len(r)] = r
+            with torch.no_grad():
+                logits = self.model(
+                    torch.from_numpy(batch).to(self.device)).logits
+                logprobs = torch.log_softmax(logits.float(), dim=-1)
+            for j, i in enumerate(idxs):
+                nc = len(conts[j])
+                n = len(rows[j])
+                # token t is predicted at position t-1
+                lp = logprobs[j, n - nc - 1:n - 1]
+                tgt = torch.tensor(conts[j], dtype=torch.long,
+                                   device=lp.device)
+                tok_lp = lp.gather(-1, tgt[:, None])[:, 0]
+                greedy = bool((lp.argmax(-1) == tgt).all())
+                out[i] = (float(tok_lp.sum()), greedy)
+        return out  # type: ignore[return-value]
+
+    def loglikelihood_rolling(self, documents: Sequence[Sequence[int]]
+                              ) -> List[float]:
+        results = []
+        for doc in documents:
+            pairs = rolling_windows(doc, self.max_length - 1)
+            scores = self.loglikelihood(pairs)
+            results.append(sum(s for s, _ in scores))
+        return results
+
+    def greedy_until(self, requests, detokenize=None,
+                     max_new_tokens: int = 256) -> List[str]:
+        if detokenize is None:
+            raise ValueError("greedy_until tasks need a detokenize fn")
+        torch = self._torch
+        outs = []
+        for ctx_toks, stops in requests:
+            toks = list(ctx_toks)[-(self.max_length - max_new_tokens):]
+            ids = torch.tensor([toks], dtype=torch.long, device=self.device)
+            gen: List[int] = []
+            with torch.no_grad():
+                for _ in range(max_new_tokens):
+                    logits = self.model(ids).logits[0, -1]
+                    nxt = int(logits.argmax())
+                    gen.append(nxt)
+                    text = detokenize(gen)
+                    if any(s in text for s in stops):
+                        break
+                    ids = torch.cat(
+                        [ids, torch.tensor([[nxt]], device=self.device)],
+                        dim=1)[:, -self.max_length:]
+            text = detokenize(gen)
+            for s in stops:   # truncate at the first stop sequence
+                pos = text.find(s)
+                if pos >= 0:
+                    text = text[:pos]
+            outs.append(text)
+        return outs
+
+
+class JaxLM:
+    """The native model behind the same three-method surface, so callers
+    can treat quantized/native and torch baselines uniformly."""
+
+    def __init__(self, params, config, *, batch_size: int = 16,
+                 impl: str = "auto", compute_dtype=None):
+        import jax.numpy as jnp
+        self.params = params
+        self.config = config
+        self.batch_size = batch_size
+        self.impl = impl
+        self.compute_dtype = compute_dtype or jnp.float32
+
+    def loglikelihood(self, requests):
+        from onebit_tpu.eval.loglikelihood import loglikelihood
+        return loglikelihood(self.params, self.config, requests,
+                             batch_size=self.batch_size, impl=self.impl,
+                             compute_dtype=self.compute_dtype,
+                             max_length=self.config.max_position_embeddings)
+
+    def loglikelihood_rolling(self, documents):
+        from onebit_tpu.eval.rolling import loglikelihood_rolling
+        return loglikelihood_rolling(
+            self.params, self.config, documents,
+            batch_size=self.batch_size, compute_dtype=self.compute_dtype,
+            max_length=self.config.max_position_embeddings)
+
+    def greedy_until(self, requests, detokenize=None,
+                     max_new_tokens: int = 256):
+        from onebit_tpu.eval.rolling import greedy_until
+        return greedy_until(self.params, self.config, requests, detokenize,
+                            max_new_tokens=max_new_tokens,
+                            batch_size=self.batch_size)
