@@ -225,3 +225,21 @@ class WNLI(DocTask):
 
     def higher_is_better(self):
         return {"acc": True}
+
+
+class STSB(DocTask):
+    """reference glue.py STSB (:488-540): prompt + regression target
+    defined, evaluation deliberately unimplemented upstream
+    (construct_requests raises) — registered for registry parity."""
+    name = "stsb"
+    DATASET_PATH, DATASET_NAME = "glue", "stsb"
+
+    def doc_to_text(self, doc):
+        return "sentence 1: {}\nsentence 2: {}\nAnswer:".format(
+            doc["sentence1"], doc["sentence2"])
+
+    def doc_to_target(self, doc):
+        return " {}".format(doc["label"])
+
+    def construct_requests(self, doc, ctx):
+        raise NotImplementedError("Evaluation not implemented")

@@ -74,6 +74,9 @@ BLIMP_PARADIGMS = [
     "left_branch_island_echo_question", "left_branch_island_simple_question",
     "matrix_question_npi_licensor_present", "npi_present_1", "npi_present_2",
     "only_npi_licensor_present", "only_npi_scope", "passive_1", "passive_2",
+    "principle_A_c_command", "principle_A_case_1", "principle_A_case_2",
+    "principle_A_domain_1", "principle_A_domain_2", "principle_A_domain_3",
+    "principle_A_reconstruction",
     "regular_plural_subject_verb_agreement_1",
     "regular_plural_subject_verb_agreement_2",
     "sentential_negation_npi_licensor_present",

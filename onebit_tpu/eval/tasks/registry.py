@@ -17,11 +17,13 @@ from onebit_tpu.eval.tasks import arithmetic as _arith
 from onebit_tpu.eval.tasks import cloze as _cloze
 from onebit_tpu.eval.tasks import generation as _gen
 from onebit_tpu.eval.tasks import glue as _glue
+from onebit_tpu.eval.tasks import math_tasks as _math
 from onebit_tpu.eval.tasks import pairs as _pairs
 from onebit_tpu.eval.tasks import pile as _pile
 from onebit_tpu.eval.tasks import qa as _qa
 from onebit_tpu.eval.tasks import suite as _suite
 from onebit_tpu.eval.tasks import superglue as _sg
+from onebit_tpu.eval.tasks import translation as _trans
 from onebit_tpu.eval.tasks.base import PerplexityTask
 from onebit_tpu.eval.tasks.mmlu import SUBJECTS as MMLU_SUBJECTS
 from onebit_tpu.eval.tasks.mmlu import MMLUSubject
@@ -51,6 +53,7 @@ TASK_REGISTRY: Dict[str, Type] = {
     "qqp": _glue.QQP,
     "sst": _glue.SST,
     "wnli": _glue.WNLI,
+    "stsb": _glue.STSB,
     # superglue
     "boolq": _suite.BoolQ,
     "cb": _sg.CommitmentBank,
@@ -101,7 +104,27 @@ TASK_REGISTRY: Dict[str, Type] = {
     "ethics_cm": _qa.EthicsCM,
     "ethics_justice": _qa.EthicsJustice,
     "ethics_deontology": _qa.EthicsDeontology,
+    "ethics_utilitarianism": _qa.EthicsUtilitarianism,
+    "ethics_utilitarianism_original": _qa.EthicsUtilitarianismOriginal,
+    "ethics_virtue": _qa.EthicsVirtue,
+    "cbt-cn": _qa.CBTCN,
+    "cbt-ne": _qa.CBTNE,
+    "qasper": _qa.QASPER,
+    "truthfulqa_gen": _qa.TruthfulQAGeneration,
+    # registered-but-unimplemented upstream (construct_requests raises in
+    # the reference too): naturalqs, quac, stsb
+    "naturalqs": _qa.NaturalQs,
+    "quac": _qa.QuAC,
     "toxigen": _pairs.ToxiGen,
+    # MATH + asdiv
+    "math_algebra": _math.MathAlgebra,
+    "math_counting_and_prob": _math.MathCountingAndProbability,
+    "math_geometry": _math.MathGeometry,
+    "math_intermediate_algebra": _math.MathIntermediateAlgebra,
+    "math_num_theory": _math.MathNumberTheory,
+    "math_prealgebra": _math.MathPrealgebra,
+    "math_precalc": _math.MathPrecalculus,
+    "math_asdiv": _math.Asdiv,
     # generation tasks
     "gsm8k": _gen.GSM8K,
     "drop": _gen.DROP,
@@ -129,6 +152,9 @@ for _suffix in _arith.ARITHMETIC_NAMES:
 # blimp_*
 for _paradigm in _pairs.BLIMP_PARADIGMS:
     TASK_REGISTRY[f"blimp_{_paradigm}"] = _pairs.make_blimp_task(_paradigm)
+
+# translation: wmt14/16/20 + iwslt17 per language pair
+TASK_REGISTRY.update(_trans.benchmark_tasks())
 
 # crows_pairs_{english,french}[_bias]
 for _lang in ("english", "french"):

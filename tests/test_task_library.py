@@ -91,9 +91,18 @@ def test_registry_covers_reference_names():
         "storycloze_2018", "sat", "anagrams1", "anagrams2", "cycle_letters",
         "random_insertion", "reversed_words",
     ]
+    expected += [
+        "ethics_utilitarianism", "ethics_utilitarianism_original",
+        "ethics_virtue", "cbt-cn", "cbt-ne", "qasper", "truthfulqa_gen",
+        "naturalqs", "quac", "stsb", "math_algebra",
+        "math_counting_and_prob", "math_geometry",
+        "math_intermediate_algebra", "math_num_theory", "math_prealgebra",
+        "math_precalc", "math_asdiv", "wmt14-fr-en", "wmt16-de-en",
+        "wmt20-zh-en", "iwslt17-ar-en",
+    ]
     missing = [n for n in expected if n not in TASK_REGISTRY]
     assert not missing, missing
-    assert len([n for n in ALL_TASKS if n.startswith("blimp_")]) == 60
+    assert len([n for n in ALL_TASKS if n.startswith("blimp_")]) == 67
     assert len([n for n in ALL_TASKS if n.startswith("pile_")]) == 22
     assert len([n for n in ALL_TASKS if n.startswith("arithmetic_")]) == 10
     assert len([n for n in ALL_TASKS if n.startswith("crows_pairs_")]) == 22
@@ -486,3 +495,200 @@ def test_storycloze_and_sat():
     d = t2.docs()[0]
     assert t2.doc_to_text(d) == "ostrich is to bird as"
     assert d.choices[0] == "lion is to cat"
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: ethics variants, CBT, MATH, qasper, truthfulqa_gen,
+# translation
+# ---------------------------------------------------------------------------
+
+def test_ethics_utilitarianism():
+    docs = [{"activity": "I helped a stranger carry groceries.",
+             "baseline": "I ignored a stranger who needed help."}]
+    task = TASK_REGISTRY["ethics_utilitarianism"](docs)
+    d = task.docs()[0]
+    assert set(d["scenarios"]) == {docs[0]["activity"], docs[0]["baseline"]}
+    # scripted LM answers yes -> acc = 1 iff label == 1
+    lm = ScriptedLM(winners=[" yes"])
+    res = run(task, lm)["ethics_utilitarianism"]
+    assert res["acc"] == float(d["label"] == 1)
+    assert "Is Scenario 1 preferable?" in lm.seen_ll[0][0]
+
+
+def test_ethics_utilitarianism_original():
+    docs = [{"activity": "good thing", "baseline": "bad thing"}]
+    task = TASK_REGISTRY["ethics_utilitarianism_original"](docs)
+    # ll peaks at rating " 9" for activity prompts, " 3" for baseline
+    def ll(cont):
+        return 0.0
+    lm = ScriptedLM(ll_fn=lambda c: 0.0)
+    seen = []
+    def ll_fn(cont):
+        return 0.0
+    class RatingLM(ScriptedLM):
+        def loglikelihood(self, requests):
+            out = []
+            for ctx, cont in requests:
+                rating = int(char_detokenize(cont).strip())
+                good = "good thing" in char_detokenize(ctx)
+                peak = 9 if good else 3
+                out.append((-abs(rating - peak), False))
+            return out
+    res = run(task, RatingLM())["ethics_utilitarianism_original"]
+    assert res["acc"] == 1.0    # 9 > 3: first activity rated higher
+
+    # few-shot uses the 5 fixed labeled prompts
+    import random
+    shots = task.fewshot_examples(3, random.Random(0))
+    assert len(shots) == 3 and all("rating" in s for s in shots)
+    with pytest.raises(AssertionError):
+        task.fewshot_examples(6, random.Random(0))
+
+
+def test_ethics_virtue_grouped_em():
+    docs = [{"scenario": f"scenario {g}", "trait": f"trait {j}",
+             "label": int(j == 0), "group_id": g}
+            for g in range(2) for j in range(5)]
+    task = TASK_REGISTRY["ethics_virtue"](docs)
+    lm = ScriptedLM(ll_fn=lambda c: 1.0 if c == " no" else 0.0)
+    res = run(task, lm)["ethics_virtue"]
+    # predicting "no" everywhere: 4/5 right per group, em = 0
+    assert res["acc"] == pytest.approx(0.8)
+    assert res["em"] == 0.0
+
+
+def test_cbt_cloze():
+    docs = [{"sentences": ["The cat sat ."], 
+             "question": "The XXXXX sat on the mat .",
+             "options": ["dog", "cat"], "answer": "cat"}]
+    task = TASK_REGISTRY["cbt-cn"](docs)
+    lm = ScriptedLM(ll_fn=lambda c: 1.0 if "cat sat on the mat" in c else -1.0)
+    res = run(task, lm)["cbt-cn"]
+    assert res["acc"] == 1.0
+    # full passage+question scored with empty context, option substituted,
+    # detokenized (" ." -> ".")
+    ctx, cont = lm.seen_ll[0]
+    assert ctx == ""
+    assert "XXXXX" not in cont and "Passage: The cat sat." in cont
+
+
+def test_math_normalization_and_task():
+    from onebit_tpu.eval.tasks.math_tasks import (is_equiv,
+                                                  last_boxed_only_string,
+                                                  remove_boxed,
+                                                  strip_math_string)
+    assert last_boxed_only_string(
+        r"so the answer is \boxed{\frac{1}{2}} .") == r"\boxed{\frac{1}{2}}"
+    assert remove_boxed(r"\boxed{42}") == "42"
+    assert strip_math_string(r"\tfrac12") == r"\frac{1}{2}"
+    assert strip_math_string("0.5") == r"\frac{1}{2}"
+    assert is_equiv("1/2", r"\frac{1}{2}")
+    assert is_equiv(r"\sqrt3", r"\sqrt{3}")
+    assert not is_equiv("2", "3")
+
+    docs = [{"problem": "What is 1+1?", "solution": r"It is $\boxed{2}$."}]
+    task = TASK_REGISTRY["math_algebra"](docs)
+    lm = ScriptedLM(generations=["$2$"])
+    res = run(task, lm)["math_algebra"]
+    assert res["acc"] == 1.0
+    assert lm.seen_gen[0] == "Problem: What is 1+1?\nAnswer:"
+    lm2 = ScriptedLM(generations=["$3$"])
+    assert run(task, lm2)["math_algebra"]["acc"] == 0.0
+
+
+def test_math_asdiv():
+    docs = [{"body": "Tom has 2 apples and buys 3 more.",
+             "question": " How many apples now?", "answer": "5 (apples)"}]
+    task = TASK_REGISTRY["math_asdiv"](docs)
+    assert task.doc_to_target(docs[0]) == " 5"
+    lm = ScriptedLM(winners=[" 5"])
+    res = run(task, lm)["math_asdiv"]
+    assert res["acc"] == 1.0
+
+
+def test_qasper_mixed_requests():
+    docs = [
+        {"title": "T", "abstract": "A", "question": "Is it fast?",
+         "answer": "yes", "answer_type": "bool"},
+        {"title": "T", "abstract": "A", "question": "What method?",
+         "answer": "a neural net", "answer_type": "free form answer"},
+    ]
+    task = TASK_REGISTRY["qasper"](docs)
+    lm = ScriptedLM(winners=[" yes"], generations=["a neural net"])
+    res = run(task, lm)["qasper"]
+    assert res["f1_yesno"] == 1.0
+    assert res["f1_abstractive"] == 1.0
+
+    # flatten() classifies raw HF rows
+    from onebit_tpu.eval.tasks.qa import QASPER
+    raw = {"title": "T", "abstract": "A",
+           "qas": {"question": ["q1"],
+                   "answers": [{"answer": [
+                       {"unanswerable": False, "yes_no": True,
+                        "free_form_answer": "", "extractive_spans": []}]}]}}
+    flat = QASPER.flatten(raw)
+    assert flat[0]["answer_type"] == "bool" and flat[0]["answer"] == "yes"
+
+
+def test_truthfulqa_gen():
+    docs = [{"question": " Why?", "correct_answers": ["Because of physics"],
+             "incorrect_answers": ["Magic"]}]
+    task = TASK_REGISTRY["truthfulqa_gen"](docs)
+    lm = ScriptedLM(generations=["Because of physics."])
+    res = run(task, lm)["truthfulqa_gen"]
+    assert res["bleu_acc"] == 1.0 and res["rouge1_acc"] == 1.0
+    assert res["rouge1_max"] > 0.5
+    # zero-shot only
+    import random
+    with pytest.raises(AssertionError):
+        task.fewshot_context(task.docs()[0], 1, random.Random(0))
+
+
+def test_translation_corpus_bleu():
+    docs = [{"src": "le chat est sur le tapis",
+             "ref": "the cat is on the mat"},
+            {"src": "le chien mange le pain",
+             "ref": "the dog eats the bread"}]
+    task = TASK_REGISTRY["wmt14-fr-en"](docs)
+
+    class TransLM(ScriptedLM):
+        BY_SRC = {"le chat": "the cat is on the mat",
+                  "le chien": "the dog eats the bread"}
+
+        def greedy_until(self, requests, detokenize=None, **kw):
+            out = []
+            for ctx, _ in requests:
+                text = char_detokenize(ctx)
+                self.seen_gen.append(text)
+                out.append(next(v for k, v in self.BY_SRC.items()
+                                if k in text))
+            return out
+
+    lm = TransLM()
+    res = run(task, lm)["wmt14-fr-en"]
+    assert res["bleu"] == pytest.approx(100.0)
+    assert res["ter"] == pytest.approx(0.0)
+    assert any(g.startswith("French phrase: le ")
+               and g.endswith("\nEnglish phrase:") for g in lm.seen_gen)
+
+    # zh target: character-split scoring (v1 convention)
+    ztask = TASK_REGISTRY["wmt20-en-zh"](
+        [{"src": "the cat", "ref": "猫咬"}])
+    zlm = ScriptedLM(generations=["猫咬"])
+    zres = run(ztask, zlm)["wmt20-en-zh"]
+    assert zres["chrf"] > 0
+
+
+def test_stub_tasks_raise_like_reference():
+    for name, doc in (("naturalqs",
+                       {"question": {"text": "q"}, "annotations": {},
+                        "document": {}}),
+                      ("quac", {"title": "t", "section_title": "s",
+                                "paragraph": "p", "question": "q",
+                                "answer": "a"}),
+                      ("stsb", {"sentence1": "a", "sentence2": "b",
+                                "label": 3.2})):
+        task = TASK_REGISTRY[name]([doc])
+        assert task.doc_to_text(doc)
+        with pytest.raises(NotImplementedError):
+            task.construct_requests(doc, "ctx")
