@@ -173,13 +173,21 @@ def cmd_eval(args):
         from onebit_tpu.eval.tasks.base import evaluate_tasks, make_table
         from onebit_tpu.eval.tasks.mmlu import (SUBJECTS, MMLUSubject,
                                                 aggregate_mmlu)
-        from onebit_tpu.eval.tasks.suite import TASK_REGISTRY
+        from onebit_tpu.eval.tasks.registry import (TASK_REGISTRY,
+                                                    pattern_match)
 
         tok = AutoTokenizer.from_pretrained(args.tokenizer or args.ckpt)
         tokenize = lambda s: tok(s, add_special_tokens=False)["input_ids"]
+        detokenize = lambda toks: tok.decode(toks)
+        names = []
+        for pat in (n.strip() for n in args.tasks.split(",")):
+            if any(c in pat for c in "*?["):
+                names.extend(n for n in pattern_match([pat])
+                             if n not in names)
+            elif pat not in names:
+                names.append(pat)
         tasks = []
-        for name in args.tasks.split(","):
-            name = name.strip()
+        for name in names:
             if name == "hendrycksTest":
                 for subject in SUBJECTS:
                     import datasets
@@ -188,10 +196,17 @@ def cmd_eval(args):
                     tasks.append(MMLUSubject(list(ds), subject))
             else:
                 tasks.append(TASK_REGISTRY[name].from_datasets())
+        decontam = None
+        if args.decontaminate:
+            # training text(s) to 13-gram-scan against each task's
+            # decontamination queries (reference evaluator.py:215-221)
+            with open(args.decontaminate) as f:
+                decontam = f.read()
         task_results = evaluate_tasks(
             loaded["params"], loaded["config"], tasks, tokenize,
             batch_size=args.batch_size, limit=args.limit,
-            num_fewshot=args.num_fewshot)
+            num_fewshot=args.num_fewshot, detokenize=detokenize,
+            decontamination_ngrams=decontam)
         print(make_table(task_results))
         results.update(task_results)
         mmlu = aggregate_mmlu(task_results)
@@ -355,6 +370,9 @@ def build_parser():
     e.add_argument("--corpus-source", help="local corpus path (text/jsonl/"
                    "load_from_disk dir) for --corpus")
     e.add_argument("--num-fewshot", type=int, default=0)
+    e.add_argument("--decontaminate", help="training text file to 13-gram-"
+                   "scan task docs against; adds <metric>_decontaminate "
+                   "columns computed over clean docs only")
     e.add_argument("--expect", help="pinned expected-numbers JSON; exits "
                    "nonzero when any metric misses its tolerance")
     e.set_defaults(fn=cmd_eval)
