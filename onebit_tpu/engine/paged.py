@@ -175,9 +175,7 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
-        q = bitllama._project(hx, layer_params["q_proj"], impl)
-        k = bitllama._project(hx, layer_params["k_proj"], impl)
-        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
         q = q.reshape(b, 1, nh, hd)
         k = k.reshape(b, 1, nkv, hd)
         v = v.reshape(b, 1, nkv, hd)
@@ -232,8 +230,8 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
                                config.rms_norm_eps)
-        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
-        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        gate, up = bitllama.project_gateup(hx, layer_params, impl,
+                                           config.intermediate_size)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
         return residual + mlp, new_leaves
@@ -288,9 +286,7 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
-        q = bitllama._project(hx, layer_params["q_proj"], impl)
-        k = bitllama._project(hx, layer_params["k_proj"], impl)
-        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
         q = q.reshape(1, s_pad, nh, hd)
         k = k.reshape(1, s_pad, nkv, hd)
         v = v.reshape(1, s_pad, nkv, hd)
@@ -321,8 +317,8 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
                                config.rms_norm_eps)
-        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
-        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        gate, up = bitllama.project_gateup(hx, layer_params, impl,
+                                           config.intermediate_size)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
         return residual + mlp, new_leaves
@@ -420,9 +416,7 @@ def paged_chunk_append_row(params, cache, ids, start, length,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
-        q = bitllama._project(hx, layer_params["q_proj"], impl)
-        k = bitllama._project(hx, layer_params["k_proj"], impl)
-        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
         q = q.reshape(1, c, nh, hd)
         k = k.reshape(1, c, nkv, hd)
         v = v.reshape(1, c, nkv, hd)
@@ -460,8 +454,8 @@ def paged_chunk_append_row(params, cache, ids, start, length,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
                                config.rms_norm_eps)
-        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
-        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        gate, up = bitllama.project_gateup(hx, layer_params, impl,
+                                           config.intermediate_size)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
         return residual + mlp, new_leaves

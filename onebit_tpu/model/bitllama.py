@@ -237,6 +237,29 @@ def _attention_quant(q, k_q, k_s, v_q, v_s, mask, *, num_kv_groups: int):
     return ctx.reshape(b, s, nh, hd)
 
 
+def project_qkv(hx, layer_params, impl: str, n_out: int):
+    """q/k/v for one layer — one fused dispatch when the params carry
+    ``qkv_proj`` (fuse_for_decode), else three BitLinear calls.
+    ``n_out``: true per-projection width (= nkv*hd; fused requires MHA)."""
+    if "qkv_proj" in layer_params:
+        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
+        return fused_bitlinear_apply(hx, layer_params["qkv_proj"], n_out,
+                                     impl=impl)
+    return (_project(hx, layer_params["q_proj"], impl),
+            _project(hx, layer_params["k_proj"], impl),
+            _project(hx, layer_params["v_proj"], impl))
+
+
+def project_gateup(hx, layer_params, impl: str, n_out: int):
+    """gate/up for one layer — fused dispatch when ``gateup_proj`` exists."""
+    if "gateup_proj" in layer_params:
+        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
+        return fused_bitlinear_apply(hx, layer_params["gateup_proj"], n_out,
+                                     impl=impl)
+    return (_project(hx, layer_params["gate_proj"], impl),
+            _project(hx, layer_params["up_proj"], impl))
+
+
 def _attention(q, k, v, mask, *, num_kv_groups: int, return_probs=False):
     """GQA attention; q [B,S,nh,hd], k/v [B,T,nkv,hd], mask [B,1,S,T] bool."""
     b, s, nh, hd = q.shape
@@ -271,14 +294,7 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     residual = x
     hx = rms_norm(x, layer_params["input_layernorm"], config.rms_norm_eps)
 
-    if "qkv_proj" in layer_params:
-        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
-        q, k, v = fused_bitlinear_apply(hx, layer_params["qkv_proj"],
-                                        nkv * hd, impl=impl)
-    else:
-        q = _project(hx, layer_params["q_proj"], impl)
-        k = _project(hx, layer_params["k_proj"], impl)
-        v = _project(hx, layer_params["v_proj"], impl)
+    q, k, v = project_qkv(hx, layer_params, impl, nkv * hd)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
@@ -307,14 +323,8 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
         residual = x
         hx = rms_norm(x, layer_params["post_attention_layernorm"],
                       config.rms_norm_eps)
-        if "gateup_proj" in layer_params:
-            from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
-            gate, up = fused_bitlinear_apply(
-                hx, layer_params["gateup_proj"],
-                config.intermediate_size, impl=impl)
-        else:
-            gate = _project(hx, layer_params["gate_proj"], impl)
-            up = _project(hx, layer_params["up_proj"], impl)
+        gate, up = project_gateup(hx, layer_params, impl,
+                                  config.intermediate_size)
         mlp = _project(jax.nn.silu(gate) * up, layer_params["down_proj"],
                        impl)
         x = residual + mlp
@@ -350,13 +360,8 @@ def _decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     residual = x
     hx = rms_norm(x, layer_params["post_attention_layernorm"],
                   config.rms_norm_eps)
-    if "gateup_proj" in layer_params:
-        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply
-        gate, up = fused_bitlinear_apply(hx, layer_params["gateup_proj"],
-                                         config.intermediate_size, impl=impl)
-    else:
-        gate = _project(hx, layer_params["gate_proj"], impl)
-        up = _project(hx, layer_params["up_proj"], impl)
+    gate, up = project_gateup(hx, layer_params, impl,
+                              config.intermediate_size)
     mlp = _project(jax.nn.silu(gate) * up, layer_params["down_proj"], impl)
     x = residual + mlp
     if collect_attn:

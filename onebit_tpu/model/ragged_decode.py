@@ -58,9 +58,7 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
-        q = bitllama._project(hx, layer_params["q_proj"], impl)
-        k = bitllama._project(hx, layer_params["k_proj"], impl)
-        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
         q = q.reshape(b, 1, nh, hd)
         k = k.reshape(b, 1, nkv, hd)
         v = v.reshape(b, 1, nkv, hd)
@@ -78,8 +76,8 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
                                config.rms_norm_eps)
-        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
-        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        gate, up = bitllama.project_gateup(hx, layer_params, impl,
+                                           config.intermediate_size)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
         return residual + mlp, (ck, cv)
@@ -119,9 +117,7 @@ def prefill_row(params, cache: KVCache, ids, length, row, config, *,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
-        q = bitllama._project(hx, layer_params["q_proj"], impl)
-        k = bitllama._project(hx, layer_params["k_proj"], impl)
-        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
         q = q.reshape(1, s_pad, nh, hd)
         k = k.reshape(1, s_pad, nkv, hd)
         v = v.reshape(1, s_pad, nkv, hd)
@@ -140,8 +136,8 @@ def prefill_row(params, cache: KVCache, ids, length, row, config, *,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
                                config.rms_norm_eps)
-        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
-        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        gate, up = bitllama.project_gateup(hx, layer_params, impl,
+                                           config.intermediate_size)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
         return residual + mlp, (ck, cv)
@@ -244,9 +240,7 @@ def chunk_append_row(params, cache: KVCache, ids, start, length, row,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
                                config.rms_norm_eps)
-        q = bitllama._project(hx, layer_params["q_proj"], impl)
-        k = bitllama._project(hx, layer_params["k_proj"], impl)
-        v = bitllama._project(hx, layer_params["v_proj"], impl)
+        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
         q = q.reshape(1, c, nh, hd)
         k = k.reshape(1, c, nkv, hd)
         v = v.reshape(1, c, nkv, hd)
@@ -267,8 +261,8 @@ def chunk_append_row(params, cache: KVCache, ids, start, length, row,
         residual = x
         hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
                                config.rms_norm_eps)
-        gate = bitllama._project(hx, layer_params["gate_proj"], impl)
-        up = bitllama._project(hx, layer_params["up_proj"], impl)
+        gate, up = bitllama.project_gateup(hx, layer_params, impl,
+                                           config.intermediate_size)
         mlp = bitllama._project(jax.nn.silu(gate) * up,
                                 layer_params["down_proj"], impl)
         return residual + mlp, (ck, cv)

@@ -170,3 +170,28 @@ def test_engine_chunked_prefill(tiny):
     out_c = chk.run()
     for ur, uc in zip(uids_r, uids_c):
         assert out_r[ur] == out_c[uc]
+
+
+def test_engine_with_fused_decode_params(tiny):
+    """The continuous-batching engine (ragged decode path) produces
+    identical completions with fuse_for_decode params — the serving
+    deployment configuration."""
+    from onebit_tpu.model.bitllama import fuse_for_decode, pack_model_params
+    # qkv fusion requires MHA (equal projection widths) — true of every
+    # OneBit target model; "tiny" is GQA, so build an MHA variant
+    config = BitLlamaConfig.named("tiny", num_key_value_heads=4)
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    packed = pack_model_params(params)
+    fused = fuse_for_decode(packed, config)
+    assert "qkv_proj" in fused["layers"]
+    assert "gateup_proj" in fused["layers"]
+
+    prompts = [[5, 17, 42, 9], [100, 3]]
+    outs = {}
+    for name, p in (("packed", packed), ("fused", fused)):
+        eng = ContinuousBatchingEngine(p, config, max_batch=4, max_len=64,
+                                       compute_dtype=jnp.float32)
+        uids = [eng.add_request(pr, max_new_tokens=6) for pr in prompts]
+        got = eng.run()
+        outs[name] = [got[u] for u in uids]
+    assert outs["packed"] == outs["fused"]

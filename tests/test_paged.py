@@ -178,3 +178,28 @@ def test_paged_chunked_prefill_engine(tiny):
     out_c = chk.run()
     for ur, uc in zip(uids_r, uids_c):
         assert out_r[ur] == out_c[uc]
+
+
+def test_paged_engine_with_fused_decode_params(tiny):
+    """Paged engine output identical with fuse_for_decode params."""
+    from onebit_tpu.engine.batching import ContinuousBatchingEngine
+    from onebit_tpu.model.bitllama import (fuse_for_decode, init_params,
+                                           pack_model_params)
+    from onebit_tpu.model.config import BitLlamaConfig
+
+    config = BitLlamaConfig.named("tiny", num_key_value_heads=4)  # MHA
+    packed = pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent"))
+    fused = fuse_for_decode(packed, config)
+    assert "qkv_proj" in fused["layers"]
+
+    prompts = [[5, 17, 42, 9], [100, 3]]
+    outs = {}
+    for name, p in (("packed", packed), ("fused", fused)):
+        eng = ContinuousBatchingEngine(p, config, max_batch=2, max_len=64,
+                                       compute_dtype=jnp.float32,
+                                       paged=True, page_size=4)
+        uids = [eng.add_request(pr, max_new_tokens=5) for pr in prompts]
+        got = eng.run()
+        outs[name] = [got[u] for u in uids]
+    assert outs["packed"] == outs["fused"]
