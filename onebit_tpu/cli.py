@@ -274,9 +274,10 @@ def cmd_generate(args):
 
 
 def cmd_serve(args):
-    """Interactive serving loop over the continuous-batching engine:
-    reads one prompt per line from stdin, prints completions as they
-    finish (requests are admitted/retired continuously)."""
+    """Serving over the continuous-batching engine.  Default: one prompt
+    per stdin line, completions printed as they finish.  ``--http PORT``:
+    HTTP server with POST /generate (sync + ndjson streaming),
+    GET /metrics, GET /health (engine/server.py)."""
     from onebit_tpu.engine.batching import ContinuousBatchingEngine
     from onebit_tpu.engine.sampler import SamplingConfig
 
@@ -288,9 +289,29 @@ def cmd_serve(args):
     sampling = SamplingConfig(greedy=args.greedy,
                               temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
+    params = loaded["params"]
+    if args.fuse_decode:
+        from onebit_tpu.model.bitllama import fuse_for_decode
+        params = fuse_for_decode(params, loaded["config"])
     eng = ContinuousBatchingEngine(
-        loaded["params"], loaded["config"], max_batch=args.max_batch,
-        max_len=args.max_len, sampling=sampling)
+        params, loaded["config"], max_batch=args.max_batch,
+        max_len=args.max_len, sampling=sampling,
+        block_steps=args.block_steps)
+
+    if args.http is not None:
+        import time
+
+        from onebit_tpu.engine.server import EngineServer
+        server = EngineServer(eng, tokenizer=tok)
+        port = server.start(host=args.host, port=args.http)
+        print(f"serving on http://{args.host}:{port} "
+              "(POST /generate, GET /metrics)", flush=True)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
+        return
     prompts = {}
     for line in sys.stdin:
         line = line.strip()
@@ -401,6 +422,13 @@ def build_parser():
     sv.add_argument("--temperature", type=float, default=0.95)
     sv.add_argument("--top-k", type=int, default=50)
     sv.add_argument("--top-p", type=float, default=0.7)
+    sv.add_argument("--http", type=int, nargs="?", const=8000,
+                    help="serve over HTTP on this port (default 8000)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--block-steps", type=int, default=1,
+                    help="decode tokens per device program")
+    sv.add_argument("--fuse-decode", action="store_true",
+                    help="fuse qkv/gate+up projections for decode")
     sv.set_defaults(fn=cmd_serve)
 
     bn = sub.add_parser("bench", help="decode throughput benchmark")

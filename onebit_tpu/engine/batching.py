@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,11 @@ class Request:
     max_new_tokens: int
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # streaming hooks: on_token(tok) fires as each token lands on the host
+    # (per decode block when block_steps > 1); on_done() fires once at
+    # completion.  Both run on the engine thread - keep them cheap.
+    on_token: Optional[Callable[[int], None]] = None
+    on_done: Optional[Callable[[], None]] = None
 
 
 def _bucket(n: int, minimum: int = 32) -> int:
@@ -89,18 +94,28 @@ class ContinuousBatchingEngine:
         self.row_pos = np.zeros(max_batch, np.int32)
         self.next_token = np.zeros(max_batch, np.int32)
         self.finished: Dict[int, Request] = {}
+        # observability (utils.profiling.ThroughputMeter semantics)
+        from onebit_tpu.utils.profiling import ThroughputMeter
+        self.total_tokens = 0
+        self.total_requests = 0
+        self.completed_requests = 0
+        self.meter = ThroughputMeter()
 
     # -- public API ---------------------------------------------------------
     def add_request(self, prompt: Sequence[int],
-                    max_new_tokens: int = 64) -> int:
+                    max_new_tokens: int = 64,
+                    on_token: Optional[Callable[[int], None]] = None,
+                    on_done: Optional[Callable[[], None]] = None) -> int:
         # fail permanently-unservable requests at submission, not inside the
         # scheduler loop (so a bad request can't wedge the engine)
         total = len(prompt) + max_new_tokens
         if total > self.max_len:
             raise ValueError(f"request needs {total} > max_len {self.max_len}")
         req = Request(uid=next(self._uid), prompt=list(prompt),
-                      max_new_tokens=max_new_tokens)
+                      max_new_tokens=max_new_tokens, on_token=on_token,
+                      on_done=on_done)
         self.waiting.append(req)
+        self.total_requests += 1
         return req.uid
 
     def warmup(self, buckets=None) -> None:
@@ -192,10 +207,8 @@ class ContinuousBatchingEngine:
             self.key, sub = jax.random.split(self.key)
             tok = int(sample_token(logits[None, :], sub, self.sampling)[0])
             self.slots[slot] = req
-            req.generated.append(tok)
             self.row_pos[slot] = plen
-            self.next_token[slot] = tok
-            self._maybe_finish(slot, tok)
+            self._emit(slot, tok)
 
     def _decode(self) -> None:
         active = np.asarray([s is not None for s in self.slots])
@@ -223,11 +236,8 @@ class ContinuousBatchingEngine:
         for slot in range(self.max_batch):
             if self.slots[slot] is None:
                 continue
-            tok = int(toks[slot])
-            self.slots[slot].generated.append(tok)
             self.row_pos[slot] += 1
-            self.next_token[slot] = tok
-            self._maybe_finish(slot, tok)
+            self._emit(slot, int(toks[slot]))
 
     def _decode_block(self, active) -> None:
         """block_steps tokens in one device program (fewer host RTTs).
@@ -262,11 +272,36 @@ class ContinuousBatchingEngine:
             for slot in range(self.max_batch):
                 if self.slots[slot] is None or not valid[step, slot]:
                     continue
-                tok = int(toks[step, slot])
-                self.slots[slot].generated.append(tok)
                 self.row_pos[slot] += 1
-                self.next_token[slot] = tok
-                self._maybe_finish(slot, tok)
+                self._emit(slot, int(toks[step, slot]))
+
+    def _emit(self, slot: int, tok: int) -> None:
+        """Record one generated token: bookkeeping, streaming callback,
+        throughput counters, completion check."""
+        req = self.slots[slot]
+        req.generated.append(tok)
+        self.next_token[slot] = tok
+        self.total_tokens += 1
+        self.meter.tick(1)
+        if req.on_token:
+            req.on_token(tok)
+        self._maybe_finish(slot, tok)
+
+    def metrics(self) -> Dict[str, float]:
+        """Engine counters for a metrics endpoint."""
+        out = {
+            "total_requests": self.total_requests,
+            "completed_requests": self.completed_requests,
+            "total_tokens": self.total_tokens,
+            "tokens_per_second_ema": self.meter.rate or 0.0,
+            "queue_depth": len(self.waiting),
+            "active_slots": sum(s is not None for s in self.slots),
+            "max_batch": self.max_batch,
+        }
+        if self.paged:
+            out["free_pages"] = len(self.allocator.free)
+            out["total_pages"] = self.total_pages
+        return out
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
         req = self.slots[slot]
@@ -277,6 +312,9 @@ class ContinuousBatchingEngine:
             req.done = True
             self.finished[req.uid] = req
             self.slots[slot] = None
+            self.completed_requests += 1
             if self.paged:
                 self.allocator.release(self.page_tables[slot])
                 self.page_tables[slot] = 0
+            if req.on_done:
+                req.on_done()
