@@ -60,9 +60,17 @@ class QuantPagedKVCache(NamedTuple):
 
 def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
                         page_size: int = 16, dtype=jnp.bfloat16,
-                        quantized: bool = False):
+                        quantized=False):
+    """``quantized``: False (bf16/f32 pages), True or "int8" (int8 values
+    + per-(page, slot, head) absmax scales), or "fp8" (direct
+    float8_e4m3fn pages, no scales — half the scale storage/compute of
+    int8 at ~3 mantissa bits; native MXU fp8 on v5p+)."""
     shape = (config.num_hidden_layers, config.num_key_value_heads,
              num_pages, page_size, config.head_dim)
+    if quantized == "fp8":
+        return PagedKVCache(
+            k_pages=jnp.zeros(shape, jnp.float8_e4m3fn),
+            v_pages=jnp.zeros(shape, jnp.float8_e4m3fn))
     if quantized:
         sshape = shape[:-1] + (1,)
         return QuantPagedKVCache(
@@ -168,6 +176,10 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
                   and hd % 128 == 0 and (nkv == nh or nh // nkv >= 8))
 
     quant = isinstance(cache, QuantPagedKVCache)
+    if not quant and cache.k_pages.dtype == jnp.float8_e4m3fn:
+        # pallas paged_attention takes bf16/f32 or int8 QuantizedTensor;
+        # fp8 pages read through the jnp path (XLA fuses gather + cast)
+        use_kernel = False
 
     def layer(x, layer_in):
         layer_params = layer_in[0]
@@ -279,6 +291,10 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
     mask = bitllama._causal_mask(s_pad, s_pad, 0) & (attn[:, None, None, :] > 0)
 
     quant = isinstance(cache, QuantPagedKVCache)
+    if not quant and cache.k_pages.dtype == jnp.float8_e4m3fn:
+        # pallas paged_attention takes bf16/f32 or int8 QuantizedTensor;
+        # fp8 pages read through the jnp path (XLA fuses gather + cast)
+        use_kernel = False
 
     def layer(x, layer_in):
         layer_params = layer_in[0]
@@ -391,6 +407,10 @@ def paged_chunk_append_row(params, cache, ids, start, length,
     """
     c = ids.shape[0]
     quant = isinstance(cache, QuantPagedKVCache)
+    if not quant and cache.k_pages.dtype == jnp.float8_e4m3fn:
+        # pallas paged_attention takes bf16/f32 or int8 QuantizedTensor;
+        # fp8 pages read through the jnp path (XLA fuses gather + cast)
+        use_kernel = False
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
     ps = cache.page_size

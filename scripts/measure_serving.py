@@ -1,0 +1,81 @@
+"""End-to-end serving throughput at 7B on one chip (VERDICT r1 item 2).
+
+Drives the continuous-batching engine exactly as a deployment would —
+fused decode projections, multi-step device decode blocks, optional paged
+INT8 KV — and reports steady-state tokens/s over wall clock, to compare
+against the raw decode rate from bench.py (target: >= 0.8x).
+
+Methodology: all requests admitted up front (prefill excluded from the
+timed window by warming with a first round), then timed over the decode
+phase.  Each decode block is one device program of ``block_steps`` steps,
+so per-block host/tunnel overhead is amortized 1/block_steps.
+
+Env: ONEBIT_BENCH_SIZE, ONEBIT_SERVE_BATCH (16), ONEBIT_SERVE_TOKENS (96),
+ONEBIT_SERVE_BLOCK (16), ONEBIT_SERVE_PAGED (1), ONEBIT_SERVE_FUSE (1).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from onebit_tpu.engine.batching import ContinuousBatchingEngine  # noqa
+from onebit_tpu.engine.sampler import SamplingConfig  # noqa
+from onebit_tpu.model.config import BitLlamaConfig  # noqa
+from onebit_tpu.utils.randinit import host_random_packed_params  # noqa
+
+
+def run_round(eng, n_req, prompt_len, max_new):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    uids = [eng.add_request(rng.integers(1, 1000, prompt_len).tolist(),
+                            max_new_tokens=max_new) for _ in range(n_req)]
+    t0 = time.perf_counter()
+    ntok_before = eng.total_tokens
+    eng.run()
+    dt = time.perf_counter() - t0
+    ntok = eng.total_tokens - ntok_before
+    return ntok, dt, uids
+
+
+def main():
+    size = os.environ.get("ONEBIT_BENCH_SIZE", "llama2-7b")
+    batch = int(os.environ.get("ONEBIT_SERVE_BATCH", "16"))
+    tokens = int(os.environ.get("ONEBIT_SERVE_TOKENS", "96"))
+    block = int(os.environ.get("ONEBIT_SERVE_BLOCK", "16"))
+    paged = os.environ.get("ONEBIT_SERVE_PAGED", "1") == "1"
+    fuse = os.environ.get("ONEBIT_SERVE_FUSE", "1") == "1"
+
+    config = BitLlamaConfig.named(size)
+    params = host_random_packed_params(config)
+    if fuse:
+        from onebit_tpu.model.bitllama import fuse_for_decode
+        params = fuse_for_decode(params, config)
+
+    eng = ContinuousBatchingEngine(
+        params, config, max_batch=batch, max_len=256,
+        sampling=SamplingConfig(greedy=True), impl="pallas",
+        compute_dtype=jnp.bfloat16, paged=paged, quantized_kv=paged,
+        block_steps=block)
+
+    print(f"# warmup round (compiles prefill + decode block)",
+          file=sys.stderr, flush=True)
+    run_round(eng, batch, 16, 8)
+
+    print(f"# timed round", file=sys.stderr, flush=True)
+    ntok, dt, _ = run_round(eng, batch, 16, tokens)
+    rate = ntok / dt
+    print(f"serving: {ntok} tokens in {dt:.2f}s -> {rate:.1f} tok/s "
+          f"({size}, batch {batch}, block {block}, paged={paged}, "
+          f"fuse={fuse})")
+
+
+if __name__ == "__main__":
+    main()

@@ -203,3 +203,48 @@ def test_paged_engine_with_fused_decode_params(tiny):
         got = eng.run()
         outs[name] = [got[u] for u in uids]
     assert outs["packed"] == outs["fused"]
+
+
+def test_fp8_pages_close_to_float(tiny):
+    """FP8 (e4m3 direct-cast) pages track float pages (top-1 agreement)."""
+    config, params = tiny
+    B, S, ps = 2, 8, 4
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0,
+                             config.vocab_size)
+    tables = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    fp = init_paged_kv_cache(config, num_pages=8, page_size=ps,
+                             dtype=jnp.float32)
+    f8 = init_paged_kv_cache(config, num_pages=8, page_size=ps,
+                             quantized="fp8")
+    assert f8.k_pages.dtype == jnp.float8_e4m3fn
+    for t in range(S):
+        lens = jnp.full((B,), t, jnp.int32)
+        lf, fp = paged_decode_step(params, fp, ids[:, t:t + 1], lens,
+                                   tables, config,
+                                   compute_dtype=jnp.float32)
+        l8, f8 = paged_decode_step(params, f8, ids[:, t:t + 1], lens,
+                                   tables, config,
+                                   compute_dtype=jnp.float32)
+        assert (np.asarray(lf[:, 0]).argmax(-1) ==
+                np.asarray(l8[:, 0]).argmax(-1)).all(), f"t={t}"
+        np.testing.assert_allclose(np.asarray(l8), np.asarray(lf),
+                                   rtol=0.35, atol=0.35)
+
+
+def test_fp8_paged_engine(tiny):
+    """End-to-end engine with fp8 pages produces the float engine's greedy
+    completions on short prompts."""
+    from onebit_tpu.engine.batching import ContinuousBatchingEngine
+    config, params = tiny
+    prompts = [[5, 17, 42, 9], [100, 3]]
+    outs = {}
+    for name, qkv in (("float", False), ("fp8", "fp8")):
+        eng = ContinuousBatchingEngine(params, config, max_batch=2,
+                                       max_len=64,
+                                       compute_dtype=jnp.float32,
+                                       paged=True, page_size=4,
+                                       quantized_kv=qkv)
+        uids = [eng.add_request(p, max_new_tokens=4) for p in prompts]
+        got = eng.run()
+        outs[name] = [got[u] for u in uids]
+    assert outs["float"] == outs["fp8"]
