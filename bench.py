@@ -2,13 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology (see onebit_tpu.utils.benchmark and the round-1 notes): decode
+steps are chained inside ONE device program via ``lax.scan`` — exactly how
+the serving engine dispatches them (``ragged_decode_block``) — and cost is
+a host-fetch-synchronized wall time divided by the step count.  This is
+the true device per-step cost: the round-1 number (408 tok/s) was
+dispatch-chained and paid ~1-2 ms of tunnel RPC per step, underselling the
+device ~3x.
+
 The baseline is the reference's inference strategy — unpack the whole sign
-matrix every forward then dense matmul (bitnet.py:98-115) — expressed in XLA
-("xla" impl on packed weights).  "value" is decode tokens/s with the fused
-Pallas kernel.  Timing uses marginal-cost methodology (see
-onebit_tpu.utils.benchmark): decode steps chained in one jit via lax.scan,
-host-fetch sync, cost = (T(hi_steps) - T(lo_steps)) / (hi - lo), which
-cancels the tunnel's fixed RPC round trip.
+matrix to a dense ±1 operand on every forward then dense matmul
+(bitnet.py:98-115) — expressed in XLA ("xla" impl on packed weights),
+measured at FULL depth with the same scan methodology (round-1 measured it
+on a 2-layer model and extrapolated; VERDICT r1 asked for it measured).
 """
 
 import functools
@@ -26,24 +32,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 
 def _bench_decode(config, params, impl: str, batch: int, max_len: int,
-                  iters_lo: int = 0, iters_hi: int = 48) -> float:
+                  scan_iters: int = 32) -> float:
     from onebit_tpu.model.bitllama import decode_step, init_kv_cache
-    from onebit_tpu.utils.benchmark import bench_step_dispatch
+    from onebit_tpu.utils.benchmark import bench_fn_with_state
 
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
 
-    # decode_step is itself jitted; chaining it directly avoids re-lowering
-    # the model into an outer program (minutes for 7B via remote compile)
     def step(state):
         cache, idx = state
         logits, cache = decode_step(params, cache, ids, idx, config,
                                     impl=impl, compute_dtype=jnp.bfloat16)
         return cache, idx + 1
 
-    sec_per_step = bench_step_dispatch(
-        step, (cache, jnp.int32(0)),
-        iters_lo=max(iters_lo, 8), iters_hi=iters_hi)
+    # iters_lo=0: one scan program (each 7B-scale program costs minutes of
+    # device-side compile); the fixed ~30 ms fetch amortized over scan_iters
+    # steps makes the result slightly conservative.
+    sec_per_step = bench_fn_with_state(
+        step, (cache, jnp.int32(0)), iters_lo=0, iters_hi=scan_iters, reps=3)
     return batch / sec_per_step
 
 
@@ -57,6 +63,7 @@ def main():
     size = os.environ.get("ONEBIT_BENCH_SIZE", "llama2-7b")
     batch = int(os.environ.get("ONEBIT_BENCH_BATCH", "8"))
     max_len = int(os.environ.get("ONEBIT_BENCH_MAXLEN", "256"))
+    scan_iters = int(os.environ.get("ONEBIT_SCAN_ITERS", "32"))
 
     from onebit_tpu.model.config import BitLlamaConfig
 
@@ -73,31 +80,30 @@ def main():
     params = _make_params(config)
     if best_impl == "pallas" and not os.environ.get("ONEBIT_BENCH_NO_FUSE"):
         from onebit_tpu.model.bitllama import fuse_for_decode
-        params = fuse_for_decode(params, config)
+        fparams = fuse_for_decode(params, config)
+    else:
+        fparams = params
     try:
-        value = _bench_decode(config, params, best_impl, batch, max_len)
+        value = _bench_decode(config, fparams, best_impl, batch, max_len,
+                              scan_iters)
     except Exception as e:
         print(f"# pallas path failed, falling back to xla: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
         best_impl = "xla"
-        params = _make_params(config)
-        value = _bench_decode(config, params, "xla", batch, max_len)
-    del params
+        value = _bench_decode(config, params, "xla", batch, max_len,
+                              scan_iters)
+    del fparams
 
-    # vs_baseline (the reference's unpack-every-forward strategy in XLA)
-    # measured on a depth-reduced model: per-layer cost is uniform, so the
-    # ratio is depth-invariant while compile time stays bounded.
+    # vs_baseline: the reference's unpack-every-forward strategy in XLA,
+    # measured at FULL depth with the same scanned methodology (fewer scan
+    # iters — the baseline is ~10x slower per step).
     if best_impl == "pallas" and not os.environ.get(
             "ONEBIT_BENCH_SKIP_BASELINE"):
-        small = BitLlamaConfig.named(
-            size, num_hidden_layers=min(2, config.num_hidden_layers))
-        sparams = _make_params(small)
-        print("# bench phase 2: small pallas", file=sys.stderr, flush=True)
-        fused_s = _bench_decode(small, sparams, "pallas", batch, max_len)
-        print("# bench phase 3: small xla baseline", file=sys.stderr,
+        print("# bench phase 2: full-depth xla baseline", file=sys.stderr,
               flush=True)
-        base_s = _bench_decode(small, sparams, "xla", batch, max_len)
-        vs_baseline = fused_s / base_s
+        base = _bench_decode(config, params, "xla", batch, max_len,
+                             scan_iters=max(scan_iters // 4, 4))
+        vs_baseline = value / base
     else:
         vs_baseline = 1.0
 

@@ -119,18 +119,66 @@ class ContinuousBatchingEngine:
         return req.uid
 
     def warmup(self, buckets=None) -> None:
-        """Precompile prefill programs for the given bucket lengths (and the
-        decode step) so first real requests don't pay compile latency.
-        Call on an idle engine."""
-        if self.has_work():
-            raise RuntimeError("warmup requires an idle engine")
-        buckets = buckets or [32, 64, 128, 256]
-        for b in buckets:
-            if b > self.max_len:
-                continue
-            uid = self.add_request([1] * max(b - 1, 1), max_new_tokens=1)
-            self.run()
-            self.finished.pop(uid, None)
+        """AOT-compile (lower + compile, never execute) every program this
+        engine configuration dispatches: the prefill shape per bucket (or
+        the single chunk-append program under chunked prefill) and the
+        decode step/block.  Pure compilation — no cache, RNG, or counter
+        state is touched, so it is safe with any sampling config."""
+        kw = dict(config=self.config, impl=self.impl,
+                  compute_dtype=self.compute_dtype)
+        zid = jnp.zeros((), jnp.int32)
+        # -- prefill programs --
+        if self.prefill_chunk_size:
+            ids = jnp.zeros(self.prefill_chunk_size, jnp.int32)
+            if self.paged:
+                from onebit_tpu.engine.paged import paged_chunk_append_row
+                table = jnp.zeros(self.max_pages_per_seq, jnp.int32)
+                paged_chunk_append_row.lower(
+                    self.params, self.cache, ids, zid, zid, table,
+                    **kw).compile()
+            else:
+                from onebit_tpu.model.ragged_decode import chunk_append_row
+                chunk_append_row.lower(self.params, self.cache, ids, zid,
+                                       zid, zid, **kw).compile()
+        else:
+            buckets = buckets or [32, 64, 128, 256]
+            for b in buckets:
+                if b > self.max_len:
+                    continue
+                ids = jnp.zeros(b, jnp.int32)
+                if self.paged:
+                    from onebit_tpu.engine.paged import paged_prefill_row
+                    table = jnp.zeros(self.max_pages_per_seq, jnp.int32)
+                    paged_prefill_row.lower(self.params, self.cache, ids,
+                                            zid, table, **kw).compile()
+                else:
+                    prefill_row.lower(self.params, self.cache, ids, zid,
+                                      zid, **kw).compile()
+        # -- decode program --
+        tok1 = jnp.zeros(self.max_batch, jnp.int32)
+        pos = jnp.zeros(self.max_batch, jnp.int32)
+        act = jnp.ones(self.max_batch, bool)
+        if self.block_steps > 1:
+            blk = dict(kw, sampling=self.sampling, n_steps=self.block_steps)
+            if self.paged:
+                from onebit_tpu.engine.paged import paged_decode_block
+                paged_decode_block.lower(
+                    self.params, self.cache, tok1, pos,
+                    jnp.asarray(self.page_tables), act, pos, self.key,
+                    **blk).compile()
+            else:
+                from onebit_tpu.model.ragged_decode import ragged_decode_block
+                ragged_decode_block.lower(
+                    self.params, self.cache, tok1, pos, act, pos, self.key,
+                    **blk).compile()
+        elif self.paged:
+            from onebit_tpu.engine.paged import paged_decode_step
+            paged_decode_step.lower(
+                self.params, self.cache, tok1[:, None], pos,
+                jnp.asarray(self.page_tables), **kw).compile()
+        else:
+            ragged_decode_step.lower(self.params, self.cache, tok1[:, None],
+                                     pos, act, **kw).compile()
 
     def has_work(self) -> bool:
         return bool(self.waiting) or any(s is not None for s in self.slots)

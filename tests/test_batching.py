@@ -78,9 +78,27 @@ def test_warmup(tiny):
     config, params = tiny
     eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
                                    compute_dtype=jnp.float32)
+    key_before = eng.key
     eng.warmup([32, 64])
-    # engine is clean after warmup and still serves correctly
+    # warmup is pure compilation: no state mutated, no tokens counted
     assert not eng.has_work()
+    assert eng.total_tokens == 0 and eng.total_requests == 0
+    assert (eng.key == key_before).all()
+    uid = eng.add_request([5, 6, 7], max_new_tokens=3)
+    out = eng.run()
+    assert len(out[uid]) == 3
+
+
+@pytest.mark.parametrize("paged,block_steps,chunk", [
+    (True, 1, None), (False, 4, None), (True, 4, 16), (False, 1, 16)])
+def test_warmup_variants(tiny, paged, block_steps, chunk):
+    """warmup compiles cleanly for every engine dispatch configuration."""
+    config, params = tiny
+    eng = ContinuousBatchingEngine(
+        params, config, max_batch=2, max_len=64, compute_dtype=jnp.float32,
+        paged=paged, block_steps=block_steps, prefill_chunk_size=chunk)
+    eng.warmup([32])
+    assert eng.total_tokens == 0 and not eng.has_work()
     uid = eng.add_request([5, 6, 7], max_new_tokens=3)
     out = eng.run()
     assert len(out[uid]) == 3
