@@ -59,7 +59,10 @@ class ContinuousBatchingEngine:
                  paged: bool = False, page_size: int = 16,
                  num_pages: Optional[int] = None,
                  quantized_kv: bool = False, block_steps: int = 1,
-                 prefill_chunk_size: Optional[int] = None):
+                 prefill_chunk_size: Optional[int] = None,
+                 draft_params=None,
+                 draft_config: Optional[BitLlamaConfig] = None,
+                 n_draft: int = 4):
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -71,6 +74,29 @@ class ContinuousBatchingEngine:
         self.block_steps = max(block_steps, 1)
         # fixed-shape chunked prefill (dense and paged caches)
         self.prefill_chunk_size = prefill_chunk_size
+        # greedy speculative decoding (engine/speculative.py): a draft
+        # model proposes n_draft tokens per round, the target verifies
+        # them in one width-invariant program — output identical to plain
+        # greedy decode
+        self.draft_params = draft_params
+        self.draft_config = draft_config
+        self.n_draft = n_draft
+        if draft_params is not None:
+            if draft_config is None:
+                raise ValueError("draft_params requires draft_config")
+            if paged:
+                raise ValueError("speculative decoding requires the dense "
+                                 "cache (paged draft cache not implemented)")
+            if not self.sampling.greedy:
+                raise ValueError("speculative decoding is greedy-only "
+                                 "(rejection-sampling variant not "
+                                 "implemented)")
+            if self.block_steps > 1:
+                raise ValueError("block_steps and speculative decoding are "
+                                 "mutually exclusive (a spec round already "
+                                 "amortizes host round trips)")
+            self.draft_cache = init_kv_cache(draft_config, max_batch,
+                                             max_len, dtype=compute_dtype)
         if paged:
             from onebit_tpu.engine.paged import (PageAllocator,
                                                  init_paged_kv_cache)
@@ -158,7 +184,14 @@ class ContinuousBatchingEngine:
         tok1 = jnp.zeros(self.max_batch, jnp.int32)
         pos = jnp.zeros(self.max_batch, jnp.int32)
         act = jnp.ones(self.max_batch, bool)
-        if self.block_steps > 1:
+        if self.draft_params is not None:
+            from onebit_tpu.engine.speculative import spec_decode_round
+            spec_decode_round.lower(
+                self.params, self.draft_params, self.cache,
+                self.draft_cache, tok1, pos, act, pos, self.config,
+                self.draft_config, n_draft=self.n_draft, impl=self.impl,
+                compute_dtype=self.compute_dtype).compile()
+        elif self.block_steps > 1:
             blk = dict(kw, sampling=self.sampling, n_steps=self.block_steps)
             if self.paged:
                 from onebit_tpu.engine.paged import paged_decode_block
@@ -252,6 +285,23 @@ class ContinuousBatchingEngine:
                     self.params, self.cache, jnp.asarray(ids),
                     jnp.int32(plen), jnp.int32(slot), self.config,
                     impl=self.impl, compute_dtype=self.compute_dtype)
+            if self.draft_params is not None:
+                # the draft replays the prompt into ITS cache (logits
+                # unused: the pending token always comes from the target)
+                if self.prefill_chunk_size:
+                    from onebit_tpu.model.ragged_decode import (
+                        chunked_prefill_row)
+                    _, self.draft_cache = chunked_prefill_row(
+                        self.draft_params, self.draft_cache, req.prompt,
+                        slot, self.draft_config,
+                        chunk_size=self.prefill_chunk_size, impl=self.impl,
+                        compute_dtype=self.compute_dtype)
+                else:
+                    _, self.draft_cache = prefill_row(
+                        self.draft_params, self.draft_cache,
+                        jnp.asarray(ids), jnp.int32(plen), jnp.int32(slot),
+                        self.draft_config, impl=self.impl,
+                        compute_dtype=self.compute_dtype)
             self.key, sub = jax.random.split(self.key)
             tok = int(sample_token(logits[None, :], sub, self.sampling)[0])
             self.slots[slot] = req
@@ -261,6 +311,9 @@ class ContinuousBatchingEngine:
     def _decode(self) -> None:
         active = np.asarray([s is not None for s in self.slots])
         if not active.any():
+            return
+        if self.draft_params is not None:
+            self._decode_spec(active)
             return
         if self.block_steps > 1:
             self._decode_block(active)
@@ -286,6 +339,36 @@ class ContinuousBatchingEngine:
                 continue
             self.row_pos[slot] += 1
             self._emit(slot, int(toks[slot]))
+
+    def _decode_spec(self, active) -> None:
+        """One speculative round (engine/speculative.py): up to
+        n_draft+1 tokens per row from one draft scan + one target verify
+        program.  EOS and per-row budgets are enforced on device; emitted
+        counts are ragged per row.  Greedy output is token-identical to
+        the plain decode path."""
+        from onebit_tpu.engine.speculative import spec_decode_round
+
+        budget = np.asarray(
+            [r.max_new_tokens - len(r.generated) if r is not None else 0
+             for r in self.slots], np.int32)
+        emitted, n_emit, _, new_pos, self.cache, self.draft_cache = \
+            spec_decode_round(
+                self.params, self.draft_params, self.cache,
+                self.draft_cache, jnp.asarray(self.next_token),
+                jnp.asarray(self.row_pos), jnp.asarray(active),
+                jnp.asarray(budget), self.config, self.draft_config,
+                n_draft=self.n_draft, impl=self.impl,
+                compute_dtype=self.compute_dtype)
+        emitted = np.asarray(emitted)
+        n_emit = np.asarray(n_emit)
+        self.row_pos = np.asarray(new_pos).copy()
+        for slot in range(self.max_batch):
+            if self.slots[slot] is None:
+                continue
+            for j in range(int(n_emit[slot])):
+                if self.slots[slot] is None:
+                    break  # finished mid-round (EOS clamped on device)
+                self._emit(slot, int(emitted[slot, j]))
 
     def _decode_block(self, active) -> None:
         """block_steps tokens in one device program (fewer host RTTs).

@@ -277,6 +277,78 @@ def chunk_append_row(params, cache: KVCache, ids, start, length, row,
     return logits, KVCache(k=new_k, v=new_v)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
+                         config: BitLlamaConfig, *, impl: str = "auto",
+                         compute_dtype=jnp.bfloat16):
+    """W tokens per row at per-row positions, logits at EVERY position.
+
+    The speculative-decoding verify step: ``tokens [B, W]`` are consumed
+    at positions ``row_pos[b] .. row_pos[b]+W-1`` (K/V written into the
+    cache), and the returned ``logits [B, W, V]`` give the target model's
+    next-token distribution after each window prefix — one decode-step
+    program verifies W draft proposals.  On the 1-bit kernel this costs
+    nearly the same as a single decode step: the packed-weight unpack is
+    width-invariant and dominates at small batch.
+    """
+    b, w = tokens.shape
+    max_len = cache.max_len
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+
+    positions = row_pos[:, None] + jnp.arange(w)[None, :]        # [B, W]
+    x = params["embed_tokens"][tokens].astype(compute_dtype)
+    cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta,
+                            config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+
+    # [B, 1, W, T] mask: key j visible to window query i of row b iff
+    # j <= row_pos[b] + i; inactive rows fully masked
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+    mask = (kj <= positions[:, None, :, None]) & \
+        active[:, None, None, None]
+
+    rows = jnp.arange(b)
+
+    def layer(x, layer_in):
+        layer_params, ck, cv = layer_in
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
+                               config.rms_norm_eps)
+        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
+        q = q.reshape(b, w, nh, hd)
+        k = k.reshape(b, w, nkv, hd)
+        v = v.reshape(b, w, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+
+        # per-row scatter of the whole window at row_pos..row_pos+W-1
+        ck = ck.at[rows[:, None], positions].set(k.astype(ck.dtype))
+        cv = cv.at[rows[:, None], positions].set(v.astype(cv.dtype))
+
+        ctx = bitllama._attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                  mask, num_kv_groups=config.num_kv_groups)
+        attn_out = bitllama._project(ctx.reshape(b, w, nh * hd),
+                                     layer_params["o_proj"], impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
+                               config.rms_norm_eps)
+        gate, up = bitllama.project_gateup(hx, layer_params, impl,
+                                           config.intermediate_size)
+        mlp = bitllama._project(jax.nn.silu(gate) * up,
+                                layer_params["down_proj"], impl)
+        return residual + mlp, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (params["layers"], cache.k, cache.v))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
 def chunked_prefill_row(params, cache: KVCache, prompt, row,
                         config: BitLlamaConfig, *, chunk_size: int = 64,
                         impl: str = "auto", compute_dtype=jnp.bfloat16):

@@ -23,6 +23,11 @@ from onebit_tpu.utils.benchmark import bench_fn_with_state  # noqa
 from onebit_tpu.utils.randinit import host_random_packed_params  # noqa
 
 
+def _log(msg):
+    import time
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     size = os.environ.get("ONEBIT_BENCH_SIZE", "llama2-7b")
     batch = int(os.environ.get("ONEBIT_BENCH_BATCH", "8"))
@@ -30,10 +35,16 @@ def main():
     iters = int(os.environ.get("ONEBIT_SCAN_ITERS", "32"))
     fuse = os.environ.get("ONEBIT_FUSE", "0") == "1"
     config = BitLlamaConfig.named(size)
+    _log(f"generating params ({size})")
     params = host_random_packed_params(config)
     if fuse:
         from onebit_tpu.model.bitllama import fuse_for_decode
         params = fuse_for_decode(params, config)
+    _log("pushing params to device")
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+    float(jnp.sum(jax.tree.leaves(params)[0].astype(jnp.float32)))  # fetch
+    _log("params on device; building cache + program")
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
 
@@ -46,8 +57,10 @@ def main():
     # iters_lo=0: ONE scan program (7B-scale programs cost many minutes of
     # device-side compile each); the fixed ~30 ms fetch amortized over
     # `iters` steps underestimates throughput by ~1 ms/iters per step.
+    _log(f"compiling + warming scan program (iters={iters})")
     sec = bench_fn_with_state(step, (cache, jnp.int32(0)),
                               iters_lo=0, iters_hi=iters, reps=3)
+    _log("measurement done")
     variant = os.environ.get("ONEBIT_UNPACK_VARIANT", "sgn")
     print(f"scanned decode: {sec*1e3:.2f} ms/step -> {batch/sec:.0f} tok/s "
           f"({size}, batch {batch}, fuse={fuse}, variant={variant})")
