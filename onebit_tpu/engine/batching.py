@@ -43,6 +43,10 @@ class Request:
     # completion.  Both run on the engine thread - keep them cheap.
     on_token: Optional[Callable[[int], None]] = None
     on_done: Optional[Callable[[], None]] = None
+    # latency accounting (wall-clock perf_counter timestamps)
+    t_submit: float = 0.0
+    t_first_token: float = 0.0
+    t_done: float = 0.0
 
 
 def _bucket(n: int, minimum: int = 32) -> int:
@@ -126,6 +130,11 @@ class ContinuousBatchingEngine:
         self.total_requests = 0
         self.completed_requests = 0
         self.meter = ThroughputMeter()
+        # per-request latency samples (seconds): time-to-first-token and
+        # time-per-output-token, recorded at completion; bounded windows
+        from collections import deque
+        self._lat_ttft = deque(maxlen=1024)
+        self._lat_tpot = deque(maxlen=1024)
 
     # -- public API ---------------------------------------------------------
     def add_request(self, prompt: Sequence[int],
@@ -137,9 +146,10 @@ class ContinuousBatchingEngine:
         total = len(prompt) + max_new_tokens
         if total > self.max_len:
             raise ValueError(f"request needs {total} > max_len {self.max_len}")
+        import time
         req = Request(uid=next(self._uid), prompt=list(prompt),
                       max_new_tokens=max_new_tokens, on_token=on_token,
-                      on_done=on_done)
+                      on_done=on_done, t_submit=time.perf_counter())
         self.waiting.append(req)
         self.total_requests += 1
         return req.uid
@@ -409,7 +419,10 @@ class ContinuousBatchingEngine:
     def _emit(self, slot: int, tok: int) -> None:
         """Record one generated token: bookkeeping, streaming callback,
         throughput counters, completion check."""
+        import time
         req = self.slots[slot]
+        if not req.generated:
+            req.t_first_token = time.perf_counter()
         req.generated.append(tok)
         self.next_token[slot] = tok
         self.total_tokens += 1
@@ -432,6 +445,12 @@ class ContinuousBatchingEngine:
         if self.paged:
             out["free_pages"] = len(self.allocator.free)
             out["total_pages"] = self.total_pages
+        if self._lat_ttft:
+            q = np.quantile(np.asarray(self._lat_ttft), [0.5, 0.99])
+            out["ttft_p50_s"], out["ttft_p99_s"] = float(q[0]), float(q[1])
+        if self._lat_tpot:
+            q = np.quantile(np.asarray(self._lat_tpot), [0.5, 0.99])
+            out["tpot_p50_s"], out["tpot_p99_s"] = float(q[0]), float(q[1])
         return out
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
@@ -440,7 +459,14 @@ class ContinuousBatchingEngine:
             return
         if tok == self.config.eos_token_id or \
                 len(req.generated) >= req.max_new_tokens:
+            import time
             req.done = True
+            req.t_done = time.perf_counter()
+            self._lat_ttft.append(req.t_first_token - req.t_submit)
+            if len(req.generated) > 1:
+                self._lat_tpot.append(
+                    (req.t_done - req.t_first_token)
+                    / (len(req.generated) - 1))
             self.finished[req.uid] = req
             self.slots[slot] = None
             self.completed_requests += 1

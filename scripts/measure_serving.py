@@ -12,6 +12,12 @@ so per-block host/tunnel overhead is amortized 1/block_steps.
 
 Env: ONEBIT_BENCH_SIZE, ONEBIT_SERVE_BATCH (16), ONEBIT_SERVE_TOKENS (96),
 ONEBIT_SERVE_BLOCK (16), ONEBIT_SERVE_PAGED (1), ONEBIT_SERVE_FUSE (1).
+
+ONEBIT_SERVE_SPEC=1 measures greedy speculative decoding with the target
+as its own draft (random weights give ~zero cross-model acceptance, so
+self-draft is the honest machinery ceiling: every round emits
+n_draft+1 tokens for one draft-scan + one verify program).
+ONEBIT_SERVE_NDRAFT (4) sets the proposals per round.
 """
 
 import os
@@ -52,6 +58,8 @@ def main():
     block = int(os.environ.get("ONEBIT_SERVE_BLOCK", "16"))
     paged = os.environ.get("ONEBIT_SERVE_PAGED", "1") == "1"
     fuse = os.environ.get("ONEBIT_SERVE_FUSE", "1") == "1"
+    spec = os.environ.get("ONEBIT_SERVE_SPEC", "0") == "1"
+    n_draft = int(os.environ.get("ONEBIT_SERVE_NDRAFT", "4"))
 
     config = BitLlamaConfig.named(size)
     params = host_random_packed_params(config)
@@ -59,11 +67,20 @@ def main():
         from onebit_tpu.model.bitllama import fuse_for_decode
         params = fuse_for_decode(params, config)
 
-    eng = ContinuousBatchingEngine(
-        params, config, max_batch=batch, max_len=256,
-        sampling=SamplingConfig(greedy=True), impl="pallas",
-        compute_dtype=jnp.bfloat16, paged=paged, quantized_kv=paged,
-        block_steps=block)
+    if spec:
+        eng = ContinuousBatchingEngine(
+            params, config, max_batch=batch, max_len=256,
+            sampling=SamplingConfig(greedy=True), impl="pallas",
+            compute_dtype=jnp.bfloat16, draft_params=params,
+            draft_config=config, n_draft=n_draft)
+        block = f"spec(n={n_draft})"
+        paged = False
+    else:
+        eng = ContinuousBatchingEngine(
+            params, config, max_batch=batch, max_len=256,
+            sampling=SamplingConfig(greedy=True), impl="pallas",
+            compute_dtype=jnp.bfloat16, paged=paged, quantized_kv=paged,
+            block_steps=block)
 
     print(f"# warmup round (compiles prefill + decode block)",
           file=sys.stderr, flush=True)

@@ -104,6 +104,20 @@ def test_warmup_variants(tiny, paged, block_steps, chunk):
     assert len(out[uid]) == 3
 
 
+def test_latency_metrics(tiny):
+    """Completed requests produce TTFT/TPOT percentiles in metrics()."""
+    config, params = tiny
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32)
+    for p in ([5, 6, 7], [9, 10]):
+        eng.add_request(p, max_new_tokens=4)
+    eng.run()
+    m = eng.metrics()
+    assert 0 < m["ttft_p50_s"] <= m["ttft_p99_s"]
+    assert 0 < m["tpot_p50_s"] <= m["tpot_p99_s"]
+    assert m["completed_requests"] == 2
+
+
 def test_block_decode_matches_single_step(tiny):
     """block_steps>1 greedy output == per-step engine output."""
     config, params = tiny
