@@ -95,7 +95,13 @@ def bench_fn_with_state(step: Callable, init_state, iters_lo: int = 4,
         sync(run_hi(init_state))
         t_hi = time.perf_counter() - t0
         if run_lo is None:
-            ts.append(t_hi / iters_hi)
+            # subtract the measured fetch/dispatch floor (sum-op + tunnel
+            # RTT on the same state) instead of compiling a second big
+            # program: T(hi) = floor + hi * t_step
+            t0 = time.perf_counter()
+            sync(init_state)
+            floor = time.perf_counter() - t0
+            ts.append(max(t_hi - floor, 0.0) / iters_hi)
             continue
         t0 = time.perf_counter()
         sync(run_lo(init_state))
