@@ -39,17 +39,19 @@ def _bench_decode(config, params, impl: str, batch: int, max_len: int,
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
 
-    def step(state):
+    def step(p, state):
         cache, idx = state
-        logits, cache = decode_step(params, cache, ids, idx, config,
+        logits, cache = decode_step(p, cache, ids, idx, config,
                                     impl=impl, compute_dtype=jnp.bfloat16)
         return cache, idx + 1
 
     # iters_lo=0: one scan program (each 7B-scale program costs minutes of
     # device-side compile); the fixed ~30 ms fetch amortized over scan_iters
-    # steps makes the result slightly conservative.
+    # steps makes the result slightly conservative.  const=params keeps the
+    # weights out of the compiled program (see bench_fn_with_state).
     sec_per_step = bench_fn_with_state(
-        step, (cache, jnp.int32(0)), iters_lo=0, iters_hi=scan_iters, reps=3)
+        step, (cache, jnp.int32(0)), iters_lo=0, iters_hi=scan_iters, reps=3,
+        const=params)
     return batch / sec_per_step
 
 

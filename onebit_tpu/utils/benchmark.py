@@ -66,33 +66,56 @@ def bench_op(fn: Callable, *args, iters_lo: int = 8, iters_hi: int = 64,
 
 
 def bench_fn_with_state(step: Callable, init_state, iters_lo: int = 4,
-                        iters_hi: int = 32, reps: int = 3) -> float:
+                        iters_hi: int = 32, reps: int = 3,
+                        const=None) -> float:
     """Median *marginal* seconds per call of a carry-style function
     ``state -> state`` (e.g. a decode step), chained inside one jit.
+
+    ``const``: loop-invariant pytree (e.g. model params) passed to ``step``
+    as its FIRST argument and to the jitted program as a runtime argument.
+    Without it, params captured by closure are baked into the HLO as
+    constants — for a 7B model that is ~1.7 GB of embedded constants, a
+    30+-minute compile, and a ~661 MB executable (measured); as arguments
+    the same program compiles in minutes and the executable is small.
 
     ``iters_lo=0`` uses a single scan program (cheaper to trace/lower —
     big models cost minutes per program on the host) and accepts the fixed
     ~30 ms fetch overhead amortized over ``iters_hi`` calls (a slight,
     conservative underestimate of throughput).
     """
-    def body(state, _):
-        return step(state), None
+    if const is None:
+        def body(state, _):
+            return step(state), None
 
-    def make(n):
-        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n)[0])
+        def make(n):
+            return jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=n)[0])
+
+        def run(fn, state):
+            return fn(state)
+    else:
+        def body_c(c, state, _):
+            return step(c, state), None
+
+        def make(n):
+            return jax.jit(lambda c, s: jax.lax.scan(
+                lambda st, x: body_c(c, st, x), s, None, length=n)[0])
+
+        def run(fn, state):
+            return fn(const, state)
 
     def sync(out):
         float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
 
     run_hi = make(iters_hi)
     run_lo = make(iters_lo) if iters_lo else None
-    sync(run_hi(init_state))  # compile + warm
+    sync(run(run_hi, init_state))  # compile + warm
     if run_lo is not None:
-        sync(run_lo(init_state))
+        sync(run(run_lo, init_state))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        sync(run_hi(init_state))
+        sync(run(run_hi, init_state))
         t_hi = time.perf_counter() - t0
         if run_lo is None:
             # subtract the measured fetch/dispatch floor (sum-op + tunnel
@@ -104,7 +127,7 @@ def bench_fn_with_state(step: Callable, init_state, iters_lo: int = 4,
             ts.append(max(t_hi - floor, 0.0) / iters_hi)
             continue
         t0 = time.perf_counter()
-        sync(run_lo(init_state))
+        sync(run(run_lo, init_state))
         t_lo = time.perf_counter() - t0
         ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
     return max(statistics.median(ts), 1e-9)

@@ -53,9 +53,9 @@ def main():
     ids = jnp.zeros((batch, 1), jnp.int32)
 
     def make_step(cache0):
-        def step(state):
+        def step(p, state):
             cache, idx = state
-            logits, cache = decode_step(params, cache, ids, idx, config,
+            logits, cache = decode_step(p, cache, ids, idx, config,
                                         impl="pallas",
                                         compute_dtype=jnp.bfloat16)
             return cache, idx + 1
@@ -68,7 +68,7 @@ def main():
         _log(f"compiling + timing {name} cache (max_len={max_len})")
         step, state = make_step(cache)
         sec = bench_fn_with_state(step, state, iters_lo=0, iters_hi=iters,
-                                  reps=3)
+                                  reps=3, const=params)
         results[name] = sec
         print(f"{name}: {sec*1e3:.2f} ms/step  "
               f"({batch/sec:.1f} tok/s, batch {batch}, ctx {max_len})",

@@ -48,9 +48,9 @@ def main():
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
 
-    def step(state):
+    def step(p, state):
         cache, idx = state
-        logits, cache = decode_step(params, cache, ids, idx, config,
+        logits, cache = decode_step(p, cache, ids, idx, config,
                                     impl="pallas", compute_dtype=jnp.bfloat16)
         return cache, idx + 1
 
@@ -59,7 +59,8 @@ def main():
     # `iters` steps underestimates throughput by ~1 ms/iters per step.
     _log(f"compiling + warming scan program (iters={iters})")
     sec = bench_fn_with_state(step, (cache, jnp.int32(0)),
-                              iters_lo=0, iters_hi=iters, reps=3)
+                              iters_lo=0, iters_hi=iters, reps=3,
+                              const=params)
     _log("measurement done")
     variant = os.environ.get("ONEBIT_UNPACK_VARIANT", "sgn")
     print(f"scanned decode: {sec*1e3:.2f} ms/step -> {batch/sec:.0f} tok/s "
