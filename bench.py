@@ -33,16 +33,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def _bench_decode(config, params, impl: str, batch: int, max_len: int,
                   scan_iters: int = 32) -> float:
-    from onebit_tpu.model.bitllama import decode_step, init_kv_cache
+    from onebit_tpu.model.bitllama import (decode_step, decode_step_flat,
+                                           init_kv_cache)
     from onebit_tpu.utils.benchmark import bench_fn_with_state
 
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
+    # pallas serving path: the flat fori-loop step (scalar-prefetch stacked
+    # kernels, in-place one-token cache writes) — measured ~2x the
+    # scan-over-layers step at 7B (PERF.md).  The xla baseline keeps the
+    # scan step: it stands in for the reference's strategy as-is.
+    step_fn = decode_step_flat if impl == "pallas" else decode_step
 
     def step(p, state):
         cache, idx = state
-        logits, cache = decode_step(p, cache, ids, idx, config,
-                                    impl=impl, compute_dtype=jnp.bfloat16)
+        logits, cache = step_fn(p, cache, ids, idx, config,
+                                impl=impl, compute_dtype=jnp.bfloat16)
         return cache, idx + 1
 
     # iters_lo=0: one scan program (each 7B-scale program costs minutes of

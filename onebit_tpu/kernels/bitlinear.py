@@ -89,6 +89,50 @@ def fused_bitlinear_apply(x, w: FusedBitLinearWeights, n_true: int, *,
     return outs
 
 
+def _pick_layer(tree, layer):
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False),
+        tree)
+
+
+def fused_bitlinear_apply_stacked(x, w: FusedBitLinearWeights, layer,
+                                  n_true: int, *, impl: str = "auto",
+                                  eps: float = LN_EPS):
+    """Apply layer ``layer`` of STACKED fused projections (leaves carry a
+    leading ``[L, ...]`` axis) without materializing the layer's weights:
+    the Pallas kernel selects the layer block via scalar-prefetch index
+    maps.  For scan/fori-over-layers decode bodies."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from onebit_tpu.kernels.bitlinear_pallas import (
+            bitlinear_packed_fused_stacked)
+        return bitlinear_packed_fused_stacked(
+            x, w.packed, w.input_factor, w.weight_scale, layer,
+            n_true=n_true, eps=eps)
+    return fused_bitlinear_apply(x, _pick_layer(w, layer), n_true,
+                                 impl=impl, eps=eps)
+
+
+def bitlinear_apply_stacked(x, w: BitLinearWeights, layer, *,
+                            impl: str = "auto", eps: float = LN_EPS):
+    """Apply layer ``layer`` of a STACKED packed BitLinear (leaves carry a
+    leading ``[L, ...]`` axis); Pallas path reads the layer's tiles
+    directly from the stacked HBM arrays (scalar prefetch)."""
+    if impl == "auto":
+        impl = "pallas" if (w.mode == "packed" and
+                            jax.default_backend() == "tpu") else "xla"
+    if impl == "pallas":
+        if w.mode != "packed":
+            raise ValueError("pallas impl requires packed weights")
+        from onebit_tpu.kernels.bitlinear_pallas import (
+            bitlinear_packed_pallas_stacked)
+        return bitlinear_packed_pallas_stacked(
+            x, w.packed, w.input_factor, w.weight_scale, layer,
+            bias=w.bias, eps=eps)
+    return bitlinear_apply(x, _pick_layer(w, layer), impl=impl, eps=eps)
+
+
 def bitlinear_apply(x, w: BitLinearWeights, *, impl: str = "auto",
                     eps: float = LN_EPS):
     """Apply a BitLinear projection to ``x [..., in]`` → ``[..., out]``.

@@ -81,6 +81,14 @@ def _unpack_planes(words, s_ref, nw: int, variant: str = "sgn"):
         s_ref[pl.ds(p * 4 * nw, 4 * nw), :] = pltpu.bitcast(t, jnp.int8)
 
 
+def _drop_scalar(kernel):
+    """Absorb the scalar-prefetch ref (layer index) — it is consumed only
+    by the BlockSpec index maps, not the kernel body."""
+    def wrapped(layer_ref, *refs):
+        return kernel(*refs)
+    return wrapped
+
+
 def _pick_tile(n: int, candidates=(512, 256, 128)) -> int:
     for c in candidates:
         if n % c == 0:
@@ -99,15 +107,19 @@ def _round_up(x: int, m: int) -> int:
 def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
                           acc_ref, y_ref, s_ref, *, tn: int, k: int,
                           eps: float, has_bias: bool, fuse_ln: bool = True,
-                          variant: str = "sgn"):
+                          variant: str = "sgn", stacked: bool = False):
     ni = pl.program_id(0)
     n_tiles = pl.num_programs(0)
+    # stacked refs carry a leading layer-block axis of size 1
+    g = g_ref[0] if stacked else g_ref[:]
+    h = h_ref[0] if stacked else h_ref[:]
 
     @pl.when(ni == 0)
     def _():
-        y_ref[:] = x_ref[:] * g_ref[:]
+        y_ref[:] = x_ref[:] * g
 
-    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS, variant)  # [K, TN]
+    packed = packed_ref[0] if stacked else packed_ref[:]
+    _unpack_planes(packed, s_ref, k // WORD_BITS, variant)  # [K, TN]
     s = s_ref[:]
     if y_ref.dtype == jnp.float32:   # f32 parity path: no f32xint8 MXU mode
         s = s.astype(jnp.float32)
@@ -119,7 +131,7 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
         # s held bits b = (1-sign)/2, so true z = rowsum(y) - 2*(y·B)
         rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
         z = rs - 2.0 * z
-    acc_ref[:, pl.ds(ni * tn, tn)] = z * h_ref[:]
+    acc_ref[:, pl.ds(ni * tn, tn)] = z * h
 
     @pl.when(ni == n_tiles - 1)
     def _():
@@ -129,7 +141,7 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
             var = jnp.mean(jnp.square(a - mean), axis=1, keepdims=True)
             a = (a - mean) * jax.lax.rsqrt(var + eps)
             if has_bias:
-                a = a + bias_ref[:]
+                a = a + (bias_ref[0] if stacked else bias_ref[:])
         out_ref[:] = a.astype(out_ref.dtype)
 
 
@@ -188,6 +200,113 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
     return out[:m]
 
 
+def _call_small_m_stacked(x2, packed, g, h, bias, layer, eps, interpret,
+                          fuse_ln: bool = True, variant: str = None):
+    """Small-M schedule over STACKED per-layer weights.
+
+    ``packed [L, K//32, N]``, ``g [L, K]``, ``h [L, N]`` stay whole in HBM;
+    the int32 ``layer`` scalar is threaded through scalar-prefetch into the
+    BlockSpec index maps, so each grid step DMAs layer ``layer``'s weight
+    tile directly — no per-layer XLA slice materialization.  Inside a
+    scan/fori over layers this removes a full extra read+write of the
+    packed weights per decode step (~2 ms at 7B) that dynamic-slicing
+    stacked params into custom-call operands costs.
+    """
+    if variant is None:
+        variant = DECODE_UNPACK_VARIANT
+    m, k = x2.shape
+    L, nw, n = packed.shape
+    tn = _pick_tile(n)
+    while tn * k > 8 * 1024 * 1024 and tn > 128:
+        tn //= 2
+    m_pad = max(_round_up(m, 16), 16)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    has_bias = bias is not None
+    # vectors carry a size-1 sublane axis so the (1, 1, tn) blocks satisfy
+    # the TPU block rule (sublane block == array dim)
+    g2 = g.reshape(L, 1, k).astype(x2.dtype)
+    h2 = h.reshape(L, 1, n).astype(jnp.float32)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    inputs = [x2, g2, packed, h2]
+    in_specs = [
+        pl.BlockSpec((m_pad, k), lambda ni, lr: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, k), lambda ni, lr: (lr[0], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nw, tn), lambda ni, lr: (lr[0], 0, ni),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tn), lambda ni, lr: (lr[0], 0, ni),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        inputs.append(bias.reshape(L, 1, n).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, n), lambda ni, lr: (lr[0], 0, 0),
+                                     memory_space=pltpu.VMEM))
+    else:
+        inputs.append(jnp.zeros((1, 1, 1), jnp.float32))
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda ni, lr: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kernel = _drop_scalar(functools.partial(
+        _fused_small_m_kernel, tn=tn, k=k, eps=eps, has_bias=has_bias,
+        fuse_ln=fuse_ln, variant=variant, stacked=True))
+    out_dtype = x2.dtype if fuse_ln else jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tn,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((m_pad, n), lambda ni, lr: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((m_pad, n), jnp.float32),
+                pltpu.VMEM((m_pad, k), x2.dtype),
+                pltpu.VMEM((k, tn), jnp.int8),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret,
+    )(lidx, *inputs)
+    return out[:m]
+
+
+def bitlinear_packed_pallas_stacked(x, packed, g, h, layer, bias=None, *,
+                                    eps: float = LN_EPS,
+                                    interpret: Optional[bool] = None):
+    """Packed OneBit linear with stacked per-layer weights selected on
+    device: ``x [..., K]``, ``packed [L, K//32, N]``, ``g [L, K]``,
+    ``h [L, N]``, ``layer`` a traced int32 scalar → ``[..., N]``.
+
+    Decode-path companion of :func:`bitlinear_packed_pallas` for
+    scan/fori-over-layers model bodies (see _call_small_m_stacked).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    *lead, k = x.shape
+    n = packed.shape[2]
+    if packed.shape[1] * WORD_BITS != k:
+        raise ValueError(f"stacked packed {packed.shape} mismatch K={k}")
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if m > _SMALL_M:
+        # prefill shapes: fall back to slicing + the large-M schedule (the
+        # slice copy is negligible against large-M compute)
+        pick = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
+                                 axis=0, keepdims=False)
+        z = _call_large_m(x2, pick(packed), pick(g), pick(h), eps, interpret)
+        z32 = z.astype(jnp.float32)
+        mean = jnp.mean(z32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(z32 - mean), axis=-1, keepdims=True)
+        r = (z32 - mean) * jax.lax.rsqrt(var + eps)
+        if bias is not None:
+            r = r + pick(bias).astype(r.dtype)
+        return r.astype(x.dtype).reshape(*lead, n)
+    out = _call_small_m_stacked(x2, packed, g, h, bias, layer, eps, interpret)
+    return out.reshape(*lead, n)
+
+
 # ---------------------------------------------------------------------------
 # fused multi-projection kernels: ns same-shape projections sharing one x
 # (qkv / gate+up).  Segments are concatenated along N (each zero-padded to
@@ -201,17 +320,20 @@ def _fused_multiseg_small_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
                                  acc_ref, y_ref, s_ref, *, tn: int, k: int,
                                  ns: int, seg_pad: int, n_true: int,
                                  m_pad: int, eps: float, variant: str,
-                                 fuse_ln: bool):
+                                 fuse_ln: bool, stacked: bool = False):
     ni = pl.program_id(0)
     n_tiles = pl.num_programs(0)
+    g = g_ref[0] if stacked else g_ref
+    h = h_ref[0] if stacked else h_ref[:]
 
     @pl.when(ni == 0)
     def _():
         for j in range(ns):
             y_ref[pl.ds(j * m_pad, m_pad), :] = \
-                x_ref[:] * g_ref[j, :][None, :]
+                x_ref[:] * g[j, :][None, :]
 
-    _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS, variant)
+    packed = packed_ref[0] if stacked else packed_ref[:]
+    _unpack_planes(packed, s_ref, k // WORD_BITS, variant)
     s = s_ref[:]
     if y_ref.dtype == jnp.float32:
         s = s.astype(jnp.float32)
@@ -223,7 +345,7 @@ def _fused_multiseg_small_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
     if variant == "b01":
         rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
         z = rs - 2.0 * z
-    acc_ref[:, pl.ds(ni * tn, tn)] = z * h_ref[:]
+    acc_ref[:, pl.ds(ni * tn, tn)] = z * h
 
     @pl.when(ni == n_tiles - 1)
     def _():
@@ -365,6 +487,76 @@ def bitlinear_packed_fused(x, packed, g, h, *, n_true: int,
             outs.append(((a - mean) * jax.lax.rsqrt(var + eps))
                         .astype(x.dtype).reshape(*lead, n_true))
         return outs
+    return [out[:, j * seg_pad:j * seg_pad + n_true].reshape(*lead, n_true)
+            for j in range(ns)]
+
+
+def bitlinear_packed_fused_stacked(x, packed, g, h, layer, *, n_true: int,
+                                   eps: float = LN_EPS,
+                                   interpret: Optional[bool] = None):
+    """Stacked-layer variant of :func:`bitlinear_packed_fused` (small-M /
+    decode only): ``packed [L, K//32, ns*seg_pad]``, ``g [L, ns, K]``,
+    ``h [L, ns*seg_pad]``, ``layer`` a traced int32 scalar.  The layer's
+    weight tiles are DMA'd straight from the stacked HBM arrays via
+    scalar-prefetch index maps (see _call_small_m_stacked)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    *lead, k = x.shape
+    L, nwords, n_cat = packed.shape
+    ns = g.shape[1]
+    seg_pad = n_cat // ns
+    if g.shape[2] != k or nwords * WORD_BITS != k or seg_pad * ns != n_cat:
+        raise ValueError(f"fused stacked shape mismatch: x K={k}, "
+                         f"g {g.shape}, packed {packed.shape}")
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if m > _SMALL_M:
+        pick = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
+                                 axis=0, keepdims=False)
+        return bitlinear_packed_fused(x, pick(packed), pick(g), pick(h),
+                                      n_true=n_true, eps=eps,
+                                      interpret=interpret)
+    variant = DECODE_UNPACK_VARIANT
+    tn = 128
+    for cand in (1024, 512, 256):
+        if seg_pad % cand == 0 and cand * k <= 8 * 1024 * 1024:
+            tn = cand
+            break
+    m_pad = max(_round_up(m, 16), 16)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    g2 = g.astype(x2.dtype)                        # [L, ns, K]
+    h2 = h.reshape(L, 1, n_cat).astype(jnp.float32)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        _drop_scalar(functools.partial(
+            _fused_multiseg_small_kernel, tn=tn, k=k, ns=ns,
+            seg_pad=seg_pad, n_true=n_true, m_pad=m_pad, eps=eps,
+            variant=variant, fuse_ln=True, stacked=True)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_cat // tn,),
+            in_specs=[
+                pl.BlockSpec((m_pad, k), lambda ni, lr: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ns, k), lambda ni, lr: (lr[0], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nwords, tn), lambda ni, lr: (lr[0], 0, ni),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tn), lambda ni, lr: (lr[0], 0, ni),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((m_pad, n_cat), lambda ni, lr: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((m_pad, n_cat), jnp.float32),
+                pltpu.VMEM((ns * m_pad, k), x2.dtype),
+                pltpu.VMEM((k, tn), jnp.int8),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_cat), x2.dtype),
+        interpret=interpret,
+    )(lidx, x2, g2, packed, h2)
+    out = out[:m]
     return [out[:, j * seg_pad:j * seg_pad + n_true].reshape(*lead, n_true)
             for j in range(ns)]
 

@@ -260,6 +260,34 @@ def project_gateup(hx, layer_params, impl: str, n_out: int):
             _project(hx, layer_params["up_proj"], impl))
 
 
+# ---- flat (fori-over-layers) projection helpers: STACKED params + a traced
+# layer index; the Pallas path DMAs the layer's tiles straight from the
+# stacked HBM arrays (kernels/bitlinear_pallas scalar prefetch) ----
+
+def _project_flat(x, layers, name: str, i, impl: str):
+    from onebit_tpu.kernels.bitlinear import bitlinear_apply_stacked
+    return bitlinear_apply_stacked(x, layers[name], i, impl=impl)
+
+
+def _project_qkv_flat(hx, layers, i, impl: str, n_out: int):
+    if "qkv_proj" in layers:
+        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply_stacked
+        return fused_bitlinear_apply_stacked(hx, layers["qkv_proj"], i,
+                                             n_out, impl=impl)
+    return (_project_flat(hx, layers, "q_proj", i, impl),
+            _project_flat(hx, layers, "k_proj", i, impl),
+            _project_flat(hx, layers, "v_proj", i, impl))
+
+
+def _project_gateup_flat(hx, layers, i, impl: str, n_out: int):
+    if "gateup_proj" in layers:
+        from onebit_tpu.kernels.bitlinear import fused_bitlinear_apply_stacked
+        return fused_bitlinear_apply_stacked(hx, layers["gateup_proj"], i,
+                                             n_out, impl=impl)
+    return (_project_flat(hx, layers, "gate_proj", i, impl),
+            _project_flat(hx, layers, "up_proj", i, impl))
+
+
 def _attention(q, k, v, mask, *, num_kv_groups: int, return_probs=False):
     """GQA attention; q [B,S,nh,hd], k/v [B,T,nkv,hd], mask [B,1,S,T] bool."""
     b, s, nh, hd = q.shape
@@ -498,4 +526,105 @@ def decode_step(params, cache: KVCache, input_ids, cache_index,
                         preferred_element_type=jnp.float32)
     new_cache = (QuantKVCache(*new_leaves) if quant
                  else KVCache(*new_leaves))
+    return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("config", "impl",
+                                             "compute_dtype"))
+def decode_step_flat(params, cache, input_ids, cache_index,
+                     config: BitLlamaConfig, *, impl: str = "auto",
+                     compute_dtype=jnp.bfloat16, positions=None,
+                     key_start=None):
+    """``decode_step`` with a flat HBM-traffic profile — same semantics.
+
+    ``decode_step`` scans with the stacked params/cache as scan ``xs``/``ys``:
+    XLA materializes each layer's packed-weight slices as fresh buffers for
+    the Pallas custom calls (an extra read+write of all ~0.8 GB of weights
+    per step) and writes the full cache back as stacked ``ys`` (another
+    ~1 GB of writes).  Here the layer loop is a ``fori_loop`` whose carry
+    holds the FULL stacked cache updated in place with one-token
+    ``dynamic_update_slice`` writes, and the projections use the
+    scalar-prefetch stacked kernels (`bitlinear_apply_stacked`) that DMA
+    layer tiles straight from the whole stacked arrays.  Measured ~1.9x
+    faster at 7B decode (see PERF.md).
+    """
+    b, s = input_ids.shape
+    max_len = cache.max_len
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    x = params["embed_tokens"][input_ids].astype(compute_dtype)
+    if positions is None:
+        positions = cache_index + jnp.arange(s)[None, :]
+    cos, sin = rope_cos_sin(
+        positions, config.head_dim, config.rope_theta, config.rope_scaling,
+        config.max_position_embeddings, seq_len=max_len, dtype=compute_dtype)
+
+    mask = _causal_mask(s, max_len, cache_index)
+    if key_start is not None:
+        kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
+        mask = mask & (kj >= key_start[:, None, None, None])
+
+    from onebit_tpu.model.kv_cache import QuantKVCache, quantize_kv
+    quant = isinstance(cache, QuantKVCache)
+    layers = params["layers"]
+
+    def pick(a, i):
+        return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+    def body(i, carry):
+        x, leaves = carry
+        residual = x
+        hx = rms_norm(x, pick(layers["input_layernorm"], i),
+                      config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+
+        if quant:
+            k_q, k_s, v_q, v_s = leaves
+            nkq, nks = quantize_kv(k)
+            nvq, nvs = quantize_kv(v)
+            k_q = jax.lax.dynamic_update_slice(
+                k_q, nkq[None], (i, 0, cache_index, 0, 0))
+            k_s = jax.lax.dynamic_update_slice(
+                k_s, nks[None], (i, 0, cache_index, 0))
+            v_q = jax.lax.dynamic_update_slice(
+                v_q, nvq[None], (i, 0, cache_index, 0, 0))
+            v_s = jax.lax.dynamic_update_slice(
+                v_s, nvs[None], (i, 0, cache_index, 0))
+            leaves = (k_q, k_s, v_q, v_s)
+            ctx = _attention_quant(
+                q, pick(k_q, i), pick(k_s, i), pick(v_q, i), pick(v_s, i),
+                mask, num_kv_groups=config.num_kv_groups)
+        else:
+            k_all, v_all = leaves
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k[None].astype(k_all.dtype), (i, 0, cache_index, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v[None].astype(v_all.dtype), (i, 0, cache_index, 0, 0))
+            leaves = (k_all, v_all)
+            ctx = _attention(q, pick(k_all, i).astype(q.dtype),
+                             pick(v_all, i).astype(q.dtype), mask,
+                             num_kv_groups=config.num_kv_groups)
+
+        attn_out = _project_flat(ctx.reshape(b, s, nh * hd), layers,
+                                 "o_proj", i, impl)
+        x = residual + attn_out
+        residual = x
+        hx = rms_norm(x, pick(layers["post_attention_layernorm"], i),
+                      config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, leaves)
+
+    x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, tuple(cache)))
+    x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    new_cache = QuantKVCache(*leaves) if quant else KVCache(*leaves)
     return logits, new_cache

@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 
 from onebit_tpu.model import bitllama
-from onebit_tpu.model.bitllama import KVCache
+from onebit_tpu.model.bitllama import (
+    KVCache,
+    _project_flat,
+    _project_gateup_flat,
+    _project_qkv_flat,
+)
 from onebit_tpu.model.config import BitLlamaConfig
 from onebit_tpu.model.rope import apply_rope, rope_cos_sin
 
@@ -33,6 +38,11 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
                  row is still written at ``row_pos`` but they're garbage
                  slots anyway).
     Returns (logits [B, 1, V], new_cache).
+
+    Flat layer loop (like ``bitllama.decode_step_flat``): stacked params
+    stay whole in HBM (scalar-prefetch kernels) and the cache is updated
+    in place with per-row one-token scatters — no scan xs/ys slice
+    materialization (~2x decode HBM traffic at 7B, PERF.md).
     """
     b, s = input_ids.shape
     assert s == 1
@@ -52,38 +62,45 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
         active[:, None, None, None]
 
     rows = jnp.arange(b)
+    layers = params["layers"]
 
-    def layer(x, layer_in):
-        layer_params, ck, cv = layer_in
+    def body(i, carry):
+        x, k_all, v_all = carry
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
-                               config.rms_norm_eps)
-        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
         q = q.reshape(b, 1, nh, hd)
         k = k.reshape(b, 1, nkv, hd)
         v = v.reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        # per-row scatter at row_pos
-        ck = ck.at[rows, row_pos].set(k[:, 0].astype(ck.dtype))
-        cv = cv.at[rows, row_pos].set(v[:, 0].astype(cv.dtype))
+        # per-row one-token scatter at (layer i, row, row_pos) — in place
+        k_all = k_all.at[i, rows, row_pos].set(k[:, 0].astype(k_all.dtype))
+        v_all = v_all.at[i, rows, row_pos].set(v[:, 0].astype(v_all.dtype))
+        ck = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
 
         ctx = bitllama._attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
                                   mask, num_kv_groups=config.num_kv_groups)
-        attn_out = bitllama._project(ctx.reshape(b, 1, nh * hd),
-                                     layer_params["o_proj"], impl)
+        attn_out = _project_flat(ctx.reshape(b, 1, nh * hd), layers,
+                                 "o_proj", i, impl)
         x = residual + attn_out
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
-                               config.rms_norm_eps)
-        gate, up = bitllama.project_gateup(hx, layer_params, impl,
-                                           config.intermediate_size)
-        mlp = bitllama._project(jax.nn.silu(gate) * up,
-                                layer_params["down_proj"], impl)
-        return residual + mlp, (ck, cv)
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, k_all, v_all)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (params["layers"], cache.k, cache.v))
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, config.num_hidden_layers, body, (x, cache.k, cache.v))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
@@ -311,38 +328,47 @@ def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
         active[:, None, None, None]
 
     rows = jnp.arange(b)
+    layers = params["layers"]
 
-    def layer(x, layer_in):
-        layer_params, ck, cv = layer_in
+    def body(i, carry):
+        x, k_all, v_all = carry
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
-                               config.rms_norm_eps)
-        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
         q = q.reshape(b, w, nh, hd)
         k = k.reshape(b, w, nkv, hd)
         v = v.reshape(b, w, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
 
         # per-row scatter of the whole window at row_pos..row_pos+W-1
-        ck = ck.at[rows[:, None], positions].set(k.astype(ck.dtype))
-        cv = cv.at[rows[:, None], positions].set(v.astype(cv.dtype))
+        k_all = k_all.at[i, rows[:, None], positions].set(
+            k.astype(k_all.dtype))
+        v_all = v_all.at[i, rows[:, None], positions].set(
+            v.astype(v_all.dtype))
+        ck = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
 
         ctx = bitllama._attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
                                   mask, num_kv_groups=config.num_kv_groups)
-        attn_out = bitllama._project(ctx.reshape(b, w, nh * hd),
-                                     layer_params["o_proj"], impl)
+        attn_out = _project_flat(ctx.reshape(b, w, nh * hd), layers,
+                                 "o_proj", i, impl)
         x = residual + attn_out
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
-                               config.rms_norm_eps)
-        gate, up = bitllama.project_gateup(hx, layer_params, impl,
-                                           config.intermediate_size)
-        mlp = bitllama._project(jax.nn.silu(gate) * up,
-                                layer_params["down_proj"], impl)
-        return residual + mlp, (ck, cv)
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, k_all, v_all)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (params["layers"], cache.k, cache.v))
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, config.num_hidden_layers, body, (x, cache.k, cache.v))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)

@@ -48,10 +48,15 @@ def main():
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
 
+    if os.environ.get("ONEBIT_DECODE_FLAT", "0") == "1":
+        from onebit_tpu.model.bitllama import decode_step_flat as _step_fn
+    else:
+        _step_fn = decode_step
+
     def step(p, state):
         cache, idx = state
-        logits, cache = decode_step(p, cache, ids, idx, config,
-                                    impl="pallas", compute_dtype=jnp.bfloat16)
+        logits, cache = _step_fn(p, cache, ids, idx, config,
+                                 impl="pallas", compute_dtype=jnp.bfloat16)
         return cache, idx + 1
 
     # iters_lo=0: ONE scan program (7B-scale programs cost many minutes of

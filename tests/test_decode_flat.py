@@ -1,0 +1,100 @@
+"""decode_step_flat ≡ decode_step (the scan path) — same semantics, flat
+HBM profile (scalar-prefetch stacked kernels + in-place cache writes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onebit_tpu.model.bitllama import (
+    decode_step,
+    decode_step_flat,
+    fuse_for_decode,
+    init_kv_cache,
+    init_params,
+    pack_model_params,
+)
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.kv_cache import init_quant_kv_cache
+
+
+@pytest.fixture(scope="module")
+def tiny_packed():
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    return config, pack_model_params(params)
+
+
+@pytest.fixture(scope="module")
+def tiny_mha_fused():
+    # MHA so qkv fuses too (fuse_for_decode requires equal widths)
+    config = BitLlamaConfig.named("tiny", num_key_value_heads=4)
+    params = init_params(config, jax.random.PRNGKey(1), mode="latent")
+    return config, fuse_for_decode(pack_model_params(params), config)
+
+
+def _run_both(config, params, cache_a, cache_b, impl, steps=4, prefill=6):
+    B = 2
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, prefill + steps), 0,
+                             config.vocab_size)
+    la, cache_a = decode_step(params, cache_a, ids[:, :prefill],
+                              jnp.int32(0), config, impl=impl,
+                              compute_dtype=jnp.float32)
+    lb, cache_b = decode_step_flat(params, cache_b, ids[:, :prefill],
+                                   jnp.int32(0), config, impl=impl,
+                                   compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-5, atol=2e-5)
+    for t in range(prefill, prefill + steps):
+        la, cache_a = decode_step(params, cache_a, ids[:, t:t + 1],
+                                  jnp.int32(t), config, impl=impl,
+                                  compute_dtype=jnp.float32)
+        lb, cache_b = decode_step_flat(params, cache_b, ids[:, t:t + 1],
+                                       jnp.int32(t), config, impl=impl,
+                                       compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"step {t}")
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_flat_matches_scan(tiny_packed, impl):
+    config, params = tiny_packed
+    a = init_kv_cache(config, 2, max_len=16, dtype=jnp.float32)
+    b = init_kv_cache(config, 2, max_len=16, dtype=jnp.float32)
+    _run_both(config, params, a, b, impl)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_flat_matches_scan_fused(tiny_mha_fused, impl):
+    config, params = tiny_mha_fused
+    a = init_kv_cache(config, 2, max_len=16, dtype=jnp.float32)
+    b = init_kv_cache(config, 2, max_len=16, dtype=jnp.float32)
+    _run_both(config, params, a, b, impl)
+
+
+def test_flat_matches_scan_quant_cache(tiny_packed):
+    config, params = tiny_packed
+    a = init_quant_kv_cache(config, 2, max_len=16)
+    b = init_quant_kv_cache(config, 2, max_len=16)
+    _run_both(config, params, a, b, "pallas")
+
+
+def test_flat_key_start_positions(tiny_packed):
+    """Left-padded rows: key_start/positions handling matches the scan path."""
+    config, params = tiny_packed
+    B, pad = 2, 3
+    a = init_kv_cache(config, B, max_len=16, dtype=jnp.float32)
+    b = init_kv_cache(config, B, max_len=16, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (B, 6), 0,
+                             config.vocab_size)
+    pos = jnp.broadcast_to(jnp.arange(6)[None, :] - pad, (B, 6))
+    pos = jnp.maximum(pos, 0)
+    ks = jnp.full((B,), pad, jnp.int32)
+    la, _ = decode_step(params, a, ids, jnp.int32(0), config, impl="pallas",
+                        compute_dtype=jnp.float32, positions=pos,
+                        key_start=ks)
+    lb, _ = decode_step_flat(params, b, ids, jnp.int32(0), config,
+                             impl="pallas", compute_dtype=jnp.float32,
+                             positions=pos, key_start=ks)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-5, atol=2e-5)
