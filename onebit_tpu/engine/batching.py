@@ -30,6 +30,25 @@ from onebit_tpu.model.bitllama import init_kv_cache
 from onebit_tpu.model.config import BitLlamaConfig
 from onebit_tpu.model.ragged_decode import prefill_row, ragged_decode_step
 
+# Engine-private DONATING variants of the device programs: the engine
+# discards its previous cache the moment a step returns, so the multi-GB
+# KV buffers are donated at the dispatch boundary (XLA updates them in
+# place instead of allocating + copying a fresh multi-GB output every
+# step/block).  Donation lives HERE, on engine-owned wrappers — the
+# library functions stay copy-safe for tests/probes that reuse a cache
+# after a call (jax donation invalidates the argument buffer).
+_STEP_STATICS = ("config", "impl", "compute_dtype")
+_BLOCK_STATICS = _STEP_STATICS + ("sampling", "n_steps")
+_DONATED: Dict = {}
+
+
+def _donated(fn, statics=_STEP_STATICS, names=("cache",)):
+    key = (fn, names)
+    if key not in _DONATED:
+        _DONATED[key] = jax.jit(fn, static_argnames=statics,
+                                donate_argnames=names)
+    return _DONATED[key]
+
 
 @dataclasses.dataclass
 class Request:
@@ -169,13 +188,14 @@ class ContinuousBatchingEngine:
             if self.paged:
                 from onebit_tpu.engine.paged import paged_chunk_append_row
                 table = jnp.zeros(self.max_pages_per_seq, jnp.int32)
-                paged_chunk_append_row.lower(
+                _donated(paged_chunk_append_row).lower(
                     self.params, self.cache, ids, zid, zid, table,
                     **kw).compile()
             else:
                 from onebit_tpu.model.ragged_decode import chunk_append_row
-                chunk_append_row.lower(self.params, self.cache, ids, zid,
-                                       zid, zid, **kw).compile()
+                _donated(chunk_append_row).lower(
+                    self.params, self.cache, ids, zid, zid, zid,
+                    **kw).compile()
         else:
             buckets = buckets or [32, 64, 128, 256]
             for b in buckets:
@@ -185,18 +205,23 @@ class ContinuousBatchingEngine:
                 if self.paged:
                     from onebit_tpu.engine.paged import paged_prefill_row
                     table = jnp.zeros(self.max_pages_per_seq, jnp.int32)
-                    paged_prefill_row.lower(self.params, self.cache, ids,
-                                            zid, table, **kw).compile()
+                    _donated(paged_prefill_row).lower(
+                        self.params, self.cache, ids, zid, table,
+                        **kw).compile()
                 else:
-                    prefill_row.lower(self.params, self.cache, ids, zid,
-                                      zid, **kw).compile()
+                    _donated(prefill_row).lower(
+                        self.params, self.cache, ids, zid, zid,
+                        **kw).compile()
         # -- decode program --
         tok1 = jnp.zeros(self.max_batch, jnp.int32)
         pos = jnp.zeros(self.max_batch, jnp.int32)
         act = jnp.ones(self.max_batch, bool)
         if self.draft_params is not None:
             from onebit_tpu.engine.speculative import spec_decode_round
-            spec_decode_round.lower(
+            _donated(spec_decode_round,
+                     ("t_config", "d_config", "n_draft", "impl",
+                      "compute_dtype"),
+                     names=("t_cache", "d_cache")).lower(
                 self.params, self.draft_params, self.cache,
                 self.draft_cache, tok1, pos, act, pos, self.config,
                 self.draft_config, n_draft=self.n_draft, impl=self.impl,
@@ -205,23 +230,24 @@ class ContinuousBatchingEngine:
             blk = dict(kw, sampling=self.sampling, n_steps=self.block_steps)
             if self.paged:
                 from onebit_tpu.engine.paged import paged_decode_block
-                paged_decode_block.lower(
+                _donated(paged_decode_block, _BLOCK_STATICS).lower(
                     self.params, self.cache, tok1, pos,
                     jnp.asarray(self.page_tables), act, pos, self.key,
                     **blk).compile()
             else:
                 from onebit_tpu.model.ragged_decode import ragged_decode_block
-                ragged_decode_block.lower(
+                _donated(ragged_decode_block, _BLOCK_STATICS).lower(
                     self.params, self.cache, tok1, pos, act, pos, self.key,
                     **blk).compile()
         elif self.paged:
             from onebit_tpu.engine.paged import paged_decode_step
-            paged_decode_step.lower(
+            _donated(paged_decode_step).lower(
                 self.params, self.cache, tok1[:, None], pos,
                 jnp.asarray(self.page_tables), **kw).compile()
         else:
-            ragged_decode_step.lower(self.params, self.cache, tok1[:, None],
-                                     pos, act, **kw).compile()
+            _donated(ragged_decode_step).lower(
+                self.params, self.cache, tok1[:, None], pos, act,
+                **kw).compile()
 
     def has_work(self) -> bool:
         return bool(self.waiting) or any(s is not None for s in self.slots)
@@ -240,6 +266,7 @@ class ContinuousBatchingEngine:
         self._decode()
 
     def _admit(self) -> None:
+        admitted = []   # (slot, req, last-prompt logits) — sampled in batch
         for slot in range(self.max_batch):
             if self.slots[slot] is not None or not self.waiting:
                 continue
@@ -277,9 +304,10 @@ class ContinuousBatchingEngine:
                     logits, self.cache = paged_chunked_prefill_row(
                         self.params, self.cache, req.prompt, table,
                         self.config, chunk_size=self.prefill_chunk_size,
-                        impl=self.impl, compute_dtype=self.compute_dtype)
+                        impl=self.impl, compute_dtype=self.compute_dtype,
+                        donate=True)
                 else:
-                    logits, self.cache = paged_prefill_row(
+                    logits, self.cache = _donated(paged_prefill_row)(
                         self.params, self.cache, jnp.asarray(ids),
                         jnp.int32(plen), jnp.asarray(table), self.config,
                         impl=self.impl, compute_dtype=self.compute_dtype)
@@ -289,9 +317,9 @@ class ContinuousBatchingEngine:
                 logits, self.cache = chunked_prefill_row(
                     self.params, self.cache, req.prompt, slot, self.config,
                     chunk_size=self.prefill_chunk_size, impl=self.impl,
-                    compute_dtype=self.compute_dtype)
+                    compute_dtype=self.compute_dtype, donate=True)
             else:
-                logits, self.cache = prefill_row(
+                logits, self.cache = _donated(prefill_row)(
                     self.params, self.cache, jnp.asarray(ids),
                     jnp.int32(plen), jnp.int32(slot), self.config,
                     impl=self.impl, compute_dtype=self.compute_dtype)
@@ -305,18 +333,26 @@ class ContinuousBatchingEngine:
                         self.draft_params, self.draft_cache, req.prompt,
                         slot, self.draft_config,
                         chunk_size=self.prefill_chunk_size, impl=self.impl,
-                        compute_dtype=self.compute_dtype)
+                        compute_dtype=self.compute_dtype, donate=True)
                 else:
-                    _, self.draft_cache = prefill_row(
+                    _, self.draft_cache = _donated(prefill_row)(
                         self.draft_params, self.draft_cache,
                         jnp.asarray(ids), jnp.int32(plen), jnp.int32(slot),
                         self.draft_config, impl=self.impl,
                         compute_dtype=self.compute_dtype)
-            self.key, sub = jax.random.split(self.key)
-            tok = int(sample_token(logits[None, :], sub, self.sampling)[0])
             self.slots[slot] = req
             self.row_pos[slot] = plen
-            self._emit(slot, tok)
+            admitted.append((slot, logits))
+        if admitted:
+            # one batched sample + ONE host fetch for every admission this
+            # round: each prefill above was an async dispatch, so the
+            # device pipelines them; a per-admission int() fetch would pay
+            # a full host RTT per request (~30 ms on tunneled runtimes)
+            self.key, sub = jax.random.split(self.key)
+            toks = np.asarray(sample_token(
+                jnp.stack([lg for _, lg in admitted]), sub, self.sampling))
+            for (slot, _), tok in zip(admitted, toks):
+                self._emit(slot, int(tok))
 
     def _decode(self) -> None:
         active = np.asarray([s is not None for s in self.slots])
@@ -330,14 +366,14 @@ class ContinuousBatchingEngine:
             return
         if self.paged:
             from onebit_tpu.engine.paged import paged_decode_step
-            logits, self.cache = paged_decode_step(
+            logits, self.cache = _donated(paged_decode_step)(
                 self.params, self.cache,
                 jnp.asarray(self.next_token[:, None]),
                 jnp.asarray(self.row_pos), jnp.asarray(self.page_tables),
                 self.config, impl=self.impl,
                 compute_dtype=self.compute_dtype)
         else:
-            logits, self.cache = ragged_decode_step(
+            logits, self.cache = _donated(ragged_decode_step)(
                 self.params, self.cache,
                 jnp.asarray(self.next_token[:, None]),
                 jnp.asarray(self.row_pos), jnp.asarray(active), self.config,
@@ -362,7 +398,10 @@ class ContinuousBatchingEngine:
             [r.max_new_tokens - len(r.generated) if r is not None else 0
              for r in self.slots], np.int32)
         emitted, n_emit, _, new_pos, self.cache, self.draft_cache = \
-            spec_decode_round(
+            _donated(spec_decode_round,
+                     ("t_config", "d_config", "n_draft", "impl",
+                      "compute_dtype"),
+                     names=("t_cache", "d_cache"))(
                 self.params, self.draft_params, self.cache,
                 self.draft_cache, jnp.asarray(self.next_token),
                 jnp.asarray(self.row_pos), jnp.asarray(active),
@@ -392,7 +431,8 @@ class ContinuousBatchingEngine:
              for r in self.slots], np.int32)
         if self.paged:
             from onebit_tpu.engine.paged import paged_decode_block
-            toks, valid, self.cache, self.key = paged_decode_block(
+            toks, valid, self.cache, self.key = _donated(
+                paged_decode_block, _BLOCK_STATICS)(
                 self.params, self.cache, jnp.asarray(self.next_token),
                 jnp.asarray(self.row_pos), jnp.asarray(self.page_tables),
                 jnp.asarray(active), jnp.asarray(budget), self.key,
@@ -401,7 +441,8 @@ class ContinuousBatchingEngine:
                 compute_dtype=self.compute_dtype)
         else:
             from onebit_tpu.model.ragged_decode import ragged_decode_block
-            toks, valid, self.cache, self.key = ragged_decode_block(
+            toks, valid, self.cache, self.key = _donated(
+                ragged_decode_block, _BLOCK_STATICS)(
                 self.params, self.cache, jnp.asarray(self.next_token),
                 jnp.asarray(self.row_pos), jnp.asarray(active),
                 jnp.asarray(budget), self.key, self.config,

@@ -1,13 +1,24 @@
 """Paged KV cache + paged decode step (BASELINE north star: paged KV).
 
 vLLM-style block tables on TPU: K/V live in fixed-size pages
-``[L, n_kv, num_pages, page_size, head_dim]``; each sequence owns a list of
-pages (``page_indices [B, pages_per_seq]``) plus its ``length``.  Decode
-attention runs through the Pallas ``paged_attention`` kernel on TPU (one
-q-token per sequence, pages gathered on the fly) with a jnp gather
-reference for CPU tests.  Pages are allocated/freed by a host-side
-free-list — sequences of different lengths share the pool, eliminating the
-per-slot max_len reservation of the dense cache.
+``[n_kv, L, num_pages, page_size, head_dim]``; each sequence owns a list
+of LOGICAL pages (``page_indices [B, pages_per_seq]``, shared by all
+layers) plus its ``length``.  Decode attention runs through the Pallas
+``paged_attention`` kernel on TPU (one q-token per sequence, pages
+gathered on the fly) with a jnp gather reference for CPU tests.  Pages
+are allocated/freed by a host-side free-list — sequences of different
+lengths share the pool, eliminating the per-slot max_len reservation of
+the dense cache.
+
+Flat-loop design (same rationale as ``bitllama.decode_step_flat``): every
+program here iterates layers with ``fori_loop`` carrying the FULL page
+pool, updated in place with scatters — never ``lax.scan`` with the pool
+as xs/ys, which would materialize per-layer slices (an extra read) and
+restack the outputs (an extra full-pool write) each step.  The layer
+axis sits NEXT to the page axis so ``[n_kv, L, P, ps, hd]`` reshapes
+for free to ``[n_kv, L*P, ps, hd]``: layer ``i`` of logical page ``p``
+is physical page ``i*P + p``, and the Pallas kernel reads the whole
+pool through layer-offset page tables — no per-layer slice operand.
 
 The reference has nothing comparable (its cache is per-step torch.cat,
 modeling_bitllama.py:379-384).
@@ -23,13 +34,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from onebit_tpu.model import bitllama
+from onebit_tpu.model.bitllama import (
+    _project_flat,
+    _project_gateup_flat,
+    _project_qkv_flat,
+)
 from onebit_tpu.model.config import BitLlamaConfig
 from onebit_tpu.model.rope import apply_rope, rope_cos_sin
 
 
 class PagedKVCache(NamedTuple):
-    k_pages: jax.Array  # [L, n_kv, num_pages, page_size, head_dim]
-    v_pages: jax.Array  # [L, n_kv, num_pages, page_size, head_dim]
+    k_pages: jax.Array  # [n_kv, L, num_pages, page_size, head_dim]
+    v_pages: jax.Array
 
     @property
     def page_size(self) -> int:
@@ -37,15 +53,16 @@ class PagedKVCache(NamedTuple):
 
     @property
     def num_pages(self) -> int:
+        """Logical pages per layer (the allocator's pool size)."""
         return self.k_pages.shape[2]
 
 
 class QuantPagedKVCache(NamedTuple):
-    """INT8 pages + per-(head, page, slot) absmax scales — the combined
-    north star (paged + quantized KV).  Scale convention matches the
-    Pallas kernel's quantization_utils (absmax over head_dim)."""
-    k_q: jax.Array  # [L, n_kv, num_pages, page_size, head_dim] int8
-    k_s: jax.Array  # [L, n_kv, num_pages, page_size, 1] f32
+    """INT8 pages + per-(head, layer, page, slot) absmax scales — the
+    combined north star (paged + quantized KV).  Scale convention matches
+    the Pallas kernel's quantization_utils (absmax over head_dim)."""
+    k_q: jax.Array  # [n_kv, L, num_pages, page_size, head_dim] int8
+    k_s: jax.Array  # [n_kv, L, num_pages, page_size, 1] f32
     v_q: jax.Array
     v_s: jax.Array
 
@@ -65,7 +82,7 @@ def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
     + per-(page, slot, head) absmax scales), or "fp8" (direct
     float8_e4m3fn pages, no scales — half the scale storage/compute of
     int8 at ~3 mantissa bits; native MXU fp8 on v5p+)."""
-    shape = (config.num_hidden_layers, config.num_key_value_heads,
+    shape = (config.num_key_value_heads, config.num_hidden_layers,
              num_pages, page_size, config.head_dim)
     if quantized == "fp8":
         return PagedKVCache(
@@ -80,6 +97,13 @@ def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
             v_s=jnp.zeros(sshape, jnp.float32))
     return PagedKVCache(k_pages=jnp.zeros(shape, dtype),
                         v_pages=jnp.zeros(shape, dtype))
+
+
+def _flatten_pages(a):
+    """[n_kv, L, P, ps, hd|1] → [n_kv, L*P, ps, hd|1] (free reshape:
+    adjacent contiguous dims)."""
+    s = a.shape
+    return a.reshape(s[0], s[1] * s[2], *s[3:])
 
 
 _MAX_INT8 = 127.5  # the Pallas kernel's quantization_utils.MAX_INT8
@@ -101,7 +125,8 @@ def _dequantize_kv_int8(q, scales, dtype=jnp.float32):
 
 
 class PageAllocator:
-    """Host-side free-list of physical pages (page 0 is a reserved null)."""
+    """Host-side free-list of LOGICAL pages (page 0 is a reserved null;
+    each layer's copy of a logical page lives at physical ``i*P + p``)."""
 
     def __init__(self, num_pages: int):
         self.free: List[int] = list(range(num_pages - 1, 0, -1))
@@ -120,7 +145,7 @@ class PageAllocator:
 def _jnp_paged_attention(q, k_pages, v_pages, lengths, page_indices):
     """Reference paged attention (CPU): gather pages, mask, soft attention.
 
-    q [B, nh, hd]; pages [nkv, P, ps, hd]; lengths [B];
+    q [B, nh, hd]; pages [nkv, P', ps, hd]; lengths [B];
     page_indices [B, max_pages] → out [B, nh, hd].
     """
     b, nh, hd = q.shape
@@ -142,6 +167,57 @@ def _jnp_paged_attention(q, k_pages, v_pages, lengths, page_indices):
     return ctx.reshape(b, nh, hd).astype(q.dtype)
 
 
+def _use_kernel(cache, config, impl) -> bool:
+    """Pallas paged_attention eligibility: MXU-aligned head geometry
+    (head_dim % 128, true for LLaMA-family), TPU backend, and a page
+    dtype the kernel accepts (bf16/f32 or int8 QuantizedTensor — fp8
+    pages read through the jnp path, where XLA fuses gather + cast).
+    fp32-parity evals should pass impl="xla" (the kernel trades ~1e-2
+    logit precision for speed)."""
+    nh, nkv = config.num_attention_heads, config.num_key_value_heads
+    ok = (jax.default_backend() == "tpu" and impl != "xla"
+          and config.head_dim % 128 == 0 and (nkv == nh or nh // nkv >= 8))
+    if ok and isinstance(cache, PagedKVCache) and \
+            cache.k_pages.dtype == jnp.float8_e4m3fn:
+        ok = False
+    return ok
+
+
+def _paged_attend(q1, leaves, quant, use_kernel, lengths, tables_i,
+                  compute_dtype, hd):
+    """Attention for one layer against the FULL flattened pool.
+
+    q1 [B, nh, hd]; ``tables_i`` already layer-offset (``+ i*P``)."""
+    if use_kernel:
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention,
+        )
+        if quant:
+            from jax.experimental.pallas.ops.tpu.paged_attention import (
+                quantization_utils as qu,
+            )
+            k_arg = qu.QuantizedTensor(weight=_flatten_pages(leaves[0]),
+                                       scales=_flatten_pages(leaves[1]))
+            v_arg = qu.QuantizedTensor(weight=_flatten_pages(leaves[2]),
+                                       scales=_flatten_pages(leaves[3]))
+        else:
+            k_arg = _flatten_pages(leaves[0])
+            v_arg = _flatten_pages(leaves[1])
+        return paged_attention(
+            (q1 / (hd ** 0.5)).astype(compute_dtype), k_arg, v_arg,
+            lengths, tables_i,
+            pages_per_compute_block=max(tables_i.shape[1] // 4, 1))
+    if quant:
+        kf = _dequantize_kv_int8(_flatten_pages(leaves[0]),
+                                 _flatten_pages(leaves[1]))
+        vf = _dequantize_kv_int8(_flatten_pages(leaves[2]),
+                                 _flatten_pages(leaves[3]))
+    else:
+        kf = _flatten_pages(leaves[0])
+        vf = _flatten_pages(leaves[1])
+    return _jnp_paged_attention(q1, kf, vf, lengths, tables_i)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "impl", "compute_dtype"))
 def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
@@ -156,7 +232,7 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
     ps = cache.page_size
-    rows = jnp.arange(b)
+    P = cache.num_pages
     write_page = jnp.take_along_axis(
         page_indices, (lengths // ps)[:, None], axis=1)[:, 0]
     write_slot = lengths % ps
@@ -168,26 +244,18 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
                             seq_len=config.max_position_embeddings,
                             dtype=compute_dtype)
 
-    # the Pallas kernel needs MXU-aligned head geometry (head_dim % 128,
-    # verified for LLaMA-family MHA); small/test configs use the jnp path.
-    # fp32-parity evals should pass impl="xla" (the kernel trades ~1e-2
-    # logit precision for speed).
-    use_kernel = (jax.default_backend() == "tpu" and impl != "xla"
-                  and hd % 128 == 0 and (nkv == nh or nh // nkv >= 8))
-
+    use_kernel = _use_kernel(cache, config, impl)
     quant = isinstance(cache, QuantPagedKVCache)
-    if not quant and cache.k_pages.dtype == jnp.float8_e4m3fn:
-        # pallas paged_attention takes bf16/f32 or int8 QuantizedTensor;
-        # fp8 pages read through the jnp path (XLA fuses gather + cast)
-        use_kernel = False
+    layers = params["layers"]
 
-    def layer(x, layer_in):
-        layer_params = layer_in[0]
-        kv_leaves = layer_in[1:]
+    def body(i, carry):
+        x, leaves = carry
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
-                               config.rms_norm_eps)
-        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
         q = q.reshape(b, 1, nh, hd)
         k = k.reshape(b, 1, nkv, hd)
         v = v.reshape(b, 1, nkv, hd)
@@ -196,60 +264,38 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
         v1 = v[:, 0].transpose(1, 0, 2)
 
         if quant:
-            kq, ks, vq, vs = kv_leaves
+            kq, ks, vq, vs = leaves
             k_i8, k_sc = _quantize_kv_int8(k1)
             v_i8, v_sc = _quantize_kv_int8(v1)
-            kq = kq.at[:, write_page, write_slot].set(k_i8)
-            ks = ks.at[:, write_page, write_slot].set(k_sc)
-            vq = vq.at[:, write_page, write_slot].set(v_i8)
-            vs = vs.at[:, write_page, write_slot].set(v_sc)
-            new_leaves = (kq, ks, vq, vs)
+            kq = kq.at[:, i, write_page, write_slot].set(k_i8)
+            ks = ks.at[:, i, write_page, write_slot].set(k_sc)
+            vq = vq.at[:, i, write_page, write_slot].set(v_i8)
+            vs = vs.at[:, i, write_page, write_slot].set(v_sc)
+            leaves = (kq, ks, vq, vs)
         else:
-            kp, vp = kv_leaves
-            kp = kp.at[:, write_page, write_slot].set(k1.astype(kp.dtype))
-            vp = vp.at[:, write_page, write_slot].set(v1.astype(vp.dtype))
-            new_leaves = (kp, vp)
+            kp, vp = leaves
+            kp = kp.at[:, i, write_page, write_slot].set(k1.astype(kp.dtype))
+            vp = vp.at[:, i, write_page, write_slot].set(v1.astype(vp.dtype))
+            leaves = (kp, vp)
 
-        q1 = q[:, 0]
-        if use_kernel:
-            from jax.experimental.pallas.ops.tpu.paged_attention import (
-                paged_attention,
-            )
-            if quant:
-                from jax.experimental.pallas.ops.tpu.paged_attention import (
-                    quantization_utils as qu,
-                )
-                k_arg = qu.QuantizedTensor(weight=new_leaves[0],
-                                           scales=new_leaves[1])
-                v_arg = qu.QuantizedTensor(weight=new_leaves[2],
-                                           scales=new_leaves[3])
-            else:
-                k_arg, v_arg = new_leaves
-            ctx = paged_attention(
-                (q1 / (hd ** 0.5)).astype(compute_dtype), k_arg, v_arg,
-                lengths + 1, page_indices,
-                pages_per_compute_block=max(page_indices.shape[1] // 4, 1))
-        else:
-            if quant:
-                kf = _dequantize_kv_int8(new_leaves[0], new_leaves[1])
-                vf = _dequantize_kv_int8(new_leaves[2], new_leaves[3])
-            else:
-                kf, vf = new_leaves
-            ctx = _jnp_paged_attention(q1, kf, vf, lengths + 1, page_indices)
-        attn = bitllama._project(ctx.astype(compute_dtype).reshape(
-            b, 1, nh * hd), layer_params["o_proj"], impl)
+        ctx = _paged_attend(q[:, 0], leaves, quant, use_kernel, lengths + 1,
+                            page_indices + i * P, compute_dtype, hd)
+        attn = _project_flat(ctx.astype(compute_dtype).reshape(b, 1, nh * hd),
+                             layers, "o_proj", i, impl)
         x = residual + attn
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
-                               config.rms_norm_eps)
-        gate, up = bitllama.project_gateup(hx, layer_params, impl,
-                                           config.intermediate_size)
-        mlp = bitllama._project(jax.nn.silu(gate) * up,
-                                layer_params["down_proj"], impl)
-        return residual + mlp, new_leaves
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, leaves)
 
-    x, new_leaves = jax.lax.scan(layer, x,
-                                 (params["layers"],) + tuple(cache))
+    x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                      (x, tuple(cache)))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
@@ -291,18 +337,16 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
     mask = bitllama._causal_mask(s_pad, s_pad, 0) & (attn[:, None, None, :] > 0)
 
     quant = isinstance(cache, QuantPagedKVCache)
-    if not quant and cache.k_pages.dtype == jnp.float8_e4m3fn:
-        # pallas paged_attention takes bf16/f32 or int8 QuantizedTensor;
-        # fp8 pages read through the jnp path (XLA fuses gather + cast)
-        use_kernel = False
+    layers = params["layers"]
 
-    def layer(x, layer_in):
-        layer_params = layer_in[0]
-        kv_leaves = layer_in[1:]
+    def body(i, carry):
+        x, leaves = carry
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
-                               config.rms_norm_eps)
-        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
         q = q.reshape(1, s_pad, nh, hd)
         k = k.reshape(1, s_pad, nkv, hd)
         v = v.reshape(1, s_pad, nkv, hd)
@@ -312,35 +356,39 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
         # scatter all positions into (page, slot); padded positions land in
         # slots beyond `length` of the last page and are never attended
         if quant:
-            kq, ks, vq, vs = kv_leaves
+            kq, ks, vq, vs = leaves
             k_i8, k_sc = _quantize_kv_int8(k1)
             v_i8, v_sc = _quantize_kv_int8(v1)
-            kq = kq.at[:, pages, slots].set(k_i8)
-            ks = ks.at[:, pages, slots].set(k_sc)
-            vq = vq.at[:, pages, slots].set(v_i8)
-            vs = vs.at[:, pages, slots].set(v_sc)
-            new_leaves = (kq, ks, vq, vs)
+            kq = kq.at[:, i, pages, slots].set(k_i8)
+            ks = ks.at[:, i, pages, slots].set(k_sc)
+            vq = vq.at[:, i, pages, slots].set(v_i8)
+            vs = vs.at[:, i, pages, slots].set(v_sc)
+            leaves = (kq, ks, vq, vs)
         else:
-            kp, vp = kv_leaves
-            kp = kp.at[:, pages, slots].set(k1.astype(kp.dtype))
-            vp = vp.at[:, pages, slots].set(v1.astype(vp.dtype))
-            new_leaves = (kp, vp)
+            kp, vp = leaves
+            kp = kp.at[:, i, pages, slots].set(k1.astype(kp.dtype))
+            vp = vp.at[:, i, pages, slots].set(v1.astype(vp.dtype))
+            leaves = (kp, vp)
+        # prefill attention reads the chunk's own fresh k/v (float), not
+        # the pool — identical math to the dense prefill
         ctx = bitllama._attention(q, k, v, mask,
                                   num_kv_groups=config.num_kv_groups)
-        attn_out = bitllama._project(ctx.reshape(1, s_pad, nh * hd),
-                                     layer_params["o_proj"], impl)
+        attn_out = _project_flat(ctx.reshape(1, s_pad, nh * hd), layers,
+                                 "o_proj", i, impl)
         x = residual + attn_out
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
-                               config.rms_norm_eps)
-        gate, up = bitllama.project_gateup(hx, layer_params, impl,
-                                           config.intermediate_size)
-        mlp = bitllama._project(jax.nn.silu(gate) * up,
-                                layer_params["down_proj"], impl)
-        return residual + mlp, new_leaves
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, leaves)
 
-    x, new_leaves = jax.lax.scan(layer, x,
-                                 (params["layers"],) + tuple(cache))
+    x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                      (x, tuple(cache)))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     last = jnp.take_along_axis(
         x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
@@ -358,15 +406,16 @@ def paged_decode_block(params, cache, next_token, lengths, page_indices,
                        sampling, n_steps: int, impl: str = "auto",
                        compute_dtype=jnp.bfloat16):
     """n_steps paged decode+sample steps in one device program with
-    ON-DEVICE EOS + per-row budget handling (see ragged_decode_block).
-    Overflow writes past a row's pages clamp onto the reserved null page 0
-    by construction.  Returns (tokens [n_steps, B], valid [n_steps, B],
-    cache, key)."""
+    ON-DEVICE EOS + per-row budget handling (see ragged_decode_block —
+    including why frozen rows run the model rather than skipping behind a
+    ``cond``).  Overflow writes past a row's pages clamp onto the reserved
+    null page 0 by construction.  Returns (tokens [n_steps, B],
+    valid [n_steps, B], cache, key)."""
     from onebit_tpu.engine.sampler import sample_token
 
     eos = jnp.int32(config.eos_token_id)
 
-    def step(carry):
+    def body(carry, _):
         cache, tok, lens, done, budget, key = carry
         logits, cache = paged_decode_step(
             params, cache, tok[:, None], lens, page_indices, config,
@@ -378,15 +427,7 @@ def paged_decode_block(params, cache, next_token, lengths, page_indices,
         lens = jnp.where(valid, lens + 1, lens)
         budget = jnp.where(valid, budget - 1, budget)
         done = done | (valid & ((nxt == eos) | (budget <= 0)))
-        return (cache, nxt, lens, done, budget, key), valid
-
-    def body(carry, _):
-        done = carry[3]
-        new_carry, valid = jax.lax.cond(
-            jnp.all(done | ~active),
-            lambda c: (c, jnp.zeros_like(active)),
-            step, carry)
-        return new_carry, (new_carry[1], valid)
+        return (cache, nxt, lens, done, budget, key), (nxt, valid)
 
     carry0 = (cache, next_token, lengths, ~active, budget, key)
     (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
@@ -407,13 +448,10 @@ def paged_chunk_append_row(params, cache, ids, start, length,
     """
     c = ids.shape[0]
     quant = isinstance(cache, QuantPagedKVCache)
-    if not quant and cache.k_pages.dtype == jnp.float8_e4m3fn:
-        # pallas paged_attention takes bf16/f32 or int8 QuantizedTensor;
-        # fp8 pages read through the jnp path (XLA fuses gather + cast)
-        use_kernel = False
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
     ps = cache.page_size
+    P = cache.num_pages
     positions = start + jnp.arange(c)
     pages = jnp.take(page_indices_row, positions // ps)
     slots = positions % ps
@@ -430,13 +468,16 @@ def paged_chunk_append_row(params, cache, ids, start, length,
     kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, t_full), 3)
     mask = kj <= (start + qi)
 
-    def layer(x, layer_in):
-        layer_params = layer_in[0]
-        kv_leaves = layer_in[1:]
+    layers = params["layers"]
+
+    def body(i, carry):
+        x, leaves = carry
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
-                               config.rms_norm_eps)
-        q, k, v = bitllama.project_qkv(hx, layer_params, impl, nkv * hd)
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
         q = q.reshape(1, c, nh, hd)
         k = k.reshape(1, c, nkv, hd)
         v = v.reshape(1, c, nkv, hd)
@@ -444,44 +485,47 @@ def paged_chunk_append_row(params, cache, ids, start, length,
         k1 = k[0].transpose(1, 0, 2)
         v1 = v[0].transpose(1, 0, 2)
         if quant:
-            kq, ks, vq, vs = kv_leaves
+            kq, ks, vq, vs = leaves
             k_i8, k_sc = _quantize_kv_int8(k1)
             v_i8, v_sc = _quantize_kv_int8(v1)
-            kq = kq.at[:, pages, slots].set(k_i8)
-            ks = ks.at[:, pages, slots].set(k_sc)
-            vq = vq.at[:, pages, slots].set(v_i8)
-            vs = vs.at[:, pages, slots].set(v_sc)
-            new_leaves = (kq, ks, vq, vs)
-            kf = _dequantize_kv_int8(kq, ks)
-            vf = _dequantize_kv_int8(vq, vs)
+            kq = kq.at[:, i, pages, slots].set(k_i8)
+            ks = ks.at[:, i, pages, slots].set(k_sc)
+            vq = vq.at[:, i, pages, slots].set(v_i8)
+            vs = vs.at[:, i, pages, slots].set(v_sc)
+            leaves = (kq, ks, vq, vs)
+            kf = _dequantize_kv_int8(_flatten_pages(kq), _flatten_pages(ks))
+            vf = _dequantize_kv_int8(_flatten_pages(vq), _flatten_pages(vs))
         else:
-            kp, vp = kv_leaves
-            kp = kp.at[:, pages, slots].set(k1.astype(kp.dtype))
-            vp = vp.at[:, pages, slots].set(v1.astype(vp.dtype))
-            new_leaves = (kp, vp)
-            kf, vf = kp, vp
-        # gather this sequence's pages → [1, T, nkv, hd]
-        k_seq = jnp.take(kf, page_indices_row, axis=1) \
+            kp, vp = leaves
+            kp = kp.at[:, i, pages, slots].set(k1.astype(kp.dtype))
+            vp = vp.at[:, i, pages, slots].set(v1.astype(vp.dtype))
+            leaves = (kp, vp)
+            kf, vf = _flatten_pages(kp), _flatten_pages(vp)
+        # gather this sequence's pages (layer-offset) → [1, T, nkv, hd]
+        tbl = page_indices_row + i * P
+        k_seq = jnp.take(kf, tbl, axis=1) \
             .transpose(1, 2, 0, 3).reshape(1, t_full, nkv, hd)
-        v_seq = jnp.take(vf, page_indices_row, axis=1) \
+        v_seq = jnp.take(vf, tbl, axis=1) \
             .transpose(1, 2, 0, 3).reshape(1, t_full, nkv, hd)
         ctx = bitllama._attention(q, k_seq.astype(q.dtype),
                                   v_seq.astype(q.dtype), mask,
                                   num_kv_groups=config.num_kv_groups)
-        attn_out = bitllama._project(ctx.reshape(1, c, nh * hd),
-                                     layer_params["o_proj"], impl)
+        attn_out = _project_flat(ctx.reshape(1, c, nh * hd), layers,
+                                 "o_proj", i, impl)
         x = residual + attn_out
         residual = x
-        hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
-                               config.rms_norm_eps)
-        gate, up = bitllama.project_gateup(hx, layer_params, impl,
-                                           config.intermediate_size)
-        mlp = bitllama._project(jax.nn.silu(gate) * up,
-                                layer_params["down_proj"], impl)
-        return residual + mlp, new_leaves
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, leaves)
 
-    x, new_leaves = jax.lax.scan(layer, x,
-                                 (params["layers"],) + tuple(cache))
+    x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                      (x, tuple(cache)))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     last = jnp.take_along_axis(
         x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
@@ -495,8 +539,15 @@ def paged_chunk_append_row(params, cache, ids, start, length,
 def paged_chunked_prefill_row(params, cache, prompt, page_indices_row,
                               config: BitLlamaConfig, *,
                               chunk_size: int = 64, impl: str = "auto",
-                              compute_dtype=jnp.bfloat16):
-    """Chunked paged prefill (host loop over paged_chunk_append_row)."""
+                              compute_dtype=jnp.bfloat16,
+                              donate: bool = False):
+    """Chunked paged prefill (host loop over paged_chunk_append_row).
+    ``donate=True``: donate cache buffers per chunk (engine convention —
+    the caller must not reuse the cache it passed in)."""
+    step = paged_chunk_append_row
+    if donate:
+        from onebit_tpu.engine.batching import _donated
+        step = _donated(paged_chunk_append_row)
     prompt = list(prompt)
     logits = None
     for ci in range(0, len(prompt), chunk_size):
@@ -504,7 +555,7 @@ def paged_chunked_prefill_row(params, cache, prompt, page_indices_row,
         valid = len(chunk)
         padded = np.zeros(chunk_size, np.int32)
         padded[:valid] = chunk
-        logits, cache = paged_chunk_append_row(
+        logits, cache = step(
             params, cache, jnp.asarray(padded), jnp.int32(ci),
             jnp.int32(valid), jnp.asarray(page_indices_row), config,
             impl=impl, compute_dtype=compute_dtype)

@@ -181,8 +181,11 @@ def ragged_decode_block(params, cache, next_token, row_pos, active, budget,
     serving loop's dominant cost on high-latency runtimes.  EOS and the
     per-row token ``budget`` are handled ON DEVICE: a row that emits EOS or
     exhausts its budget is frozen (token/position held, its cache slot is
-    idempotently rewritten with identical values), and once every row is
-    done the remaining block steps skip the model entirely via ``cond``.
+    idempotently rewritten with identical values).  Frozen rows still run
+    the model — deliberately: skipping them behind a ``lax.cond`` makes
+    the identity branch rewrite the multi-GB cache carry every step (a
+    measured ~10 ms/step of pure copies at 7B serving shapes), which costs
+    far more than the masked compute it saves.
     Returns (tokens [n_steps, B], valid [n_steps, B] bool, cache, key);
     ``valid[s, b]`` marks real tokens (False after a row finished).
     """
@@ -190,7 +193,7 @@ def ragged_decode_block(params, cache, next_token, row_pos, active, budget,
 
     eos = jnp.int32(config.eos_token_id)
 
-    def step(carry):
+    def body(carry, _):
         cache, tok, pos, done, budget, key = carry
         logits, cache = ragged_decode_step(
             params, cache, tok[:, None], pos, active & ~done, config,
@@ -202,15 +205,7 @@ def ragged_decode_block(params, cache, next_token, row_pos, active, budget,
         pos = jnp.where(valid, pos + 1, pos)
         budget = jnp.where(valid, budget - 1, budget)
         done = done | (valid & ((nxt == eos) | (budget <= 0)))
-        return (cache, nxt, pos, done, budget, key), valid
-
-    def body(carry, _):
-        done = carry[3]
-        new_carry, valid = jax.lax.cond(
-            jnp.all(done | ~active),
-            lambda c: (c, jnp.zeros_like(active)),   # all finished: no-op
-            step, carry)
-        return new_carry, (new_carry[1], valid)
+        return (cache, nxt, pos, done, budget, key), (nxt, valid)
 
     done0 = ~active
     carry0 = (cache, next_token, row_pos, done0, budget, key)
@@ -377,14 +372,21 @@ def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
 
 def chunked_prefill_row(params, cache: KVCache, prompt, row,
                         config: BitLlamaConfig, *, chunk_size: int = 64,
-                        impl: str = "auto", compute_dtype=jnp.bfloat16):
+                        impl: str = "auto", compute_dtype=jnp.bfloat16,
+                        donate: bool = False):
     """Prefill one slot in fixed-size chunks (host loop over chunk_append_row).
 
     One compiled program serves any prompt length; returns the logits of
-    the last prompt token and the updated cache.
+    the last prompt token and the updated cache.  ``donate=True`` donates
+    the cache buffers at each chunk dispatch (caller must not reuse the
+    cache it passed in — the engine's calling convention).
     """
     import numpy as np
 
+    step = chunk_append_row
+    if donate:
+        from onebit_tpu.engine.batching import _donated
+        step = _donated(chunk_append_row)
     prompt = list(prompt)
     logits = None
     for ci in range(0, len(prompt), chunk_size):
@@ -392,7 +394,7 @@ def chunked_prefill_row(params, cache: KVCache, prompt, row,
         valid = len(chunk)
         padded = np.zeros(chunk_size, np.int32)
         padded[:valid] = chunk
-        logits, cache = chunk_append_row(
+        logits, cache = step(
             params, cache, jnp.asarray(padded), jnp.int32(ci),
             jnp.int32(valid), jnp.int32(row), config, impl=impl,
             compute_dtype=compute_dtype)
