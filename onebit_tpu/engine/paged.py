@@ -44,7 +44,12 @@ from onebit_tpu.model.rope import apply_rope, rope_cos_sin
 
 
 class PagedKVCache(NamedTuple):
-    k_pages: jax.Array  # [n_kv, L, num_pages, page_size, head_dim]
+    """Pool layout ``[L, P, n_kv, page_size, head_dim]``: a (layer, page)
+    block is a fully CONTIGUOUS ``[n_kv, ps, hd]`` slab — one async DMA
+    in the Pallas paged-attention kernel, one gather index in the jnp
+    path — and the decode scatter writes ``[B, n_kv, hd]`` rows with no
+    transpose."""
+    k_pages: jax.Array  # [L, num_pages, n_kv, page_size, head_dim]
     v_pages: jax.Array
 
     @property
@@ -54,15 +59,15 @@ class PagedKVCache(NamedTuple):
     @property
     def num_pages(self) -> int:
         """Logical pages per layer (the allocator's pool size)."""
-        return self.k_pages.shape[2]
+        return self.k_pages.shape[1]
 
 
 class QuantPagedKVCache(NamedTuple):
-    """INT8 pages + per-(head, layer, page, slot) absmax scales — the
-    combined north star (paged + quantized KV).  Scale convention matches
-    the Pallas kernel's quantization_utils (absmax over head_dim)."""
-    k_q: jax.Array  # [n_kv, L, num_pages, page_size, head_dim] int8
-    k_s: jax.Array  # [n_kv, L, num_pages, page_size, 1] f32
+    """INT8 pages + per-(layer, page, head, slot) absmax scales — the
+    combined north star (paged + quantized KV).  Same layout rationale
+    as :class:`PagedKVCache`."""
+    k_q: jax.Array  # [L, num_pages, n_kv, page_size, head_dim] int8
+    k_s: jax.Array  # [L, num_pages, n_kv, page_size, 1] f32
     v_q: jax.Array
     v_s: jax.Array
 
@@ -72,7 +77,7 @@ class QuantPagedKVCache(NamedTuple):
 
     @property
     def num_pages(self) -> int:
-        return self.k_q.shape[2]
+        return self.k_q.shape[1]
 
 
 def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
@@ -82,8 +87,8 @@ def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
     + per-(page, slot, head) absmax scales), or "fp8" (direct
     float8_e4m3fn pages, no scales — half the scale storage/compute of
     int8 at ~3 mantissa bits; native MXU fp8 on v5p+)."""
-    shape = (config.num_key_value_heads, config.num_hidden_layers,
-             num_pages, page_size, config.head_dim)
+    shape = (config.num_hidden_layers, num_pages,
+             config.num_key_value_heads, page_size, config.head_dim)
     if quantized == "fp8":
         return PagedKVCache(
             k_pages=jnp.zeros(shape, jnp.float8_e4m3fn),
@@ -97,13 +102,6 @@ def init_paged_kv_cache(config: BitLlamaConfig, num_pages: int,
             v_s=jnp.zeros(sshape, jnp.float32))
     return PagedKVCache(k_pages=jnp.zeros(shape, dtype),
                         v_pages=jnp.zeros(shape, dtype))
-
-
-def _flatten_pages(a):
-    """[n_kv, L, P, ps, hd|1] → [n_kv, L*P, ps, hd|1] (free reshape:
-    adjacent contiguous dims)."""
-    s = a.shape
-    return a.reshape(s[0], s[1] * s[2], *s[3:])
 
 
 _MAX_INT8 = 127.5  # the Pallas kernel's quantization_utils.MAX_INT8
@@ -142,21 +140,28 @@ class PageAllocator:
                 self.free.append(int(p))
 
 
-def _jnp_paged_attention(q, k_pages, v_pages, lengths, page_indices):
-    """Reference paged attention (CPU): gather pages, mask, soft attention.
+def _gather_seq_kv(pages_l, page_indices):
+    """Gather sequences' tokens from ONE layer's pool slice.
 
-    q [B, nh, hd]; pages [nkv, P', ps, hd]; lengths [B];
-    page_indices [B, max_pages] → out [B, nh, hd].
+    pages_l [P, nkv, ps, hd|1]; page_indices [B, mp] → [B, mp*ps, nkv, *].
+    Under jit the gather fuses with the layer slice — the pool is never
+    materialized per layer.
+    """
+    g = jnp.take(pages_l, page_indices, axis=0)   # [B, mp, nkv, ps, *]
+    g = g.transpose(0, 1, 3, 2, 4)
+    b, mp, ps, nkv, last = g.shape
+    return g.reshape(b, mp * ps, nkv, last)
+
+
+def _jnp_paged_attention(q, k, v, lengths):
+    """Reference paged attention on gathered K/V.
+
+    q [B, nh, hd]; k/v [B, T, nkv, hd] f32; lengths [B] → [B, nh, hd].
     """
     b, nh, hd = q.shape
-    nkv, _, ps, _ = k_pages.shape
-    groups = nh // nkv
-    # [B, nkv, max_pages, ps, hd] → [B, T, nkv, hd]
-    k = jnp.take(k_pages, page_indices, axis=1)   # [nkv, B, mp, ps, hd]
-    v = jnp.take(v_pages, page_indices, axis=1)
-    k = k.transpose(1, 2, 3, 0, 4).reshape(b, -1, nkv, hd)
-    v = v.transpose(1, 2, 3, 0, 4).reshape(b, -1, nkv, hd)
+    nkv = k.shape[2]
     t = k.shape[1]
+    groups = nh // nkv
     qg = q.reshape(b, nkv, groups, hd)
     scores = jnp.einsum("bngh,btnh->bngt", qg.astype(jnp.float32),
                         k.astype(jnp.float32)) / (hd ** 0.5)
@@ -168,54 +173,52 @@ def _jnp_paged_attention(q, k_pages, v_pages, lengths, page_indices):
 
 
 def _use_kernel(cache, config, impl) -> bool:
-    """Pallas paged_attention eligibility: MXU-aligned head geometry
-    (head_dim % 128, true for LLaMA-family), TPU backend, and a page
-    dtype the kernel accepts (bf16/f32 or int8 QuantizedTensor — fp8
-    pages read through the jnp path, where XLA fuses gather + cast).
-    fp32-parity evals should pass impl="xla" (the kernel trades ~1e-2
-    logit precision for speed)."""
-    nh, nkv = config.num_attention_heads, config.num_key_value_heads
-    ok = (jax.default_backend() == "tpu" and impl != "xla"
-          and config.head_dim % 128 == 0 and (nkv == nh or nh // nkv >= 8))
-    if ok and isinstance(cache, PagedKVCache) and \
-            cache.k_pages.dtype == jnp.float8_e4m3fn:
-        ok = False
-    return ok
+    """Whether decode attention runs the native Pallas flat paged kernel
+    (kernels/paged_attention.py) — ``ONEBIT_PAGED_ATTN=kernel`` opt-in
+    (also used by tests in interpret mode on CPU).
+
+    Default is the jnp gather path: measured on v5e, per-page DMA costs
+    ~4.5 us of issue overhead regardless of page size or pipelining
+    style (manual async copies and scalar-prefetch BlockSpec fetches
+    both; scripts/probe_pageattn_parts.py), so B x mp x 2 page copies
+    put the kernel at ~1.2 ms/layer while XLA's fused gather + attention
+    runs ~0.43 ms/layer despite 3x the HBM traffic.  Revisit if a
+    batched/indexed DMA primitive lands or pages grow >= 1 MB."""
+    import os
+    return os.environ.get("ONEBIT_PAGED_ATTN") == "kernel"
 
 
-def _paged_attend(q1, leaves, quant, use_kernel, lengths, tables_i,
-                  compute_dtype, hd):
-    """Attention for one layer against the FULL flattened pool.
+def _paged_attend(q1, leaves, quant, use_kernel, lengths, page_indices,
+                  layer, compute_dtype, hd):
+    """Attention for one layer of the paged pool.
 
-    q1 [B, nh, hd]; ``tables_i`` already layer-offset (``+ i*P``)."""
+    q1 [B, nh, hd]; ``leaves`` are the full pool arrays; ``layer`` is the
+    traced layer index.  Kernel path: the native flat paged-attention
+    kernel reads the pool in place (HBM refs + per-page DMA) — no
+    reshaped operands, no per-layer slice materialization.  jnp path:
+    gather the sequences' pages from the layer slice and run XLA fused
+    attention (handles every page dtype incl. fp8).
+    """
     if use_kernel:
-        from jax.experimental.pallas.ops.tpu.paged_attention import (
-            paged_attention,
-        )
-        if quant:
-            from jax.experimental.pallas.ops.tpu.paged_attention import (
-                quantization_utils as qu,
-            )
-            k_arg = qu.QuantizedTensor(weight=_flatten_pages(leaves[0]),
-                                       scales=_flatten_pages(leaves[1]))
-            v_arg = qu.QuantizedTensor(weight=_flatten_pages(leaves[2]),
-                                       scales=_flatten_pages(leaves[3]))
-        else:
-            k_arg = _flatten_pages(leaves[0])
-            v_arg = _flatten_pages(leaves[1])
-        return paged_attention(
-            (q1 / (hd ** 0.5)).astype(compute_dtype), k_arg, v_arg,
-            lengths, tables_i,
-            pages_per_compute_block=max(tables_i.shape[1] // 4, 1))
+        from onebit_tpu.kernels.paged_attention import paged_attention_flat
+        return paged_attention_flat(
+            q1, *leaves, lengths=lengths, page_indices=page_indices,
+            layer=layer, quant=quant).astype(compute_dtype)
+    pick = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
+                             axis=0, keepdims=False)
     if quant:
-        kf = _dequantize_kv_int8(_flatten_pages(leaves[0]),
-                                 _flatten_pages(leaves[1]))
-        vf = _dequantize_kv_int8(_flatten_pages(leaves[2]),
-                                 _flatten_pages(leaves[3]))
+        kq, ks, vq, vs = leaves
+        kf = _dequantize_kv_int8(_gather_seq_kv(pick(kq), page_indices),
+                                 _gather_seq_kv(pick(ks), page_indices))
+        vf = _dequantize_kv_int8(_gather_seq_kv(pick(vq), page_indices),
+                                 _gather_seq_kv(pick(vs), page_indices))
     else:
-        kf = _flatten_pages(leaves[0])
-        vf = _flatten_pages(leaves[1])
-    return _jnp_paged_attention(q1, kf, vf, lengths, tables_i)
+        kf = _gather_seq_kv(pick(leaves[0]), page_indices)
+        vf = _gather_seq_kv(pick(leaves[1]), page_indices)
+        if kf.dtype == jnp.float8_e4m3fn:
+            kf = kf.astype(jnp.float32)
+            vf = vf.astype(jnp.float32)
+    return _jnp_paged_attention(q1, kf, vf, lengths)
 
 
 @functools.partial(jax.jit,
@@ -232,7 +235,6 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
     ps = cache.page_size
-    P = cache.num_pages
     write_page = jnp.take_along_axis(
         page_indices, (lengths // ps)[:, None], axis=1)[:, 0]
     write_slot = lengths % ps
@@ -260,26 +262,26 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
         k = k.reshape(b, 1, nkv, hd)
         v = v.reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        k1 = k[:, 0].transpose(1, 0, 2)   # [nkv, B, hd]
-        v1 = v[:, 0].transpose(1, 0, 2)
+        k1 = k[:, 0]    # [B, nkv, hd] — matches the pool's [.., nkv, .., hd]
+        v1 = v[:, 0]
 
         if quant:
             kq, ks, vq, vs = leaves
             k_i8, k_sc = _quantize_kv_int8(k1)
             v_i8, v_sc = _quantize_kv_int8(v1)
-            kq = kq.at[:, i, write_page, write_slot].set(k_i8)
-            ks = ks.at[:, i, write_page, write_slot].set(k_sc)
-            vq = vq.at[:, i, write_page, write_slot].set(v_i8)
-            vs = vs.at[:, i, write_page, write_slot].set(v_sc)
+            kq = kq.at[i, write_page, :, write_slot].set(k_i8)
+            ks = ks.at[i, write_page, :, write_slot].set(k_sc)
+            vq = vq.at[i, write_page, :, write_slot].set(v_i8)
+            vs = vs.at[i, write_page, :, write_slot].set(v_sc)
             leaves = (kq, ks, vq, vs)
         else:
             kp, vp = leaves
-            kp = kp.at[:, i, write_page, write_slot].set(k1.astype(kp.dtype))
-            vp = vp.at[:, i, write_page, write_slot].set(v1.astype(vp.dtype))
+            kp = kp.at[i, write_page, :, write_slot].set(k1.astype(kp.dtype))
+            vp = vp.at[i, write_page, :, write_slot].set(v1.astype(vp.dtype))
             leaves = (kp, vp)
 
         ctx = _paged_attend(q[:, 0], leaves, quant, use_kernel, lengths + 1,
-                            page_indices + i * P, compute_dtype, hd)
+                            page_indices, i, compute_dtype, hd)
         attn = _project_flat(ctx.astype(compute_dtype).reshape(b, 1, nh * hd),
                              layers, "o_proj", i, impl)
         x = residual + attn
@@ -351,23 +353,21 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
         k = k.reshape(1, s_pad, nkv, hd)
         v = v.reshape(1, s_pad, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        k1 = k[0].transpose(1, 0, 2)   # [nkv, S, hd]
-        v1 = v[0].transpose(1, 0, 2)
         # scatter all positions into (page, slot); padded positions land in
         # slots beyond `length` of the last page and are never attended
         if quant:
             kq, ks, vq, vs = leaves
-            k_i8, k_sc = _quantize_kv_int8(k1)
-            v_i8, v_sc = _quantize_kv_int8(v1)
-            kq = kq.at[:, i, pages, slots].set(k_i8)
-            ks = ks.at[:, i, pages, slots].set(k_sc)
-            vq = vq.at[:, i, pages, slots].set(v_i8)
-            vs = vs.at[:, i, pages, slots].set(v_sc)
+            k_i8, k_sc = _quantize_kv_int8(k[0])
+            v_i8, v_sc = _quantize_kv_int8(v[0])
+            kq = kq.at[i, pages, :, slots].set(k_i8)
+            ks = ks.at[i, pages, :, slots].set(k_sc)
+            vq = vq.at[i, pages, :, slots].set(v_i8)
+            vs = vs.at[i, pages, :, slots].set(v_sc)
             leaves = (kq, ks, vq, vs)
         else:
             kp, vp = leaves
-            kp = kp.at[:, i, pages, slots].set(k1.astype(kp.dtype))
-            vp = vp.at[:, i, pages, slots].set(v1.astype(vp.dtype))
+            kp = kp.at[i, pages, :, slots].set(k[0].astype(kp.dtype))
+            vp = vp.at[i, pages, :, slots].set(v[0].astype(vp.dtype))
             leaves = (kp, vp)
         # prefill attention reads the chunk's own fresh k/v (float), not
         # the pool — identical math to the dense prefill
@@ -451,7 +451,6 @@ def paged_chunk_append_row(params, cache, ids, start, length,
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
     ps = cache.page_size
-    P = cache.num_pages
     positions = start + jnp.arange(c)
     pages = jnp.take(page_indices_row, positions // ps)
     slots = positions % ps
@@ -482,31 +481,31 @@ def paged_chunk_append_row(params, cache, ids, start, length,
         k = k.reshape(1, c, nkv, hd)
         v = v.reshape(1, c, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        k1 = k[0].transpose(1, 0, 2)
-        v1 = v[0].transpose(1, 0, 2)
+        pick = functools.partial(jax.lax.dynamic_index_in_dim, index=i,
+                                 axis=0, keepdims=False)
         if quant:
             kq, ks, vq, vs = leaves
-            k_i8, k_sc = _quantize_kv_int8(k1)
-            v_i8, v_sc = _quantize_kv_int8(v1)
-            kq = kq.at[:, i, pages, slots].set(k_i8)
-            ks = ks.at[:, i, pages, slots].set(k_sc)
-            vq = vq.at[:, i, pages, slots].set(v_i8)
-            vs = vs.at[:, i, pages, slots].set(v_sc)
+            k_i8, k_sc = _quantize_kv_int8(k[0])
+            v_i8, v_sc = _quantize_kv_int8(v[0])
+            kq = kq.at[i, pages, :, slots].set(k_i8)
+            ks = ks.at[i, pages, :, slots].set(k_sc)
+            vq = vq.at[i, pages, :, slots].set(v_i8)
+            vs = vs.at[i, pages, :, slots].set(v_sc)
             leaves = (kq, ks, vq, vs)
-            kf = _dequantize_kv_int8(_flatten_pages(kq), _flatten_pages(ks))
-            vf = _dequantize_kv_int8(_flatten_pages(vq), _flatten_pages(vs))
+            tbl = page_indices_row[None]
+            k_seq = _dequantize_kv_int8(_gather_seq_kv(pick(kq), tbl),
+                                        _gather_seq_kv(pick(ks), tbl))
+            v_seq = _dequantize_kv_int8(_gather_seq_kv(pick(vq), tbl),
+                                        _gather_seq_kv(pick(vs), tbl))
         else:
             kp, vp = leaves
-            kp = kp.at[:, i, pages, slots].set(k1.astype(kp.dtype))
-            vp = vp.at[:, i, pages, slots].set(v1.astype(vp.dtype))
+            kp = kp.at[i, pages, :, slots].set(k[0].astype(kp.dtype))
+            vp = vp.at[i, pages, :, slots].set(v[0].astype(vp.dtype))
             leaves = (kp, vp)
-            kf, vf = _flatten_pages(kp), _flatten_pages(vp)
-        # gather this sequence's pages (layer-offset) → [1, T, nkv, hd]
-        tbl = page_indices_row + i * P
-        k_seq = jnp.take(kf, tbl, axis=1) \
-            .transpose(1, 2, 0, 3).reshape(1, t_full, nkv, hd)
-        v_seq = jnp.take(vf, tbl, axis=1) \
-            .transpose(1, 2, 0, 3).reshape(1, t_full, nkv, hd)
+            tbl = page_indices_row[None]
+            k_seq = _gather_seq_kv(pick(kp), tbl)
+            v_seq = _gather_seq_kv(pick(vp), tbl)
+        # this sequence's gathered pages → [1, T, nkv, hd]
         ctx = bitllama._attention(q, k_seq.astype(q.dtype),
                                   v_seq.astype(q.dtype), mask,
                                   num_kv_groups=config.num_kv_groups)
