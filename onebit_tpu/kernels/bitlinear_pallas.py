@@ -54,6 +54,19 @@ _LANE = 128
 # decode-schedule unpack variant; override with ONEBIT_UNPACK_VARIANT
 import os as _os
 DECODE_UNPACK_VARIANT = _os.environ.get("ONEBIT_UNPACK_VARIANT", "sgn")
+# small-M dot schedule: split the 8 byte-planes into this many
+# superplane groups, each unpacked into one of two alternating slabs and
+# multiplied immediately (groups=1 == the monolithic unpack-then-dot).
+# More groups -> more VPU-store/MXU-read overlap but more dot launches
+# and accumulator traffic; swept on-chip via ONEBIT_PLANE_GROUPS.
+PLANE_GROUPS = int(_os.environ.get("ONEBIT_PLANE_GROUPS", "1"))
+
+
+def _slab_shapes(k: int, tn: int):
+    """VMEM scratch slabs for _plane_dot at the current PLANE_GROUPS."""
+    rows = k // PLANE_GROUPS
+    n_slabs = 1 if PLANE_GROUPS == 1 else 2
+    return [pltpu.VMEM((rows, tn), jnp.int8)] * n_slabs
 
 
 def _unpack_planes(words, s_ref, nw: int, variant: str = "sgn"):
@@ -81,6 +94,49 @@ def _unpack_planes(words, s_ref, nw: int, variant: str = "sgn"):
         s_ref[pl.ds(p * 4 * nw, 4 * nw), :] = pltpu.bitcast(t, jnp.int8)
 
 
+def _plane_dot(packed, y, slabs, nw: int, variant: str):
+    """``y · Sᵀ`` for one packed tile, scheduled as ``PLANE_GROUPS``
+    superplane groups of per-group partial dots on alternating slabs.
+
+    Byte-plane p materializes rows ``[4nw·p, 4nw·(p+1))`` of S (a
+    contiguous sublane slab, matching y's natural K order by the
+    pack_signs_device layout), so ``z = Σ_p y[:, rows_p] · S_p`` exactly.
+    groups=1 reproduces the monolithic unpack-all-then-dot schedule;
+    groups>1 alternates two slabs so Mosaic can overlap group g+1's VPU
+    unpack stores with group g's MXU operand reads (an isolated-tile
+    probe measured 4.3x for groups=8, scripts/probe_plane_pipeline.py,
+    but in-model the grid's own DMA pipelining and the extra dot
+    launches/accumulator traffic shift the optimum — swept on-chip via
+    ONEBIT_PLANE_GROUPS).
+    """
+    groups = PLANE_GROUPS
+    per = 8 // groups
+    w = pltpu.bitcast(packed, jnp.uint32)
+    msk = jnp.uint32(0x01010101)
+    z = None
+    rows_per_group = 4 * nw * per
+    for gi in range(groups):
+        slab = slabs[gi % len(slabs)]
+        for q in range(per):
+            p = gi * per + q
+            bits = (w >> p) & msk
+            t = bits if variant == "b01" else msk + bits * jnp.uint32(0xFE)
+            slab[pl.ds(q * 4 * nw, 4 * nw), :] = pltpu.bitcast(t, jnp.int8)
+        s = slab[:]
+        if y.dtype == jnp.float32:   # f32 parity path: no f32xint8 MXU mode
+            s = s.astype(jnp.float32)
+        y_g = y[:, gi * rows_per_group:(gi + 1) * rows_per_group]
+        zp = jax.lax.dot_general(
+            y_g, s, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z = zp if z is None else z + zp
+    if variant == "b01":
+        # planes held bits b = (1-sign)/2: true z = rowsum(y) - 2*(y·B)
+        rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
+        z = rs - 2.0 * z
+    return z
+
+
 def _drop_scalar(kernel):
     """Absorb the scalar-prefetch ref (layer index) — it is consumed only
     by the BlockSpec index maps, not the kernel body."""
@@ -105,7 +161,7 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
-                          acc_ref, y_ref, s_ref, *, tn: int, k: int,
+                          acc_ref, y_ref, *slabs, tn: int, k: int,
                           eps: float, has_bias: bool, fuse_ln: bool = True,
                           variant: str = "sgn", stacked: bool = False):
     ni = pl.program_id(0)
@@ -119,18 +175,8 @@ def _fused_small_m_kernel(x_ref, g_ref, packed_ref, h_ref, bias_ref, out_ref,
         y_ref[:] = x_ref[:] * g
 
     packed = packed_ref[0] if stacked else packed_ref[:]
-    _unpack_planes(packed, s_ref, k // WORD_BITS, variant)  # [K, TN]
-    s = s_ref[:]
-    if y_ref.dtype == jnp.float32:   # f32 parity path: no f32xint8 MXU mode
-        s = s.astype(jnp.float32)
-    y = y_ref[:]
-    z = jax.lax.dot_general(
-        y, s, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # [M, TN]
-    if variant == "b01":
-        # s held bits b = (1-sign)/2, so true z = rowsum(y) - 2*(y·B)
-        rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
-        z = rs - 2.0 * z
+    z = _plane_dot(packed, y_ref[:], slabs, k // WORD_BITS,
+                   variant)                                  # [M, TN]
     acc_ref[:, pl.ds(ni * tn, tn)] = z * h
 
     @pl.when(ni == n_tiles - 1)
@@ -193,7 +239,7 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
         scratch_shapes=[
             pltpu.VMEM((m_pad, n), jnp.float32),
             pltpu.VMEM((m_pad, k), x2.dtype),
-            pltpu.VMEM((k, tn), jnp.int8),
+            *_slab_shapes(k, tn),
         ],
         interpret=interpret,
     )(*inputs)
@@ -264,7 +310,7 @@ def _call_small_m_stacked(x2, packed, g, h, bias, layer, eps, interpret,
             scratch_shapes=[
                 pltpu.VMEM((m_pad, n), jnp.float32),
                 pltpu.VMEM((m_pad, k), x2.dtype),
-                pltpu.VMEM((k, tn), jnp.int8),
+                *_slab_shapes(k, tn),
             ]),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         interpret=interpret,
@@ -317,8 +363,8 @@ def bitlinear_packed_pallas_stacked(x, packed, g, h, layer, bias=None, *,
 # ---------------------------------------------------------------------------
 
 def _fused_multiseg_small_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
-                                 acc_ref, y_ref, s_ref, *, tn: int, k: int,
-                                 ns: int, seg_pad: int, n_true: int,
+                                 acc_ref, y_ref, *slabs, tn: int,
+                                 k: int, ns: int, seg_pad: int, n_true: int,
                                  m_pad: int, eps: float, variant: str,
                                  fuse_ln: bool, stacked: bool = False):
     ni = pl.program_id(0)
@@ -333,18 +379,9 @@ def _fused_multiseg_small_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
                 x_ref[:] * g[j, :][None, :]
 
     packed = packed_ref[0] if stacked else packed_ref[:]
-    _unpack_planes(packed, s_ref, k // WORD_BITS, variant)
-    s = s_ref[:]
-    if y_ref.dtype == jnp.float32:
-        s = s.astype(jnp.float32)
     seg = ni * tn // seg_pad              # tiles never straddle segments
     y = y_ref[pl.ds(seg * m_pad, m_pad), :]
-    z = jax.lax.dot_general(
-        y, s, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if variant == "b01":
-        rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
-        z = rs - 2.0 * z
+    z = _plane_dot(packed, y, slabs, k // WORD_BITS, variant)
     acc_ref[:, pl.ds(ni * tn, tn)] = z * h
 
     @pl.when(ni == n_tiles - 1)
@@ -443,7 +480,7 @@ def bitlinear_packed_fused(x, packed, g, h, *, n_true: int,
             scratch_shapes=[
                 pltpu.VMEM((m_pad, n_cat), jnp.float32),
                 pltpu.VMEM((ns * m_pad, k), x2.dtype),
-                pltpu.VMEM((k, tn), jnp.int8),
+                *_slab_shapes(k, tn),
             ],
             interpret=interpret,
         )(x2, g2, packed, h2)
@@ -551,7 +588,7 @@ def bitlinear_packed_fused_stacked(x, packed, g, h, layer, *, n_true: int,
             scratch_shapes=[
                 pltpu.VMEM((m_pad, n_cat), jnp.float32),
                 pltpu.VMEM((ns * m_pad, k), x2.dtype),
-                pltpu.VMEM((k, tn), jnp.int8),
+                *_slab_shapes(k, tn),
             ]),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_cat), x2.dtype),
         interpret=interpret,
