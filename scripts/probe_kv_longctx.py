@@ -31,7 +31,7 @@ def _log(msg):
 
 
 def main():
-    from onebit_tpu.model.bitllama import decode_step, init_kv_cache
+    from onebit_tpu.model.bitllama import decode_step_flat, init_kv_cache
     from onebit_tpu.model.config import BitLlamaConfig
     from onebit_tpu.model.kv_cache import init_quant_kv_cache
     from onebit_tpu.utils.benchmark import bench_fn_with_state
@@ -55,21 +55,25 @@ def main():
     def make_step(cache0):
         def step(p, state):
             cache, idx = state
-            logits, cache = decode_step(p, cache, ids, idx, config,
-                                        impl="pallas",
-                                        compute_dtype=jnp.bfloat16)
+            logits, cache = decode_step_flat(p, cache, ids, idx, config,
+                                             impl="pallas",
+                                             compute_dtype=jnp.bfloat16)
             return cache, idx + 1
         return step, (cache0, jnp.int32(max_len - iters - 1))
 
     results = {}
-    for name, cache in (
-            ("bf16", init_kv_cache(config, batch, max_len, jnp.bfloat16)),
-            ("int8", init_quant_kv_cache(config, batch, max_len))):
+    # lazy cache construction: both caches at once OOM a 16 GB chip
+    # (bf16 8.6 GB + int8 4.8 GB + params)
+    for name, mk in (
+            ("bf16", lambda: init_kv_cache(config, batch, max_len,
+                                           jnp.bfloat16)),
+            ("int8", lambda: init_quant_kv_cache(config, batch, max_len))):
         _log(f"compiling + timing {name} cache (max_len={max_len})")
-        step, state = make_step(cache)
+        step, state = make_step(mk())
         sec = bench_fn_with_state(step, state, iters_lo=0, iters_hi=iters,
                                   reps=3, const=params)
         results[name] = sec
+        del step, state
         print(f"{name}: {sec*1e3:.2f} ms/step  "
               f"({batch/sec:.1f} tok/s, batch {batch}, ctx {max_len})",
               flush=True)
