@@ -83,6 +83,7 @@ class ContinuousBatchingEngine:
                  num_pages: Optional[int] = None,
                  quantized_kv: bool = False, block_steps: int = 1,
                  prefill_chunk_size: Optional[int] = None,
+                 prefix_cache: bool = False,
                  draft_params=None,
                  draft_config: Optional[BitLlamaConfig] = None,
                  n_draft: int = 4):
@@ -133,7 +134,17 @@ class ContinuousBatchingEngine:
             self.total_pages = num_pages - 1   # page 0 is the reserved null
             self.page_tables = np.zeros(
                 (max_batch, self.max_pages_per_seq), np.int32)
+            # prefix caching: FULL prompt pages (strictly below the first
+            # write position, so they are read-only forever) are keyed by
+            # their exact token prefix and shared across requests via
+            # allocator refcounts; admission skips prefill compute for
+            # the shared span.  vLLM-style, no copy-on-write needed.
+            self.prefix_cache = prefix_cache
+            from collections import OrderedDict
+            self._prefix_map = OrderedDict()   # token-prefix tuple -> page
+            self.prefix_hits = 0               # pages reused (metrics)
         else:
+            self.prefix_cache = False
             self.cache = init_kv_cache(config, max_batch, max_len,
                                        dtype=compute_dtype)
         self.key = jax.random.PRNGKey(seed)
@@ -275,14 +286,20 @@ class ContinuousBatchingEngine:
             bucket = min(_bucket(plen), self.max_len)
             if self.paged:
                 # pages must cover the padded bucket AND the generation
-                need = -(-max(bucket, plen + req.max_new_tokens)
-                         // self.page_size)
-                if need > self.total_pages:
+                total_need = -(-max(bucket, plen + req.max_new_tokens)
+                               // self.page_size)
+                hits = self._prefix_hits(req.prompt) if self.prefix_cache \
+                    else 0
+                need = total_need - hits
+                if total_need > self.total_pages:
                     # can never be satisfied: fail this request, keep going
                     self.waiting.pop(0)
                     req.done = True
                     self.finished[req.uid] = req
                     continue
+                if need > len(self.allocator.free):
+                    if self.prefix_cache:
+                        self._evict_prefix(need)
                 if need > len(self.allocator.free):
                     # backpressure: defer admission until decoding frees
                     # pages rather than crashing on alloc (the point of
@@ -294,11 +311,28 @@ class ContinuousBatchingEngine:
             ids[:plen] = req.prompt
             if self.paged:
                 from onebit_tpu.engine.paged import paged_prefill_row
+                ps = self.page_size
                 table = np.zeros(self.max_pages_per_seq, np.int32)
-                for i in range(need):
+                for i in range(hits):
+                    page = self._prefix_map[tuple(req.prompt[:(i + 1) * ps])]
+                    self.allocator.retain(page)
+                    table[i] = page
+                for i in range(hits, total_need):
                     table[i] = self.allocator.alloc()
                 self.page_tables[slot] = table
-                if self.prefill_chunk_size:
+                self.prefix_hits += hits
+                if hits:
+                    # suffix-only prefill: the shared pages already hold
+                    # K/V for the first hits*ps tokens
+                    from onebit_tpu.engine.paged import (
+                        paged_chunked_prefill_row)
+                    logits, self.cache = paged_chunked_prefill_row(
+                        self.params, self.cache, req.prompt, table,
+                        self.config,
+                        chunk_size=self.prefill_chunk_size or 64,
+                        impl=self.impl, compute_dtype=self.compute_dtype,
+                        donate=True, start=hits * ps)
+                elif self.prefill_chunk_size:
                     from onebit_tpu.engine.paged import (
                         paged_chunked_prefill_row)
                     logits, self.cache = paged_chunked_prefill_row(
@@ -311,6 +345,8 @@ class ContinuousBatchingEngine:
                         self.params, self.cache, jnp.asarray(ids),
                         jnp.int32(plen), jnp.asarray(table), self.config,
                         impl=self.impl, compute_dtype=self.compute_dtype)
+                if self.prefix_cache:
+                    self._register_prefix(req.prompt, table)
             elif self.prefill_chunk_size:
                 from onebit_tpu.model.ragged_decode import (
                     chunked_prefill_row)
@@ -353,6 +389,44 @@ class ContinuousBatchingEngine:
                 jnp.stack([lg for _, lg in admitted]), sub, self.sampling))
             for (slot, _), tok in zip(admitted, toks):
                 self._emit(slot, int(tok))
+
+    # -- prefix caching (paged only) ----------------------------------------
+    def _prefix_hits(self, prompt) -> int:
+        """Longest run of cached FULL prompt pages from page 0.
+
+        Capped at ``(plen-1)//ps`` so at least one prompt token is always
+        recomputed (its logits seed generation) and the page containing
+        it stays private — shared pages are never written."""
+        ps = self.page_size
+        hits = 0
+        while hits < (len(prompt) - 1) // ps:
+            key = tuple(prompt[:(hits + 1) * ps])
+            if key not in self._prefix_map:
+                break
+            self._prefix_map.move_to_end(key)   # LRU touch
+            hits += 1
+        return hits
+
+    def _register_prefix(self, prompt, table) -> None:
+        """Publish this row's full prompt pages for future sharing; the
+        cache holds its own reference so pages outlive the request."""
+        ps = self.page_size
+        for i in range(len(prompt) // ps):
+            key = tuple(prompt[:(i + 1) * ps])
+            if key not in self._prefix_map:
+                self._prefix_map[key] = int(table[i])
+                self.allocator.retain(int(table[i]))
+
+    def _evict_prefix(self, pages_needed: int) -> None:
+        """Drop least-recently-used cache entries whose page is held ONLY
+        by the cache until ``pages_needed`` pages are free."""
+        for key in list(self._prefix_map.keys()):
+            if len(self.allocator.free) >= pages_needed:
+                break
+            page = self._prefix_map[key]
+            if self.allocator.refcount.get(page, 0) == 1:
+                del self._prefix_map[key]
+                self.allocator.release([page])
 
     def _decode(self) -> None:
         active = np.asarray([s is not None for s in self.slots])
@@ -486,6 +560,9 @@ class ContinuousBatchingEngine:
         if self.paged:
             out["free_pages"] = len(self.allocator.free)
             out["total_pages"] = self.total_pages
+            if self.prefix_cache:
+                out["prefix_cache_entries"] = len(self._prefix_map)
+                out["prefix_pages_reused"] = self.prefix_hits
         if self._lat_ttft:
             q = np.quantile(np.asarray(self._lat_ttft), [0.5, 0.99])
             out["ttft_p50_s"], out["ttft_p99_s"] = float(q[0]), float(q[1])

@@ -123,21 +123,39 @@ def _dequantize_kv_int8(q, scales, dtype=jnp.float32):
 
 
 class PageAllocator:
-    """Host-side free-list of LOGICAL pages (page 0 is a reserved null;
-    each layer's copy of a logical page lives at physical ``i*P + p``)."""
+    """Host-side free-list of LOGICAL pages with reference counts
+    (page 0 is a reserved null).
+
+    Refcounts enable read-only page SHARING across sequences (prefix
+    caching): ``retain`` adds a reference, ``release`` drops one and
+    returns the page to the free list only when the last reference
+    goes."""
 
     def __init__(self, num_pages: int):
         self.free: List[int] = list(range(num_pages - 1, 0, -1))
+        self.refcount = {}
 
     def alloc(self) -> int:
         if not self.free:
             raise RuntimeError("out of KV pages")
-        return self.free.pop()
+        p = self.free.pop()
+        self.refcount[p] = 1
+        return p
+
+    def retain(self, page: int) -> None:
+        self.refcount[int(page)] += 1
 
     def release(self, pages) -> None:
         for p in pages:
-            if p > 0:
-                self.free.append(int(p))
+            p = int(p)
+            if p <= 0:
+                continue
+            rc = self.refcount.get(p, 1) - 1
+            if rc <= 0:
+                self.refcount.pop(p, None)
+                self.free.append(p)
+            else:
+                self.refcount[p] = rc
 
 
 def _gather_seq_kv(pages_l, page_indices):
@@ -539,17 +557,20 @@ def paged_chunked_prefill_row(params, cache, prompt, page_indices_row,
                               config: BitLlamaConfig, *,
                               chunk_size: int = 64, impl: str = "auto",
                               compute_dtype=jnp.bfloat16,
-                              donate: bool = False):
+                              donate: bool = False, start: int = 0):
     """Chunked paged prefill (host loop over paged_chunk_append_row).
     ``donate=True``: donate cache buffers per chunk (engine convention —
-    the caller must not reuse the cache it passed in)."""
+    the caller must not reuse the cache it passed in).
+    ``start``: skip the first ``start`` tokens — their K/V already sit in
+    the row's (shared) pages (prefix caching); the suffix chunks attend
+    to them through the page table."""
     step = paged_chunk_append_row
     if donate:
         from onebit_tpu.engine.batching import _donated
         step = _donated(paged_chunk_append_row)
     prompt = list(prompt)
     logits = None
-    for ci in range(0, len(prompt), chunk_size):
+    for ci in range(start, len(prompt), chunk_size):
         chunk = prompt[ci:ci + chunk_size]
         valid = len(chunk)
         padded = np.zeros(chunk_size, np.int32)
