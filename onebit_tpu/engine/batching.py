@@ -43,7 +43,7 @@ _DONATED: Dict = {}
 
 
 def _donated(fn, statics=_STEP_STATICS, names=("cache",)):
-    key = (fn, names)
+    key = (fn, statics, names)
     if key not in _DONATED:
         _DONATED[key] = jax.jit(fn, static_argnames=statics,
                                 donate_argnames=names)
@@ -136,12 +136,14 @@ class ContinuousBatchingEngine:
                 (max_batch, self.max_pages_per_seq), np.int32)
             # prefix caching: FULL prompt pages (strictly below the first
             # write position, so they are read-only forever) are keyed by
-            # their exact token prefix and shared across requests via
-            # allocator refcounts; admission skips prefill compute for
-            # the shared span.  vLLM-style, no copy-on-write needed.
+            # a CHAINED per-page digest of the token prefix (O(P) work and
+            # constant-size keys for any prompt length) and shared across
+            # requests via allocator refcounts; admission skips prefill
+            # compute for the shared span.  vLLM-style, no copy-on-write.
             self.prefix_cache = prefix_cache
             from collections import OrderedDict
-            self._prefix_map = OrderedDict()   # token-prefix tuple -> page
+            self._prefix_map = OrderedDict()   # chained digest -> page
+            self._prefix_children = {}         # digest -> set(child digests)
             self.prefix_hits = 0               # pages reused (metrics)
         else:
             self.prefix_cache = False
@@ -223,6 +225,16 @@ class ContinuousBatchingEngine:
                     _donated(prefill_row).lower(
                         self.params, self.cache, ids, zid, zid,
                         **kw).compile()
+            if self.paged and self.prefix_cache:
+                # prefix hits prefill the suffix via 64-token chunk
+                # appends even without prefill_chunk_size — compile that
+                # program too, or the first cache hit stalls serving
+                from onebit_tpu.engine.paged import paged_chunk_append_row
+                ids = jnp.zeros(64, jnp.int32)
+                table = jnp.zeros(self.max_pages_per_seq, jnp.int32)
+                _donated(paged_chunk_append_row).lower(
+                    self.params, self.cache, ids, zid, zid, table,
+                    **kw).compile()
         # -- decode program --
         tok1 = jnp.zeros(self.max_batch, jnp.int32)
         pos = jnp.zeros(self.max_batch, jnp.int32)
@@ -288,11 +300,16 @@ class ContinuousBatchingEngine:
                 # pages must cover the padded bucket AND the generation
                 total_need = -(-max(bucket, plen + req.max_new_tokens)
                                // self.page_size)
-                hits = self._prefix_hits(req.prompt) if self.prefix_cache \
-                    else 0
+                # hit pages are RETAINED here, before any eviction runs —
+                # an evictable (refcount-1) hit page would otherwise be
+                # freed out from under this very admission
+                hit_pages = self._prefix_lookup(req.prompt) \
+                    if self.prefix_cache else []
+                hits = len(hit_pages)
                 need = total_need - hits
                 if total_need > self.total_pages:
                     # can never be satisfied: fail this request, keep going
+                    self.allocator.release(hit_pages)
                     self.waiting.pop(0)
                     req.done = True
                     self.finished[req.uid] = req
@@ -305,6 +322,7 @@ class ContinuousBatchingEngine:
                     # pages rather than crashing on alloc (the point of
                     # paging — surpasses the reference's fixed-batch
                     # lockstep generate, modeling_bitllama.py:1464-1510)
+                    self.allocator.release(hit_pages)
                     break
             self.waiting.pop(0)
             ids = np.zeros(bucket, np.int32)
@@ -313,10 +331,7 @@ class ContinuousBatchingEngine:
                 from onebit_tpu.engine.paged import paged_prefill_row
                 ps = self.page_size
                 table = np.zeros(self.max_pages_per_seq, np.int32)
-                for i in range(hits):
-                    page = self._prefix_map[tuple(req.prompt[:(i + 1) * ps])]
-                    self.allocator.retain(page)
-                    table[i] = page
+                table[:hits] = hit_pages           # already retained
                 for i in range(hits, total_need):
                     table[i] = self.allocator.alloc()
                 self.page_tables[slot] = table
@@ -391,31 +406,62 @@ class ContinuousBatchingEngine:
                 self._emit(slot, int(tok))
 
     # -- prefix caching (paged only) ----------------------------------------
-    def _prefix_hits(self, prompt) -> int:
-        """Longest run of cached FULL prompt pages from page 0.
+    def _page_keys(self, prompt, n_pages: int):
+        """Chained per-page sha1 digests of the token prefix: key i
+        commits to ALL tokens through page i, costs O(P) total, and is
+        constant-size for any prompt length."""
+        import hashlib
+        ps = self.page_size
+        h = hashlib.sha1()
+        keys = []
+        for i in range(n_pages):
+            h.update(np.asarray(prompt[i * ps:(i + 1) * ps],
+                                np.int64).tobytes())
+            keys.append(h.digest())
+        return keys
+
+    def _prefix_lookup(self, prompt):
+        """Longest run of cached FULL prompt pages from page 0, each
+        RETAINED (pinned) at lookup so concurrent eviction cannot free
+        them before the table is built.
 
         Capped at ``(plen-1)//ps`` so at least one prompt token is always
         recomputed (its logits seed generation) and the page containing
         it stays private — shared pages are never written."""
-        ps = self.page_size
-        hits = 0
-        while hits < (len(prompt) - 1) // ps:
-            key = tuple(prompt[:(hits + 1) * ps])
-            if key not in self._prefix_map:
+        pages = []
+        for key in self._page_keys(prompt, (len(prompt) - 1)
+                                   // self.page_size):
+            page = self._prefix_map.get(key)
+            if page is None:
                 break
             self._prefix_map.move_to_end(key)   # LRU touch
-            hits += 1
-        return hits
+            self.allocator.retain(page)
+            pages.append(page)
+        return pages
 
     def _register_prefix(self, prompt, table) -> None:
         """Publish this row's full prompt pages for future sharing; the
         cache holds its own reference so pages outlive the request."""
-        ps = self.page_size
-        for i in range(len(prompt) // ps):
-            key = tuple(prompt[:(i + 1) * ps])
+        keys = self._page_keys(prompt, len(prompt) // self.page_size)
+        prev = None
+        for i, key in enumerate(keys):
             if key not in self._prefix_map:
                 self._prefix_map[key] = int(table[i])
                 self.allocator.retain(int(table[i]))
+                if prev is not None:
+                    self._prefix_children.setdefault(prev, set()).add(key)
+            prev = key
+
+    def _evict_entry(self, key) -> None:
+        """Evict one cache entry AND its descendants (a child whose
+        parent is gone can never be hit again — _prefix_lookup stops at
+        the first missing prefix — so it would leak its page)."""
+        for child in self._prefix_children.pop(key, ()):
+            if child in self._prefix_map:
+                self._evict_entry(child)
+        page = self._prefix_map.pop(key, None)
+        if page is not None:
+            self.allocator.release([page])
 
     def _evict_prefix(self, pages_needed: int) -> None:
         """Drop least-recently-used cache entries whose page is held ONLY
@@ -423,10 +469,11 @@ class ContinuousBatchingEngine:
         for key in list(self._prefix_map.keys()):
             if len(self.allocator.free) >= pages_needed:
                 break
-            page = self._prefix_map[key]
+            page = self._prefix_map.get(key)
+            if page is None:
+                continue    # already evicted as someone's descendant
             if self.allocator.refcount.get(page, 0) == 1:
-                del self._prefix_map[key]
-                self.allocator.release([page])
+                self._evict_entry(key)
 
     def _decode(self) -> None:
         active = np.asarray([s is not None for s in self.slots])

@@ -203,7 +203,16 @@ def _use_kernel(cache, config, impl) -> bool:
     runs ~0.43 ms/layer despite 3x the HBM traffic.  Revisit if a
     batched/indexed DMA primitive lands or pages grow >= 1 MB."""
     import os
-    return os.environ.get("ONEBIT_PAGED_ATTN") == "kernel"
+    if os.environ.get("ONEBIT_PAGED_ATTN") != "kernel":
+        return False
+    # geometry/dtype guards even under the opt-in: the kernel needs
+    # lane-aligned heads and has no fp8 page path
+    if config.head_dim % 128 != 0 or impl == "xla":
+        return False
+    if isinstance(cache, PagedKVCache) and \
+            cache.k_pages.dtype == jnp.float8_e4m3fn:
+        return False
+    return True
 
 
 def _paged_attend(q1, leaves, quant, use_kernel, lengths, page_indices,

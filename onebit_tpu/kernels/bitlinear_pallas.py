@@ -60,6 +60,10 @@ DECODE_UNPACK_VARIANT = _os.environ.get("ONEBIT_UNPACK_VARIANT", "sgn")
 # More groups -> more VPU-store/MXU-read overlap but more dot launches
 # and accumulator traffic; swept on-chip via ONEBIT_PLANE_GROUPS.
 PLANE_GROUPS = int(_os.environ.get("ONEBIT_PLANE_GROUPS", "1"))
+if PLANE_GROUPS not in (1, 2, 4, 8):
+    raise ValueError(
+        f"ONEBIT_PLANE_GROUPS={PLANE_GROUPS} must be 1, 2, 4, or 8 "
+        "(groups must divide the 8 byte-planes)")
 
 
 def _slab_shapes(k: int, tn: int):

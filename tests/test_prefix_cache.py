@@ -95,3 +95,25 @@ def test_eviction_under_pressure(tiny):
     for p, got in zip(prompts, outs.values()):
         uid = ref_eng.add_request(p, max_new_tokens=3)
         assert ref_eng.run()[uid] == got
+
+
+def test_hit_pages_survive_eviction_pressure(tiny):
+    """Admission pins hit pages BEFORE eviction runs: a cached prefix
+    whose owner finished (refcount 1) must not be evicted out from under
+    the request that is hitting it (regression: reproduced KeyError)."""
+    config, params = tiny
+    eng = ContinuousBatchingEngine(params, config, max_batch=1, max_len=64,
+                                   compute_dtype=jnp.float32, paged=True,
+                                   page_size=4, num_pages=16,
+                                   prefix_cache=True)
+    prompt_a = [5, 17, 42, 9, 3, 2, 7, 11]      # 2 full pages cached
+    u1 = eng.add_request(prompt_a, max_new_tokens=3)
+    out1 = eng.run()[u1]
+    # a fat request drains most of the pool, forcing eviction pressure
+    u2 = eng.add_request(list(range(100, 124)), max_new_tokens=8)
+    eng.run()
+    # re-send A's prompt: its cached pages are refcount-1 (evictable) at
+    # lookup time; the pin must protect them through _evict_prefix
+    u3 = eng.add_request(prompt_a, max_new_tokens=3)
+    out3 = eng.run()[u3]
+    assert out3 == out1
