@@ -296,7 +296,10 @@ def cmd_serve(args):
     eng = ContinuousBatchingEngine(
         params, loaded["config"], max_batch=args.max_batch,
         max_len=args.max_len, sampling=sampling,
-        block_steps=args.block_steps)
+        block_steps=args.block_steps, paged=args.paged,
+        quantized_kv=args.kv_quant if args.paged else False,
+        page_size=args.page_size, prefix_cache=args.prefix_cache,
+        prefill_chunk_size=args.prefill_chunk)
 
     if args.http is not None:
         import time
@@ -429,6 +432,16 @@ def build_parser():
                     help="decode tokens per device program")
     sv.add_argument("--fuse-decode", action="store_true",
                     help="fuse qkv/gate+up projections for decode")
+    sv.add_argument("--paged", action="store_true",
+                    help="paged KV cache (block tables + page pool)")
+    sv.add_argument("--kv-quant", choices=["int8", "fp8"], default=None,
+                    help="quantized pages (requires --paged)")
+    sv.add_argument("--page-size", type=int, default=16)
+    sv.add_argument("--prefix-cache", action="store_true",
+                    help="share full prompt pages across requests "
+                         "(requires --paged)")
+    sv.add_argument("--prefill-chunk", type=int, default=None,
+                    help="fixed-shape chunked prefill size")
     sv.set_defaults(fn=cmd_serve)
 
     bn = sub.add_parser("bench", help="decode throughput benchmark")

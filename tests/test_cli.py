@@ -100,6 +100,29 @@ def test_cli_serve_stdin(tmp_path, capsys, monkeypatch):
     assert all("completion" in r for r in rows)
 
 
+def test_cli_serve_paged_prefix_cache(tmp_path, capsys, monkeypatch):
+    """serve --paged --kv-quant int8 --prefix-cache: full engine options."""
+    import io
+
+    config = BitLlamaConfig.named("tiny")
+    packed_dir = str(tmp_path / "packed")
+    from onebit_tpu.model.bitllama import pack_model_params
+    save_native(packed_dir, config, pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent")))
+
+    monkeypatch.setattr(sys, "stdin",
+                        io.StringIO("5,6,7,8,9\n5,6,7,8,9\n"))
+    main(["serve", "--ckpt", packed_dir, "--max-batch", "2",
+          "--max-len", "64", "--max-new-tokens", "4", "--greedy",
+          "--paged", "--kv-quant", "int8", "--page-size", "4",
+          "--prefix-cache", "--block-steps", "2"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rows = [json.loads(l) for l in lines]
+    assert len(rows) == 2
+    # identical prompts, greedy, same engine -> identical completions
+    assert rows[0]["completion"] == rows[1]["completion"]
+
+
 def test_cli_eval_expect_pass_and_fail(tmp_path, capsys):
     """--corpus + --expect: the one-command real-checkpoint parity path."""
     import pytest
