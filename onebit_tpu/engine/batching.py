@@ -28,7 +28,7 @@ import numpy as np
 from onebit_tpu.engine.sampler import SamplingConfig, sample_token
 from onebit_tpu.model.bitllama import init_kv_cache
 from onebit_tpu.model.config import BitLlamaConfig
-from onebit_tpu.model.ragged_decode import prefill_row, ragged_decode_step
+from onebit_tpu.model.ragged_decode import ragged_decode_step
 
 # Engine-private DONATING variants of the device programs: the engine
 # discards its previous cache the moment a step returns, so the multi-GB
@@ -222,8 +222,11 @@ class ContinuousBatchingEngine:
                         self.params, self.cache, ids, zid, table,
                         **kw).compile()
                 else:
-                    _donated(prefill_row).lower(
-                        self.params, self.cache, ids, zid, zid,
+                    from onebit_tpu.model.ragged_decode import prefill_rows
+                    zr = jnp.zeros(self.max_batch, jnp.int32)
+                    _donated(prefill_rows).lower(
+                        self.params, self.cache,
+                        jnp.zeros((self.max_batch, b), jnp.int32), zr, zr,
                         **kw).compile()
             if self.paged and self.prefix_cache:
                 # prefix hits prefill the suffix via 64-token chunk
@@ -289,7 +292,8 @@ class ContinuousBatchingEngine:
         self._decode()
 
     def _admit(self) -> None:
-        admitted = []   # (slot, req, last-prompt logits) — sampled in batch
+        admitted = []   # (slot, last-prompt logits) — sampled in batch
+        planned = []    # dense non-chunked admissions, prefilled batched
         for slot in range(self.max_batch):
             if self.slots[slot] is not None or not self.waiting:
                 continue
@@ -370,30 +374,24 @@ class ContinuousBatchingEngine:
                     chunk_size=self.prefill_chunk_size, impl=self.impl,
                     compute_dtype=self.compute_dtype, donate=True)
             else:
-                logits, self.cache = _donated(prefill_row)(
-                    self.params, self.cache, jnp.asarray(ids),
-                    jnp.int32(plen), jnp.int32(slot), self.config,
-                    impl=self.impl, compute_dtype=self.compute_dtype)
-            if self.draft_params is not None:
+                # dense non-chunked: defer — same-bucket admissions run as
+                # ONE batched prefill program below
+                planned.append((slot, req, plen, bucket))
+                continue
+            if self.draft_params is not None and self.prefill_chunk_size:
                 # the draft replays the prompt into ITS cache (logits
                 # unused: the pending token always comes from the target)
-                if self.prefill_chunk_size:
-                    from onebit_tpu.model.ragged_decode import (
-                        chunked_prefill_row)
-                    _, self.draft_cache = chunked_prefill_row(
-                        self.draft_params, self.draft_cache, req.prompt,
-                        slot, self.draft_config,
-                        chunk_size=self.prefill_chunk_size, impl=self.impl,
-                        compute_dtype=self.compute_dtype, donate=True)
-                else:
-                    _, self.draft_cache = _donated(prefill_row)(
-                        self.draft_params, self.draft_cache,
-                        jnp.asarray(ids), jnp.int32(plen), jnp.int32(slot),
-                        self.draft_config, impl=self.impl,
-                        compute_dtype=self.compute_dtype)
+                from onebit_tpu.model.ragged_decode import (
+                    chunked_prefill_row)
+                _, self.draft_cache = chunked_prefill_row(
+                    self.draft_params, self.draft_cache, req.prompt,
+                    slot, self.draft_config,
+                    chunk_size=self.prefill_chunk_size, impl=self.impl,
+                    compute_dtype=self.compute_dtype, donate=True)
             self.slots[slot] = req
             self.row_pos[slot] = plen
             admitted.append((slot, logits))
+        self._batched_prefill(planned, admitted)
         if admitted:
             # one batched sample + ONE host fetch for every admission this
             # round: each prefill above was an async dispatch, so the
@@ -404,6 +402,47 @@ class ContinuousBatchingEngine:
                 jnp.stack([lg for _, lg in admitted]), sub, self.sampling))
             for (slot, _), tok in zip(admitted, toks):
                 self._emit(slot, int(tok))
+
+    def _batched_prefill(self, planned, admitted) -> None:
+        """Run deferred dense admissions as ONE prefill program per prompt
+        bucket (model.ragged_decode.prefill_rows).
+
+        Rows are padded to ``max_batch`` by replicating entry 0 (duplicate
+        scatters write identical values — idempotent), so each bucket has
+        exactly one compiled shape; the pad compute is nearly free because
+        the packed-sign unpack dominates small-M prefill regardless of row
+        count.  An R-request burst costs one dispatch instead of R."""
+        if not planned:
+            return
+        from onebit_tpu.model.ragged_decode import prefill_rows
+        by_bucket: Dict[int, list] = {}
+        for item in planned:
+            by_bucket.setdefault(item[3], []).append(item)
+        for bucket, group in by_bucket.items():
+            ids = np.zeros((self.max_batch, bucket), np.int32)
+            lens = np.zeros(self.max_batch, np.int32)
+            rows = np.zeros(self.max_batch, np.int32)
+            for j, (slot, req, plen, _) in enumerate(group):
+                ids[j, :plen] = req.prompt
+                lens[j] = plen
+                rows[j] = slot
+            for j in range(len(group), self.max_batch):
+                ids[j], lens[j], rows[j] = ids[0], lens[0], rows[0]
+            kw = dict(config=self.config, impl=self.impl,
+                      compute_dtype=self.compute_dtype)
+            logits, self.cache = _donated(prefill_rows)(
+                self.params, self.cache, jnp.asarray(ids),
+                jnp.asarray(lens), jnp.asarray(rows), **kw)
+            if self.draft_params is not None:
+                _, self.draft_cache = _donated(prefill_rows)(
+                    self.draft_params, self.draft_cache, jnp.asarray(ids),
+                    jnp.asarray(lens), jnp.asarray(rows),
+                    config=self.draft_config, impl=self.impl,
+                    compute_dtype=self.compute_dtype)
+            for j, (slot, req, plen, _) in enumerate(group):
+                self.slots[slot] = req
+                self.row_pos[slot] = plen
+                admitted.append((slot, logits[j]))
 
     # -- prefix caching (paged only) ----------------------------------------
     def _page_keys(self, prompt, n_pages: int):

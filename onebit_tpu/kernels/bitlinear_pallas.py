@@ -405,29 +405,6 @@ def _fused_multiseg_small_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
             out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _matmul_fused_large_kernel(x_ref, g_ref, packed_ref, h_ref, out_ref,
-                               s_ref, *, tn: int, k: int, seg_pad: int,
-                               variant: str):
-    ni, mi = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(mi == 0)
-    def _():
-        _unpack_planes(packed_ref[:], s_ref, k // WORD_BITS, variant)
-
-    seg = ni * tn // seg_pad
-    y = x_ref[:] * g_ref[seg, :][None, :]
-    s = s_ref[:]
-    if y.dtype == jnp.float32:
-        s = s.astype(jnp.float32)
-    z = jax.lax.dot_general(
-        y, s, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    if variant == "b01":
-        rs = jnp.sum(y.astype(jnp.float32), axis=1, keepdims=True)
-        z = rs - 2.0 * z
-    out_ref[:] = (z * h_ref[:]).astype(out_ref.dtype)
-
-
 def bitlinear_packed_fused(x, packed, g, h, *, n_true: int,
                            eps: float = LN_EPS,
                            interpret: Optional[bool] = None):
@@ -490,39 +467,18 @@ def bitlinear_packed_fused(x, packed, g, h, *, n_true: int,
         )(x2, g2, packed, h2)
         out = out[:m]
     else:
-        itemsize = x2.dtype.itemsize
-        tm = 256
-        while tm > 64 and (tm * k * itemsize * 2 + tn * k) > 12 * 1024 * 1024:
-            tm //= 2
-        m_pad = _round_up(m, tm)
-        if m_pad != m:
-            x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-        out_dtype = jnp.float32 if x2.dtype == jnp.float32 else x2.dtype
-        z = pl.pallas_call(
-            functools.partial(_matmul_fused_large_kernel, tn=tn, k=k,
-                              seg_pad=seg_pad, variant=variant),
-            grid=(n_cat // tn, m_pad // tm),
-            in_specs=[
-                pl.BlockSpec((tm, k), lambda ni, mi: (mi, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((ns, k), lambda ni, mi: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k // WORD_BITS, tn), lambda ni, mi: (0, ni),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tn), lambda ni, mi: (0, ni),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tm, tn), lambda ni, mi: (mi, ni),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((m_pad, n_cat), out_dtype),
-            scratch_shapes=[pltpu.VMEM((k, tn), jnp.int8)],
-            interpret=interpret,
-        )(x2, g2, packed, h2)
-        z = z[:m]
-        # LayerNorm per segment in the caller (XLA fuses)
+        # large-M: per-segment large-M kernels (column slices of the
+        # concatenated packed words ARE each projection's packed array).
+        # Unpack amortizes over m here, so the fused shared-unpack win is
+        # gone anyway and ns separate dispatches cost nothing — while a
+        # single fused large-M kernel would need a dynamic g-row index
+        # Mosaic cannot prove aligned (bug found at m=512 batched prefill).
         outs = []
         for j in range(ns):
-            a = z[:, j * seg_pad:j * seg_pad + n_true].astype(jnp.float32)
+            packed_j = packed[:, j * seg_pad:j * seg_pad + n_true]
+            h_j = h[j * seg_pad:j * seg_pad + n_true]
+            z = _call_large_m(x2, packed_j, g[j], h_j, eps, interpret)
+            a = z.astype(jnp.float32)
             mean = jnp.mean(a, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(a - mean), axis=-1, keepdims=True)
             outs.append(((a - mean) * jax.lax.rsqrt(var + eps))

@@ -169,6 +169,76 @@ def prefill_row(params, cache: KVCache, ids, length, row, config, *,
     return logits, KVCache(k=new_k, v=new_v)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def prefill_rows(params, cache: KVCache, ids, lengths, rows,
+                 config: BitLlamaConfig, *, impl: str = "auto",
+                 compute_dtype=jnp.bfloat16):
+    """Prefill SEVERAL cache slots in one program (batched admission).
+
+    ``ids [R, S_pad]`` right-padded prompts, ``lengths [R]`` true lengths,
+    ``rows [R]`` slot indices.  Rows attend only within themselves (same
+    math as R separate :func:`prefill_row` calls) but share one dispatch
+    — admission of an R-request burst costs one program instead of R
+    sequential ones.  Flat layer loop with scalar-prefetch stacked
+    projections.  Returns (last_logits [R, V], new_cache).
+    """
+    r, s_pad = ids.shape
+    max_len = cache.max_len
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    x = params["embed_tokens"][ids].astype(compute_dtype)
+    cos, sin = rope_cos_sin(jnp.arange(s_pad)[None, :], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+    attn = (jnp.arange(s_pad)[None, :] < lengths[:, None])
+    mask = bitllama._causal_mask(s_pad, s_pad, 0) & \
+        attn[:, None, None, :]
+
+    layers = params["layers"]
+
+    def body(i, carry):
+        x, k_all, v_all = carry
+        residual = x
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
+        q = q.reshape(r, s_pad, nh, hd)
+        k = k.reshape(r, s_pad, nkv, hd)
+        v = v.reshape(r, s_pad, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        k_all = k_all.at[i, rows, :s_pad].set(k.astype(k_all.dtype))
+        v_all = v_all.at[i, rows, :s_pad].set(v.astype(v_all.dtype))
+        ctx = bitllama._attention(q, k, v, mask,
+                                  num_kv_groups=config.num_kv_groups)
+        attn_out = _project_flat(ctx.reshape(r, s_pad, nh * hd), layers,
+                                 "o_proj", i, impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, k_all, v_all)
+
+    x, new_k, new_v = jax.lax.fori_loop(
+        0, config.num_hidden_layers, body, (x, cache.k, cache.v))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0]
+    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "config", "impl", "compute_dtype", "sampling", "n_steps"))
 def ragged_decode_block(params, cache, next_token, row_pos, active, budget,
