@@ -216,10 +216,13 @@ class ContinuousBatchingEngine:
                     continue
                 ids = jnp.zeros(b, jnp.int32)
                 if self.paged:
-                    from onebit_tpu.engine.paged import paged_prefill_row
-                    table = jnp.zeros(self.max_pages_per_seq, jnp.int32)
-                    _donated(paged_prefill_row).lower(
-                        self.params, self.cache, ids, zid, table,
+                    from onebit_tpu.engine.paged import paged_prefill_rows
+                    _donated(paged_prefill_rows).lower(
+                        self.params, self.cache,
+                        jnp.zeros((self.max_batch, b), jnp.int32),
+                        jnp.zeros(self.max_batch, jnp.int32),
+                        jnp.zeros((self.max_batch, self.max_pages_per_seq),
+                                  jnp.int32),
                         **kw).compile()
                 else:
                     from onebit_tpu.model.ragged_decode import prefill_rows
@@ -360,10 +363,12 @@ class ContinuousBatchingEngine:
                         impl=self.impl, compute_dtype=self.compute_dtype,
                         donate=True)
                 else:
-                    logits, self.cache = _donated(paged_prefill_row)(
-                        self.params, self.cache, jnp.asarray(ids),
-                        jnp.int32(plen), jnp.asarray(table), self.config,
-                        impl=self.impl, compute_dtype=self.compute_dtype)
+                    # defer: same-bucket paged admissions run as ONE
+                    # batched prefill program below (registration happens
+                    # at the flush so a later same-round admission cannot
+                    # hit pages whose prefill is not yet dispatched)
+                    planned.append((slot, req, plen, bucket, table))
+                    continue
                 if self.prefix_cache:
                     self._register_prefix(req.prompt, table)
             elif self.prefill_chunk_size:
@@ -376,7 +381,7 @@ class ContinuousBatchingEngine:
             else:
                 # dense non-chunked: defer — same-bucket admissions run as
                 # ONE batched prefill program below
-                planned.append((slot, req, plen, bucket))
+                planned.append((slot, req, plen, bucket, None))
                 continue
             if self.draft_params is not None and self.prefill_chunk_size:
                 # the draft replays the prompt into ITS cache (logits
@@ -404,8 +409,9 @@ class ContinuousBatchingEngine:
                 self._emit(slot, int(tok))
 
     def _batched_prefill(self, planned, admitted) -> None:
-        """Run deferred dense admissions as ONE prefill program per prompt
-        bucket (model.ragged_decode.prefill_rows).
+        """Run deferred admissions as ONE prefill program per prompt
+        bucket (model.ragged_decode.prefill_rows, resp.
+        engine.paged.paged_prefill_rows).
 
         Rows are padded to ``max_batch`` by replicating entry 0 (duplicate
         scatters write identical values — idempotent), so each bucket has
@@ -414,32 +420,49 @@ class ContinuousBatchingEngine:
         count.  An R-request burst costs one dispatch instead of R."""
         if not planned:
             return
-        from onebit_tpu.model.ragged_decode import prefill_rows
+        kw = dict(config=self.config, impl=self.impl,
+                  compute_dtype=self.compute_dtype)
         by_bucket: Dict[int, list] = {}
         for item in planned:
             by_bucket.setdefault(item[3], []).append(item)
         for bucket, group in by_bucket.items():
             ids = np.zeros((self.max_batch, bucket), np.int32)
             lens = np.zeros(self.max_batch, np.int32)
-            rows = np.zeros(self.max_batch, np.int32)
-            for j, (slot, req, plen, _) in enumerate(group):
+            for j, (slot, req, plen, _, _t) in enumerate(group):
                 ids[j, :plen] = req.prompt
                 lens[j] = plen
-                rows[j] = slot
             for j in range(len(group), self.max_batch):
-                ids[j], lens[j], rows[j] = ids[0], lens[0], rows[0]
-            kw = dict(config=self.config, impl=self.impl,
-                      compute_dtype=self.compute_dtype)
-            logits, self.cache = _donated(prefill_rows)(
-                self.params, self.cache, jnp.asarray(ids),
-                jnp.asarray(lens), jnp.asarray(rows), **kw)
-            if self.draft_params is not None:
-                _, self.draft_cache = _donated(prefill_rows)(
-                    self.draft_params, self.draft_cache, jnp.asarray(ids),
-                    jnp.asarray(lens), jnp.asarray(rows),
-                    config=self.draft_config, impl=self.impl,
-                    compute_dtype=self.compute_dtype)
-            for j, (slot, req, plen, _) in enumerate(group):
+                ids[j], lens[j] = ids[0], lens[0]
+            if self.paged:
+                from onebit_tpu.engine.paged import paged_prefill_rows
+                tables = np.zeros((self.max_batch, self.max_pages_per_seq),
+                                  np.int32)
+                for j, (_s, _r, _p, _b, table) in enumerate(group):
+                    tables[j] = table
+                for j in range(len(group), self.max_batch):
+                    tables[j] = tables[0]
+                logits, self.cache = _donated(paged_prefill_rows)(
+                    self.params, self.cache, jnp.asarray(ids),
+                    jnp.asarray(lens), jnp.asarray(tables), **kw)
+            else:
+                from onebit_tpu.model.ragged_decode import prefill_rows
+                rows = np.zeros(self.max_batch, np.int32)
+                for j, (slot, _r, _p, _b, _t) in enumerate(group):
+                    rows[j] = slot
+                for j in range(len(group), self.max_batch):
+                    rows[j] = rows[0]
+                logits, self.cache = _donated(prefill_rows)(
+                    self.params, self.cache, jnp.asarray(ids),
+                    jnp.asarray(lens), jnp.asarray(rows), **kw)
+                if self.draft_params is not None:
+                    _, self.draft_cache = _donated(prefill_rows)(
+                        self.draft_params, self.draft_cache,
+                        jnp.asarray(ids), jnp.asarray(lens),
+                        jnp.asarray(rows), config=self.draft_config,
+                        impl=self.impl, compute_dtype=self.compute_dtype)
+            for j, (slot, req, plen, _b, table) in enumerate(group):
+                if self.paged and self.prefix_cache:
+                    self._register_prefix(req.prompt, table)
                 self.slots[slot] = req
                 self.row_pos[slot] = plen
                 admitted.append((slot, logits[j]))

@@ -426,6 +426,96 @@ def paged_prefill_row(params, cache: PagedKVCache, ids, length,
     return logits, new_cache
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def paged_prefill_rows(params, cache: PagedKVCache, ids, lengths,
+                       page_indices, config: BitLlamaConfig, *,
+                       impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Prefill SEVERAL sequences' pages in one program (batched paged
+    admission — the paged counterpart of ragged_decode.prefill_rows).
+
+    ``ids [R, S_pad]`` right-padded prompts, ``lengths [R]``,
+    ``page_indices [R, max_pages]``.  Rows attend only within themselves;
+    pad rows may replicate a real row (duplicate scatters write identical
+    values).  Returns (last_logits [R, V], new cache).
+    """
+    r, s_pad = ids.shape
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    ps = cache.page_size
+    positions = jnp.arange(s_pad)
+    pages = jnp.take_along_axis(
+        page_indices, jnp.broadcast_to(positions // ps, (r, s_pad)),
+        axis=1)                                             # [R, S]
+    slots = jnp.broadcast_to(positions % ps, (r, s_pad))    # [R, S]
+
+    attn = (positions[None, :] < lengths[:, None])
+    x = params["embed_tokens"][ids].astype(compute_dtype)
+    cos, sin = rope_cos_sin(positions[None, :], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings,
+                            seq_len=config.max_position_embeddings,
+                            dtype=compute_dtype)
+    mask = bitllama._causal_mask(s_pad, s_pad, 0) & attn[:, None, None, :]
+
+    quant = isinstance(cache, QuantPagedKVCache)
+    layers = params["layers"]
+
+    def body(i, carry):
+        x, leaves = carry
+        residual = x
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
+        q = q.reshape(r, s_pad, nh, hd)
+        k = k.reshape(r, s_pad, nkv, hd)
+        v = v.reshape(r, s_pad, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        if quant:
+            kq, ks, vq, vs = leaves
+            k_i8, k_sc = _quantize_kv_int8(k)
+            v_i8, v_sc = _quantize_kv_int8(v)
+            kq = kq.at[i, pages, :, slots].set(k_i8)
+            ks = ks.at[i, pages, :, slots].set(k_sc)
+            vq = vq.at[i, pages, :, slots].set(v_i8)
+            vs = vs.at[i, pages, :, slots].set(v_sc)
+            leaves = (kq, ks, vq, vs)
+        else:
+            kp, vp = leaves
+            kp = kp.at[i, pages, :, slots].set(k.astype(kp.dtype))
+            vp = vp.at[i, pages, :, slots].set(v.astype(vp.dtype))
+            leaves = (kp, vp)
+        ctx = bitllama._attention(q, k, v, mask,
+                                  num_kv_groups=config.num_kv_groups)
+        attn_out = _project_flat(ctx.reshape(r, s_pad, nh * hd), layers,
+                                 "o_proj", i, impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, leaves)
+
+    x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                      (x, tuple(cache)))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0]
+    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    new_cache = (QuantPagedKVCache(*new_leaves) if quant
+                 else PagedKVCache(*new_leaves))
+    return logits, new_cache
+
+
 @functools.partial(jax.jit, static_argnames=(
     "config", "impl", "compute_dtype", "sampling", "n_steps"))
 def paged_decode_block(params, cache, next_token, lengths, page_indices,

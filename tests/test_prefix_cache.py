@@ -18,7 +18,11 @@ def tiny():
 
 
 def _run(config, params, prompts, max_new=5, **kw):
-    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+    # max_batch=1: admissions are sequential, so later requests can hit
+    # pages the earlier ones registered (same-ROUND batched admissions
+    # deliberately do not share — registration happens at the batched
+    # prefill flush to keep page writes dispatched before any reader)
+    eng = ContinuousBatchingEngine(params, config, max_batch=1, max_len=64,
                                    compute_dtype=jnp.float32, paged=True,
                                    page_size=4, **kw)
     uids = [eng.add_request(p, max_new_tokens=max_new) for p in prompts]
