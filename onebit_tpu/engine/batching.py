@@ -111,10 +111,8 @@ class ContinuousBatchingEngine:
             if paged:
                 raise ValueError("speculative decoding requires the dense "
                                  "cache (paged draft cache not implemented)")
-            if not self.sampling.greedy:
-                raise ValueError("speculative decoding is greedy-only "
-                                 "(rejection-sampling variant not "
-                                 "implemented)")
+            # non-greedy sampling routes through the rejection-sampling
+            # round (spec_decode_round_sampled) — distribution-exact
             if self.block_steps > 1:
                 raise ValueError("block_steps and speculative decoding are "
                                  "mutually exclusive (a spec round already "
@@ -246,15 +244,29 @@ class ContinuousBatchingEngine:
         pos = jnp.zeros(self.max_batch, jnp.int32)
         act = jnp.ones(self.max_batch, bool)
         if self.draft_params is not None:
-            from onebit_tpu.engine.speculative import spec_decode_round
-            _donated(spec_decode_round,
-                     ("t_config", "d_config", "n_draft", "impl",
-                      "compute_dtype"),
-                     names=("t_cache", "d_cache")).lower(
-                self.params, self.draft_params, self.cache,
-                self.draft_cache, tok1, pos, act, pos, self.config,
-                self.draft_config, n_draft=self.n_draft, impl=self.impl,
-                compute_dtype=self.compute_dtype).compile()
+            if self.sampling.greedy:
+                from onebit_tpu.engine.speculative import spec_decode_round
+                _donated(spec_decode_round,
+                         ("t_config", "d_config", "n_draft", "impl",
+                          "compute_dtype"),
+                         names=("t_cache", "d_cache")).lower(
+                    self.params, self.draft_params, self.cache,
+                    self.draft_cache, tok1, pos, act, pos, self.config,
+                    self.draft_config, n_draft=self.n_draft,
+                    impl=self.impl,
+                    compute_dtype=self.compute_dtype).compile()
+            else:
+                from onebit_tpu.engine.speculative import (
+                    spec_decode_round_sampled)
+                _donated(spec_decode_round_sampled,
+                         ("t_config", "d_config", "n_draft", "sampling",
+                          "impl", "compute_dtype"),
+                         names=("t_cache", "d_cache")).lower(
+                    self.params, self.draft_params, self.cache,
+                    self.draft_cache, tok1, pos, act, pos, self.key,
+                    self.config, self.draft_config, n_draft=self.n_draft,
+                    sampling=self.sampling, impl=self.impl,
+                    compute_dtype=self.compute_dtype).compile()
         elif self.block_steps > 1:
             blk = dict(kw, sampling=self.sampling, n_steps=self.block_steps)
             if self.paged:
@@ -574,23 +586,41 @@ class ContinuousBatchingEngine:
         n_draft+1 tokens per row from one draft scan + one target verify
         program.  EOS and per-row budgets are enforced on device; emitted
         counts are ragged per row.  Greedy output is token-identical to
-        the plain decode path."""
-        from onebit_tpu.engine.speculative import spec_decode_round
-
+        the plain decode path; non-greedy sampling uses the
+        rejection-sampling round (marginal distribution exactly the
+        target's warped sampling distribution)."""
         budget = np.asarray(
             [r.max_new_tokens - len(r.generated) if r is not None else 0
              for r in self.slots], np.int32)
-        emitted, n_emit, _, new_pos, self.cache, self.draft_cache = \
-            _donated(spec_decode_round,
-                     ("t_config", "d_config", "n_draft", "impl",
-                      "compute_dtype"),
-                     names=("t_cache", "d_cache"))(
-                self.params, self.draft_params, self.cache,
-                self.draft_cache, jnp.asarray(self.next_token),
-                jnp.asarray(self.row_pos), jnp.asarray(active),
-                jnp.asarray(budget), self.config, self.draft_config,
-                n_draft=self.n_draft, impl=self.impl,
-                compute_dtype=self.compute_dtype)
+        if self.sampling.greedy:
+            from onebit_tpu.engine.speculative import spec_decode_round
+            emitted, n_emit, _, new_pos, self.cache, self.draft_cache = \
+                _donated(spec_decode_round,
+                         ("t_config", "d_config", "n_draft", "impl",
+                          "compute_dtype"),
+                         names=("t_cache", "d_cache"))(
+                    self.params, self.draft_params, self.cache,
+                    self.draft_cache, jnp.asarray(self.next_token),
+                    jnp.asarray(self.row_pos), jnp.asarray(active),
+                    jnp.asarray(budget), self.config, self.draft_config,
+                    n_draft=self.n_draft, impl=self.impl,
+                    compute_dtype=self.compute_dtype)
+        else:
+            from onebit_tpu.engine.speculative import (
+                spec_decode_round_sampled)
+            (emitted, n_emit, _, new_pos, self.cache, self.draft_cache,
+             self.key) = \
+                _donated(spec_decode_round_sampled,
+                         ("t_config", "d_config", "n_draft", "sampling",
+                          "impl", "compute_dtype"),
+                         names=("t_cache", "d_cache"))(
+                    self.params, self.draft_params, self.cache,
+                    self.draft_cache, jnp.asarray(self.next_token),
+                    jnp.asarray(self.row_pos), jnp.asarray(active),
+                    jnp.asarray(budget), self.key, self.config,
+                    self.draft_config, n_draft=self.n_draft,
+                    sampling=self.sampling, impl=self.impl,
+                    compute_dtype=self.compute_dtype)
         emitted = np.asarray(emitted)
         n_emit = np.asarray(n_emit)
         self.row_pos = np.asarray(new_pos).copy()

@@ -24,10 +24,11 @@ class SamplingConfig:
     greedy: bool = False
 
 
-def sample_token(logits, key, cfg: SamplingConfig):
-    """logits [B, V] → token ids [B] (int32)."""
-    if cfg.greedy or cfg.temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def warp_logits(logits, cfg: SamplingConfig):
+    """Apply temperature / top-k / top-p warping → logits of the
+    distribution actually sampled from ([..., V], excluded tokens -inf).
+    The speculative rejection sampler needs this distribution explicitly
+    (engine/speculative.py), so it is factored out of sample_token."""
     logits = logits.astype(jnp.float32) / jnp.maximum(cfg.temperature, 1e-6)
 
     if cfg.top_k and cfg.top_k > 0:
@@ -43,5 +44,12 @@ def sample_token(logits, key, cfg: SamplingConfig):
         kth_idx = jnp.sum(keep_sorted, axis=-1, keepdims=True) - 1
         threshold = jnp.take_along_axis(sorted_logits, kth_idx, axis=-1)
         logits = jnp.where(logits < threshold, -jnp.inf, logits)
+    return logits
 
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+def sample_token(logits, key, cfg: SamplingConfig):
+    """logits [B, V] → token ids [B] (int32)."""
+    if cfg.greedy or cfg.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, warp_logits(logits, cfg),
+                                  axis=-1).astype(jnp.int32)

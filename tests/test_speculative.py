@@ -129,10 +129,12 @@ def test_spec_config_validation(tiny):
     with pytest.raises(ValueError, match="dense cache"):
         ContinuousBatchingEngine(params, config, draft_params=params,
                                  draft_config=config, paged=True)
-    with pytest.raises(ValueError, match="greedy"):
-        ContinuousBatchingEngine(
-            params, config, draft_params=params, draft_config=config,
-            sampling=SamplingConfig(greedy=False, temperature=1.0))
+    # non-greedy + speculative is ALLOWED: routes through the
+    # rejection-sampling round (spec_decode_round_sampled)
+    eng = ContinuousBatchingEngine(
+        params, config, draft_params=params, draft_config=config,
+        sampling=SamplingConfig(greedy=False, temperature=1.0))
+    assert eng.draft_params is not None
     with pytest.raises(ValueError, match="block_steps"):
         ContinuousBatchingEngine(params, config, draft_params=params,
                                  draft_config=config, block_steps=4)
@@ -175,3 +177,98 @@ def test_verify_window_matches_stepwise(tiny):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(win_cache.k),
                                np.asarray(cache2.k), rtol=1e-5, atol=1e-5)
+
+
+def test_sampled_spec_accepts_all_when_draft_is_target(tiny):
+    """draft == target => p/q = 1 => every proposal accepted: each round
+    emits exactly n_draft+1 tokens (before EOS/budget clamps)."""
+    from onebit_tpu.engine.sampler import SamplingConfig
+    from onebit_tpu.engine.speculative import spec_decode_round_sampled
+
+    config, params = tiny
+    b, n = 3, 4
+    cache_t = init_kv_cache(config, b, 64, dtype=jnp.float32)
+    cache_d = init_kv_cache(config, b, 64, dtype=jnp.float32)
+    tok = jnp.asarray([5, 9, 11], jnp.int32)
+    pos = jnp.asarray([2, 1, 3], jnp.int32)
+    active = jnp.ones(b, bool)
+    budget = jnp.full((b,), 100, jnp.int32)
+    sampling = SamplingConfig(temperature=0.9, top_k=0, top_p=1.0)
+    emitted, n_emit, new_next, new_pos, _, _, _ = spec_decode_round_sampled(
+        params, params, cache_t, cache_d, tok, pos, active, budget,
+        jax.random.PRNGKey(0), config, config, n_draft=n,
+        sampling=sampling, compute_dtype=jnp.float32)
+    n_emit = np.asarray(n_emit)
+    emitted = np.asarray(emitted)
+    eos = config.eos_token_id
+    for r in range(b):
+        # full acceptance unless an accepted token IS eos (clamped)
+        if eos not in emitted[r, :n_emit[r]]:
+            assert n_emit[r] == n + 1, (r, n_emit[r], emitted[r])
+    assert (np.asarray(new_pos) == np.asarray(pos) + n_emit).all()
+
+
+def test_sampled_spec_marginal_distribution(tiny):
+    """The FIRST token a sampled spec round emits follows the target's
+    warped sampling distribution exactly (rejection-sampling guarantee),
+    even with an unrelated draft model.  Empirical TV-distance check."""
+    from onebit_tpu.engine.sampler import SamplingConfig, warp_logits
+    from onebit_tpu.engine.speculative import spec_decode_round_sampled
+    from onebit_tpu.model.ragged_decode import ragged_decode_step
+
+    config = BitLlamaConfig.named("tiny", vocab_size=64)
+    target = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    draft = init_params(config, jax.random.PRNGKey(7), mode="latent")
+
+    b = 64                       # rows share context -> 64 samples/round
+    cache_t = init_kv_cache(config, b, 16, dtype=jnp.float32)
+    cache_d = init_kv_cache(config, b, 16, dtype=jnp.float32)
+    tok = jnp.full((b,), 5, jnp.int32)
+    pos = jnp.zeros((b,), jnp.int32)
+    active = jnp.ones(b, bool)
+    budget = jnp.full((b,), 100, jnp.int32)
+    sampling = SamplingConfig(temperature=1.2, top_k=0, top_p=1.0)
+
+    # exact target distribution for the first emitted token
+    logits, _ = ragged_decode_step(target, cache_t, tok[:, None], pos,
+                                   active, config,
+                                   compute_dtype=jnp.float32)
+    p_exact = np.asarray(jax.nn.softmax(
+        warp_logits(logits[0, 0], sampling)))
+
+    counts = np.zeros(64)
+    rounds = 120                 # 7680 samples
+    for t in range(rounds):
+        emitted, n_emit, *_ = spec_decode_round_sampled(
+            target, draft, cache_t, cache_d, tok, pos, active, budget,
+            jax.random.PRNGKey(1000 + t), config, config, n_draft=3,
+            sampling=sampling, compute_dtype=jnp.float32)
+        first = np.asarray(emitted)[:, 0]
+        assert (np.asarray(n_emit) >= 1).all()
+        np.add.at(counts, first, 1)
+    freq = counts / counts.sum()
+    tv = 0.5 * np.abs(freq - p_exact).sum()
+    # TV noise floor for 7680 samples over 64 tokens is ~0.04
+    assert tv < 0.08, f"TV distance {tv:.3f} (expected < 0.08)"
+
+
+def test_sampled_spec_engine_end_to_end(tiny):
+    """Non-greedy speculative engine completes requests with the right
+    lengths (distribution exactness is covered above)."""
+    config, params = tiny
+    draft = init_params(config, jax.random.PRNGKey(3), mode="latent")
+    eng = ContinuousBatchingEngine(
+        params, config, max_batch=2, max_len=64,
+        compute_dtype=jnp.float32, draft_params=draft, draft_config=config,
+        n_draft=3, sampling=SamplingConfig(greedy=False, temperature=0.8),
+        seed=11)
+    uids = [eng.add_request([5, 17, 42], max_new_tokens=7),
+            eng.add_request([9, 4], max_new_tokens=5)]
+    out = eng.run()
+    eos = config.eos_token_id
+    for uid, cap in zip(uids, (7, 5)):
+        toks = out[uid]
+        assert 0 < len(toks) <= cap
+        assert all(0 <= t < config.vocab_size for t in toks)
+        if len(toks) < cap:
+            assert toks[-1] == eos
