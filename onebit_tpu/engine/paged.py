@@ -234,18 +234,35 @@ def _paged_attend(q1, leaves, quant, use_kernel, lengths, page_indices,
     pick = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
                              axis=0, keepdims=False)
     if quant:
+        # attention DIRECTLY on the gathered int8 values with the absmax
+        # scales folded into scores/probs (bitllama._attention_quant) —
+        # a full f32 dequant would materialize ~4x the int8 bytes per
+        # layer per step
         kq, ks, vq, vs = leaves
-        kf = _dequantize_kv_int8(_gather_seq_kv(pick(kq), page_indices),
-                                 _gather_seq_kv(pick(ks), page_indices))
-        vf = _dequantize_kv_int8(_gather_seq_kv(pick(vq), page_indices),
-                                 _gather_seq_kv(pick(vs), page_indices))
-    else:
-        kf = _gather_seq_kv(pick(leaves[0]), page_indices)
-        vf = _gather_seq_kv(pick(leaves[1]), page_indices)
-        if kf.dtype == jnp.float8_e4m3fn:
-            kf = kf.astype(jnp.float32)
-            vf = vf.astype(jnp.float32)
+        t = page_indices.shape[1] * ps_of(kq)
+        k_q = _gather_seq_kv(pick(kq), page_indices)
+        k_s = _gather_seq_kv(pick(ks), page_indices)[..., 0] * \
+            (1.0 / _MAX_INT8)
+        v_q = _gather_seq_kv(pick(vq), page_indices)
+        v_s = _gather_seq_kv(pick(vs), page_indices)[..., 0] * \
+            (1.0 / _MAX_INT8)
+        mask = (jnp.arange(t)[None, :] <
+                lengths[:, None])[:, None, None, :]          # [B,1,1,T]
+        nh = q1.shape[1]
+        return bitllama._attention_quant(
+            q1[:, None].astype(compute_dtype), k_q, k_s, v_q, v_s, mask,
+            num_kv_groups=nh // k_q.shape[2])[:, 0]
+    kf = _gather_seq_kv(pick(leaves[0]), page_indices)
+    vf = _gather_seq_kv(pick(leaves[1]), page_indices)
+    if kf.dtype == jnp.float8_e4m3fn:
+        kf = kf.astype(jnp.float32)
+        vf = vf.astype(jnp.float32)
     return _jnp_paged_attention(q1, kf, vf, lengths)
+
+
+def ps_of(pool) -> int:
+    """page_size from a pool leaf [L, P, nkv, ps, *]."""
+    return pool.shape[3]
 
 
 @functools.partial(jax.jit,

@@ -102,7 +102,8 @@ def main():
         ps = 16
         mpp = -(-max_len // ps)
         P = batch * mpp + 1
-        cache = init_paged_kv_cache(config, P, ps)
+        quant = os.environ.get("ONEBIT_PROBE_QUANT", "0") == "1"
+        cache = init_paged_kv_cache(config, P, ps, quantized=quant)
         tables = (jnp.arange(batch * mpp, dtype=jnp.int32)
                   .reshape(batch, mpp) + 1)
 
