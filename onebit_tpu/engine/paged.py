@@ -174,19 +174,23 @@ def _gather_seq_kv(pages_l, page_indices):
 def _jnp_paged_attention(q, k, v, lengths):
     """Reference paged attention on gathered K/V.
 
-    q [B, nh, hd]; k/v [B, T, nkv, hd] f32; lengths [B] → [B, nh, hd].
+    q [B, nh, hd]; k/v [B, T, nkv, hd]; lengths [B] → [B, nh, hd].
+    Operands keep their (bf16) dtype with fp32 MXU accumulation — an
+    explicit f32 cast would materialize 2x the gathered bytes.
     """
     b, nh, hd = q.shape
     nkv = k.shape[2]
     t = k.shape[1]
     groups = nh // nkv
     qg = q.reshape(b, nkv, groups, hd)
-    scores = jnp.einsum("bngh,btnh->bngt", qg.astype(jnp.float32),
-                        k.astype(jnp.float32)) / (hd ** 0.5)
+    scores = jnp.einsum("bngh,btnh->bngt", qg, k.astype(q.dtype),
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
     mask = jnp.arange(t)[None, :] < lengths[:, None]
     scores = jnp.where(mask[:, None, None, :], scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bngt,btnh->bngh", probs, v.astype(jnp.float32))
+    ctx = jnp.einsum("bngt,btnh->bngh", probs.astype(q.dtype),
+                     v.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
     return ctx.reshape(b, nh, hd).astype(q.dtype)
 
 
