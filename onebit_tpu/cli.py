@@ -289,6 +289,8 @@ def cmd_serve(args):
     sampling = SamplingConfig(greedy=args.greedy,
                               temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
+    if not args.paged and (args.kv_quant or args.prefix_cache):
+        raise SystemExit("--kv-quant and --prefix-cache require --paged")
     params = loaded["params"]
     if args.fuse_decode:
         from onebit_tpu.model.bitllama import fuse_for_decode

@@ -213,22 +213,34 @@ class ContinuousBatchingEngine:
                 if b > self.max_len:
                     continue
                 ids = jnp.zeros(b, jnp.int32)
-                if self.paged:
-                    from onebit_tpu.engine.paged import paged_prefill_rows
-                    _donated(paged_prefill_rows).lower(
-                        self.params, self.cache,
-                        jnp.zeros((self.max_batch, b), jnp.int32),
-                        jnp.zeros(self.max_batch, jnp.int32),
-                        jnp.zeros((self.max_batch, self.max_pages_per_seq),
-                                  jnp.int32),
-                        **kw).compile()
-                else:
-                    from onebit_tpu.model.ragged_decode import prefill_rows
-                    zr = jnp.zeros(self.max_batch, jnp.int32)
-                    _donated(prefill_rows).lower(
-                        self.params, self.cache,
-                        jnp.zeros((self.max_batch, b), jnp.int32), zr, zr,
-                        **kw).compile()
+                # the two common row counts: 1 (steady-state trickle) and
+                # max_batch (cold burst); intermediate power-of-two sizes
+                # compile on first use (persistent compile cache)
+                for r in sorted({1, self.max_batch}):
+                    if self.paged:
+                        from onebit_tpu.engine.paged import (
+                            paged_prefill_rows)
+                        _donated(paged_prefill_rows).lower(
+                            self.params, self.cache,
+                            jnp.zeros((r, b), jnp.int32),
+                            jnp.zeros(r, jnp.int32),
+                            jnp.zeros((r, self.max_pages_per_seq),
+                                      jnp.int32),
+                            **kw).compile()
+                    else:
+                        from onebit_tpu.model.ragged_decode import (
+                            prefill_rows)
+                        zr = jnp.zeros(r, jnp.int32)
+                        _donated(prefill_rows).lower(
+                            self.params, self.cache,
+                            jnp.zeros((r, b), jnp.int32), zr, zr,
+                            **kw).compile()
+                        if self.draft_params is not None:
+                            _donated(prefill_rows).lower(
+                                self.draft_params, self.draft_cache,
+                                jnp.zeros((r, b), jnp.int32), zr, zr,
+                                config=self.draft_config, impl=self.impl,
+                                compute_dtype=self.compute_dtype).compile()
             if self.paged and self.prefix_cache:
                 # prefix hits prefill the suffix via 64-token chunk
                 # appends even without prefill_chunk_size — compile that
@@ -309,6 +321,7 @@ class ContinuousBatchingEngine:
     def _admit(self) -> None:
         admitted = []   # (slot, last-prompt logits) — sampled in batch
         planned = []    # dense non-chunked admissions, prefilled batched
+        round_keys = set()   # first-page digests of DEFERRED admissions
         for slot in range(self.max_batch):
             if self.slots[slot] is not None or not self.waiting:
                 continue
@@ -325,6 +338,14 @@ class ContinuousBatchingEngine:
                 hit_pages = self._prefix_lookup(req.prompt) \
                     if self.prefix_cache else []
                 hits = len(hit_pages)
+                if self.prefix_cache and plen > self.page_size and \
+                        self._page_keys(req.prompt, 1)[0] in round_keys:
+                    # an identical-prefix request is already PLANNED this
+                    # round; its pages register at the batched flush, so
+                    # defer this one a round and share instead of
+                    # duplicating prefill + pages
+                    self.allocator.release(hit_pages)
+                    break
                 need = total_need - hits
                 if total_need > self.total_pages:
                     # can never be satisfied: fail this request, keep going
@@ -347,7 +368,6 @@ class ContinuousBatchingEngine:
             ids = np.zeros(bucket, np.int32)
             ids[:plen] = req.prompt
             if self.paged:
-                from onebit_tpu.engine.paged import paged_prefill_row
                 ps = self.page_size
                 table = np.zeros(self.max_pages_per_seq, np.int32)
                 table[:hits] = hit_pages           # already retained
@@ -378,7 +398,10 @@ class ContinuousBatchingEngine:
                     # defer: same-bucket paged admissions run as ONE
                     # batched prefill program below (registration happens
                     # at the flush so a later same-round admission cannot
-                    # hit pages whose prefill is not yet dispatched)
+                    # hit pages whose prefill is not yet dispatched;
+                    # identical-prefix duplicates defer a whole round)
+                    if self.prefix_cache and plen > self.page_size:
+                        round_keys.add(self._page_keys(req.prompt, 1)[0])
                     planned.append((slot, req, plen, bucket, table))
                     continue
                 if self.prefix_cache:
@@ -438,30 +461,38 @@ class ContinuousBatchingEngine:
         for item in planned:
             by_bucket.setdefault(item[3], []).append(item)
         for bucket, group in by_bucket.items():
-            ids = np.zeros((self.max_batch, bucket), np.int32)
-            lens = np.zeros(self.max_batch, np.int32)
+            # pad the ROW count to the next power of two, not to
+            # max_batch: these shapes can land in the large-M kernel
+            # where compute scales with rows, so a single steady-state
+            # admission must not pay a max_batch-row program
+            r_pad = 1
+            while r_pad < len(group):
+                r_pad *= 2
+            r_pad = min(r_pad, self.max_batch)
+            ids = np.zeros((r_pad, bucket), np.int32)
+            lens = np.zeros(r_pad, np.int32)
             for j, (slot, req, plen, _, _t) in enumerate(group):
                 ids[j, :plen] = req.prompt
                 lens[j] = plen
-            for j in range(len(group), self.max_batch):
+            for j in range(len(group), r_pad):
                 ids[j], lens[j] = ids[0], lens[0]
             if self.paged:
                 from onebit_tpu.engine.paged import paged_prefill_rows
-                tables = np.zeros((self.max_batch, self.max_pages_per_seq),
+                tables = np.zeros((r_pad, self.max_pages_per_seq),
                                   np.int32)
                 for j, (_s, _r, _p, _b, table) in enumerate(group):
                     tables[j] = table
-                for j in range(len(group), self.max_batch):
+                for j in range(len(group), r_pad):
                     tables[j] = tables[0]
                 logits, self.cache = _donated(paged_prefill_rows)(
                     self.params, self.cache, jnp.asarray(ids),
                     jnp.asarray(lens), jnp.asarray(tables), **kw)
             else:
                 from onebit_tpu.model.ragged_decode import prefill_rows
-                rows = np.zeros(self.max_batch, np.int32)
+                rows = np.zeros(r_pad, np.int32)
                 for j, (slot, _r, _p, _b, _t) in enumerate(group):
                     rows[j] = slot
-                for j in range(len(group), self.max_batch):
+                for j in range(len(group), r_pad):
                     rows[j] = rows[0]
                 logits, self.cache = _donated(prefill_rows)(
                     self.params, self.cache, jnp.asarray(ids),

@@ -1,24 +1,22 @@
 """Paged KV cache + paged decode step (BASELINE north star: paged KV).
 
 vLLM-style block tables on TPU: K/V live in fixed-size pages
-``[n_kv, L, num_pages, page_size, head_dim]``; each sequence owns a list
+``[L, num_pages, n_kv, page_size, head_dim]``; each sequence owns a list
 of LOGICAL pages (``page_indices [B, pages_per_seq]``, shared by all
-layers) plus its ``length``.  Decode attention runs through the Pallas
-``paged_attention`` kernel on TPU (one q-token per sequence, pages
-gathered on the fly) with a jnp gather reference for CPU tests.  Pages
-are allocated/freed by a host-side free-list — sequences of different
-lengths share the pool, eliminating the per-slot max_len reservation of
-the dense cache.
+layers) plus its ``length``.  Decode attention gathers the sequences'
+pages from the layer slice and runs XLA fused attention with int8
+scales folded in (_paged_attend; a native Pallas kernel exists in
+kernels/paged_attention.py, opt-in — see _use_kernel for the measured
+rationale).  Pages are allocated/freed by a host-side refcounting
+free-list — sequences of different lengths share the pool, and prefix
+caching shares read-only full prompt pages across sequences.
 
 Flat-loop design (same rationale as ``bitllama.decode_step_flat``): every
 program here iterates layers with ``fori_loop`` carrying the FULL page
 pool, updated in place with scatters — never ``lax.scan`` with the pool
 as xs/ys, which would materialize per-layer slices (an extra read) and
-restack the outputs (an extra full-pool write) each step.  The layer
-axis sits NEXT to the page axis so ``[n_kv, L, P, ps, hd]`` reshapes
-for free to ``[n_kv, L*P, ps, hd]``: layer ``i`` of logical page ``p``
-is physical page ``i*P + p``, and the Pallas kernel reads the whole
-pool through layer-offset page tables — no per-layer slice operand.
+restack the outputs (an extra full-pool write) each step.  A (layer,
+page) block is one contiguous ``[n_kv, ps, hd]`` slab.
 
 The reference has nothing comparable (its cache is per-step torch.cat,
 modeling_bitllama.py:379-384).
@@ -259,8 +257,10 @@ def _paged_attend(q1, leaves, quant, use_kernel, lengths, page_indices,
     kf = _gather_seq_kv(pick(leaves[0]), page_indices)
     vf = _gather_seq_kv(pick(leaves[1]), page_indices)
     if kf.dtype == jnp.float8_e4m3fn:
-        kf = kf.astype(jnp.float32)
-        vf = vf.astype(jnp.float32)
+        # cast straight to the attention operand dtype — a widened (f32)
+        # intermediate would materialize 4x the gathered bytes
+        kf = kf.astype(q1.dtype)
+        vf = vf.astype(q1.dtype)
     return _jnp_paged_attention(q1, kf, vf, lengths)
 
 
@@ -348,99 +348,6 @@ def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
                                       (x, tuple(cache)))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
-                        preferred_element_type=jnp.float32)
-    new_cache = (QuantPagedKVCache(*new_leaves) if quant
-                 else PagedKVCache(*new_leaves))
-    return logits, new_cache
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("config", "impl", "compute_dtype"))
-def paged_prefill_row(params, cache: PagedKVCache, ids, length,
-                      page_indices_row, config: BitLlamaConfig, *,
-                      impl: str = "auto", compute_dtype=jnp.bfloat16):
-    """Prefill ONE sequence into its pages.
-
-    ids [S_pad] right-padded prompt; length scalar; page_indices_row
-    [max_pages] this sequence's pages.  Returns (last_logits [V], cache).
-
-    The caller must allocate pages covering the PADDED bucket length
-    (``ceil(S_pad / page_size)``): pad positions scatter into later
-    (page, slot) pairs which decode overwrites before attending, but an
-    under-allocated table would clamp pad writes onto real slots.
-    """
-    s_pad = ids.shape[0]
-    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
-                   config.head_dim)
-    ps = cache.page_size
-    positions = jnp.arange(s_pad)
-    pages = jnp.take(page_indices_row, positions // ps)
-    slots = positions % ps
-
-    attn = (positions < length)[None, :].astype(jnp.int32)
-    x = params["embed_tokens"][ids[None, :]].astype(compute_dtype)
-    cos, sin = rope_cos_sin(positions[None, :], config.head_dim,
-                            config.rope_theta, config.rope_scaling,
-                            config.max_position_embeddings,
-                            seq_len=config.max_position_embeddings,
-                            dtype=compute_dtype)
-    mask = bitllama._causal_mask(s_pad, s_pad, 0) & (attn[:, None, None, :] > 0)
-
-    quant = isinstance(cache, QuantPagedKVCache)
-    layers = params["layers"]
-
-    def body(i, carry):
-        x, leaves = carry
-        residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
-                                            keepdims=False),
-            config.rms_norm_eps)
-        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
-        q = q.reshape(1, s_pad, nh, hd)
-        k = k.reshape(1, s_pad, nkv, hd)
-        v = v.reshape(1, s_pad, nkv, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        # scatter all positions into (page, slot); padded positions land in
-        # slots beyond `length` of the last page and are never attended
-        if quant:
-            kq, ks, vq, vs = leaves
-            k_i8, k_sc = _quantize_kv_int8(k[0])
-            v_i8, v_sc = _quantize_kv_int8(v[0])
-            kq = kq.at[i, pages, :, slots].set(k_i8)
-            ks = ks.at[i, pages, :, slots].set(k_sc)
-            vq = vq.at[i, pages, :, slots].set(v_i8)
-            vs = vs.at[i, pages, :, slots].set(v_sc)
-            leaves = (kq, ks, vq, vs)
-        else:
-            kp, vp = leaves
-            kp = kp.at[i, pages, :, slots].set(k[0].astype(kp.dtype))
-            vp = vp.at[i, pages, :, slots].set(v[0].astype(vp.dtype))
-            leaves = (kp, vp)
-        # prefill attention reads the chunk's own fresh k/v (float), not
-        # the pool — identical math to the dense prefill
-        ctx = bitllama._attention(q, k, v, mask,
-                                  num_kv_groups=config.num_kv_groups)
-        attn_out = _project_flat(ctx.reshape(1, s_pad, nh * hd), layers,
-                                 "o_proj", i, impl)
-        x = residual + attn_out
-        residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(
-                layers["post_attention_layernorm"], i, 0, keepdims=False),
-            config.rms_norm_eps)
-        gate, up = _project_gateup_flat(hx, layers, i, impl,
-                                        config.intermediate_size)
-        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
-                            impl)
-        return (residual + mlp, leaves)
-
-    x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
-                                      (x, tuple(cache)))
-    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
-    last = jnp.take_along_axis(
-        x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
-    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
     new_cache = (QuantPagedKVCache(*new_leaves) if quant
                  else PagedKVCache(*new_leaves))

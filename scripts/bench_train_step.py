@@ -41,13 +41,11 @@ def main():
         num_attention_heads=hidden // 128, num_key_value_heads=hidden // 128,
         intermediate_size=int(hidden * 2.6875) // 256 * 256,
         vocab_size=32000, max_position_embeddings=max(seq, 2048))
-    n_params = sum(x.size for x in jax.tree.leaves(
-        init_params(config, jax.random.PRNGKey(0), mode="latent"))) / 1e9
-    print(f"# student ~{n_params:.2f}B params, batch {batch} x seq {seq}",
-          file=sys.stderr, flush=True)
-
     student = init_params(config, jax.random.PRNGKey(0), mode="latent",
                           dtype=jnp.float32)
+    n_params = sum(x.size for x in jax.tree.leaves(student)) / 1e9
+    print(f"# student ~{n_params:.2f}B params, batch {batch} x seq {seq}",
+          file=sys.stderr, flush=True)
     teacher = init_params(config, jax.random.PRNGKey(1), mode="linear",
                           dtype=jnp.bfloat16)
     state = init_train_state(student, TrainConfig(remat=True))

@@ -121,3 +121,25 @@ def test_hit_pages_survive_eviction_pressure(tiny):
     u3 = eng.add_request(prompt_a, max_new_tokens=3)
     out3 = eng.run()[u3]
     assert out3 == out1
+
+
+def test_same_round_duplicates_share_via_round_deferral(tiny):
+    """Identical prompts submitted together (max_batch >= 2): the second
+    defers one scheduler round, then HITS the first one's registered
+    pages instead of duplicating prefill + pool space."""
+    config, params = tiny
+    prompt = [5, 17, 42, 9, 3, 2, 7, 11, 13, 19]
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32, paged=True,
+                                   page_size=4, prefix_cache=True)
+    uids = [eng.add_request(prompt, max_new_tokens=5) for _ in range(2)]
+    out = eng.run()
+    assert out[uids[0]] == out[uids[1]]
+    assert eng.prefix_hits == 2      # (plen-1)//ps pages reused
+
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=64,
+                                   compute_dtype=jnp.float32, paged=True,
+                                   page_size=4)
+    ruids = [ref.add_request(prompt, max_new_tokens=5) for _ in range(2)]
+    rout = ref.run()
+    assert out[uids[0]] == rout[ruids[0]]
