@@ -111,7 +111,11 @@ def main():
               flush=True)
         base = _bench_decode(config, params, "xla", batch, max_len,
                              scan_iters=max(scan_iters // 4, 4))
-        vs_baseline = value / base
+        import math
+        # guard degenerate marginal timings (tiny configs can measure a
+        # near-zero baseline step after fetch-floor subtraction)
+        vs_baseline = value / base if math.isfinite(base) and base > 0 \
+            else 1.0
     else:
         vs_baseline = 1.0
 

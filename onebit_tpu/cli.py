@@ -56,6 +56,21 @@ def cmd_convert(args):
     print(f"packed inference checkpoint ({args.format}) → {args.out}")
 
 
+def cmd_build_draft(args):
+    """Slice a shallow speculative-decoding draft from a student ckpt
+    (train/draft.py recipe).  The output is a start point: distill it with
+    ``train --student <out> --teacher <student>`` before serving."""
+    from onebit_tpu.ckpt.writer import save_native
+    from onebit_tpu.train.draft import build_draft
+
+    loaded = _load_any_ckpt(args.student)
+    d_config, d_params = build_draft(
+        loaded["params"], loaded["config"], args.num_layers,
+        strategy=args.strategy, for_training=args.for_training)
+    save_native(args.out, d_config, d_params)
+    print(f"{args.num_layers}-layer draft ({args.strategy}) → {args.out}")
+
+
 def _apply_config_file(args, parser):
     """--config FILE (yaml/json): file values become argument defaults
     (reference core.py:50-77 accepts CLI, .yaml or .json)."""
@@ -295,13 +310,19 @@ def cmd_serve(args):
     if args.fuse_decode:
         from onebit_tpu.model.bitllama import fuse_for_decode
         params = fuse_for_decode(params, loaded["config"])
+    draft_params = draft_config = None
+    if args.draft:
+        d = _load_any_ckpt(args.draft)
+        draft_params, draft_config = d["params"], d["config"]
     eng = ContinuousBatchingEngine(
         params, loaded["config"], max_batch=args.max_batch,
         max_len=args.max_len, sampling=sampling,
         block_steps=args.block_steps, paged=args.paged,
         quantized_kv=args.kv_quant if args.paged else False,
         page_size=args.page_size, prefix_cache=args.prefix_cache,
-        prefill_chunk_size=args.prefill_chunk)
+        prefill_chunk_size=args.prefill_chunk,
+        draft_params=draft_params, draft_config=draft_config,
+        n_draft=args.n_draft)
 
     if args.http is not None:
         import time
@@ -355,6 +376,18 @@ def build_parser():
     c.add_argument("--format", default="native",
                    choices=["native", "reference"])
     c.set_defaults(fn=cmd_convert)
+
+    bd = sub.add_parser("build-draft", help="slice a shallow speculative-"
+                        "decoding draft from a student ckpt")
+    bd.add_argument("student")
+    bd.add_argument("out")
+    bd.add_argument("--num-layers", type=int, default=2)
+    bd.add_argument("--strategy", default="spread",
+                    choices=["first", "spread"])
+    bd.add_argument("--for-training", action="store_true",
+                    help="latentize packed slices into a trainable start "
+                    "point for `train --student <out> --teacher <student>`")
+    bd.set_defaults(fn=cmd_build_draft)
 
     t = sub.add_parser("train", help="KD training")
     t.add_argument("--config", help="yaml/json file of argument values")
@@ -442,6 +475,10 @@ def build_parser():
     sv.add_argument("--prefix-cache", action="store_true",
                     help="share full prompt pages across requests "
                          "(requires --paged)")
+    sv.add_argument("--draft", help="draft-model ckpt for speculative "
+                    "decoding (see build-draft); requires the dense cache")
+    sv.add_argument("--n-draft", type=int, default=4,
+                    help="proposals per speculative round")
     sv.add_argument("--prefill-chunk", type=int, default=None,
                     help="fixed-shape chunked prefill size")
     sv.set_defaults(fn=cmd_serve)

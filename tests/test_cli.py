@@ -154,3 +154,31 @@ def test_cli_eval_expect_pass_and_fail(tmp_path, capsys):
     with pytest.raises(SystemExit, match="expectation failures"):
         main(["eval", "--ckpt", ckpt, "--tokens", tokens_path,
               "--seqlen", "16", "--batch-size", "2", "--expect", str(bad)])
+
+
+def test_cli_build_draft_and_distill(tmp_path):
+    """build-draft slices a shallow draft; train distills it against the
+    1-bit student (the draft recipe, train/draft.py)."""
+    config = BitLlamaConfig.named("tiny", num_hidden_layers=4)
+    student_dir = str(tmp_path / "student")
+    draft_dir = str(tmp_path / "draft")
+    distill_out = str(tmp_path / "draft_kd")
+    tokens_path = str(tmp_path / "blocks.npy")
+
+    student = init_params(config, jax.random.PRNGKey(1), mode="latent")
+    save_native(student_dir, config, student)
+    np.save(tokens_path, np.random.default_rng(0).integers(
+        0, config.vocab_size, (6, 16)).astype(np.int32))
+
+    main(["build-draft", student_dir, draft_dir, "--num-layers", "2",
+          "--for-training"])
+    from onebit_tpu.ckpt.writer import load_native
+    d = load_native(draft_dir)
+    assert d["config"].num_hidden_layers == 2
+
+    # distill: draft student vs 1-bit teacher, logits-only KD
+    main(["train", "--student", draft_dir, "--teacher", student_dir,
+          "--tokens", tokens_path, "--output-dir", distill_out,
+          "--batch-size", "2", "--max-steps", "2", "--warmup-steps", "0",
+          "--save-steps", "2", "--kd-beta", "0", "--kd-gamma", "0"])
+    assert os.path.exists(os.path.join(distill_out, "trainer_log.jsonl"))
