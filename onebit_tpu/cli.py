@@ -145,7 +145,8 @@ def cmd_eval(args):
         tokens = np.load(args.tokens)
         results["ppl"] = perplexity(
             loaded["params"], loaded["config"], tokens, seqlen=args.seqlen,
-            batch_size=args.batch_size, limit=args.limit, progress=True)
+            batch_size=args.batch_size, limit=args.limit, progress=True,
+            vocab_chunk=args.vocab_chunk)
 
     if args.corpus:
         # one-command real-checkpoint parity path (SURVEY §7 phase-2 exit
@@ -168,7 +169,8 @@ def cmd_eval(args):
             results[f"ppl_{name}"] = perplexity(
                 loaded["params"], loaded["config"], stream,
                 seqlen=args.seqlen, batch_size=args.batch_size,
-                limit=args.limit, progress=True)
+                limit=args.limit, progress=True,
+                vocab_chunk=args.vocab_chunk)
 
     if args.wikitext:
         from transformers import AutoTokenizer
@@ -429,6 +431,9 @@ def build_parser():
     e.add_argument("--corpus-source", help="local corpus path (text/jsonl/"
                    "load_from_disk dir) for --corpus")
     e.add_argument("--num-fewshot", type=int, default=0)
+    e.add_argument("--vocab-chunk", type=int, default=None,
+                   help="stream the ppl lm_head/CE in vocab chunks of this "
+                   "size (online logsumexp; cuts peak memory V/chunk-fold)")
     e.add_argument("--decontaminate", help="training text file to 13-gram-"
                    "scan task docs against; adds <metric>_decontaminate "
                    "columns computed over clean docs only")

@@ -585,12 +585,15 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
     nw, n = packed.shape
     # tile choice: tn from the largest divisor (isolated sweeps favored
     # tn=128 but in-model eval throughput measured ~12% faster with the
-    # larger tiles); shrink under VMEM pressure for fp32/large-K
+    # larger tiles); shrink under VMEM pressure for fp32/large-K.
+    # ONEBIT_LARGEM_TM / ONEBIT_LARGEM_TN override for on-chip sweeps
+    # (scripts/probe_largem_sweep.py).
     itemsize = x2.dtype.itemsize
-    tn = _pick_tile(n)
+    tn_env = int(_os.environ.get("ONEBIT_LARGEM_TN", "0"))
+    tn = tn_env if tn_env and n % tn_env == 0 else _pick_tile(n)
     while tn * k * itemsize > 8 * 1024 * 1024 and tn > 128:
         tn //= 2
-    tm = 256
+    tm = int(_os.environ.get("ONEBIT_LARGEM_TM", "0")) or 256
     while tm > 64 and (tm * k * itemsize * 2 + tn * k * itemsize) > 12 * 1024 * 1024:
         tm //= 2
     m_pad = _round_up(m, tm)

@@ -406,13 +406,18 @@ def _causal_mask(s: int, t: int, offset) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=(
     "config", "impl", "output_hidden_states", "output_attentions",
-    "compute_dtype", "remat", "use_flash"))
+    "compute_dtype", "remat", "use_flash", "return_prelogits"))
 def forward(params, input_ids, config: BitLlamaConfig, *,
             attention_mask=None, impl: str = "auto",
             compute_dtype=jnp.bfloat16, output_hidden_states: bool = False,
             output_attentions: bool = False,
-            remat: bool = False, use_flash: str = "auto"):
+            remat: bool = False, use_flash: str = "auto",
+            return_prelogits: bool = False):
     """Full-sequence forward → logits [B,S,V] fp32.
+
+    ``return_prelogits``: return the final-norm hidden states [B,S,D]
+    instead of logits, skipping ``lm_head`` — for consumers that stream
+    the vocab projection themselves (eval/ppl.py chunked CE).
 
     ``attention_mask``: optional [B,S] 1/0 padding mask (reference semantics:
     padded keys masked out; queries still computed).
@@ -465,6 +470,8 @@ def forward(params, input_ids, config: BitLlamaConfig, *,
     x, (ys, attn_ys) = jax.lax.scan(body, x, params["layers"])
 
     h = rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    if return_prelogits:
+        return h
     logits = jnp.matmul(h, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
     extras = []

@@ -87,3 +87,16 @@ def test_loglikelihood_empty_context(tiny):
     config, params = tiny
     out = loglikelihood(params, config, [([], [5, 6])], batch_size=2)
     assert np.isfinite(out[0][0])
+
+
+def test_ppl_chunked_matches_direct(tiny):
+    """Streaming vocab-chunked CE (online logsumexp, no [B,S,V] logits)
+    equals the direct log_softmax path — including a chunk size that does
+    not divide the vocab (pad columns masked out of the lse)."""
+    config, params = tiny
+    tokens = np.random.default_rng(1).integers(0, config.vocab_size, 4 * 32)
+    want = perplexity(params, config, tokens, seqlen=32, batch_size=2)
+    for vc in (128, 200, config.vocab_size):
+        got = perplexity(params, config, tokens, seqlen=32, batch_size=2,
+                         vocab_chunk=vc)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
