@@ -23,8 +23,11 @@ import sys
 
 
 def _load_any_ckpt(path):
-    """Native dir (params.npz) or reference HF dir."""
+    """Sharded (orbax), native dir (params.npz), or reference HF dir."""
     import os
+    from onebit_tpu.ckpt.sharded import is_sharded_ckpt, load_sharded
+    if is_sharded_ckpt(path):
+        return load_sharded(path)
     if os.path.exists(os.path.join(path, "params.npz")):
         from onebit_tpu.ckpt.writer import load_native
         return load_native(path)
@@ -51,6 +54,9 @@ def cmd_convert(args):
     packed = pack_model_params(loaded["params"])
     if args.format == "native":
         save_native(args.out, loaded["config"], packed)
+    elif args.format == "sharded":
+        from onebit_tpu.ckpt.sharded import save_sharded
+        save_sharded(args.out, loaded["config"], packed)
     else:
         export_reference_int8(args.out, loaded["config"], packed)
     print(f"packed inference checkpoint ({args.format}) → {args.out}")
@@ -376,7 +382,7 @@ def build_parser():
     c.add_argument("ckpt")
     c.add_argument("out")
     c.add_argument("--format", default="native",
-                   choices=["native", "reference"])
+                   choices=["native", "reference", "sharded"])
     c.set_defaults(fn=cmd_convert)
 
     bd = sub.add_parser("build-draft", help="slice a shallow speculative-"

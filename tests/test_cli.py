@@ -182,3 +182,25 @@ def test_cli_build_draft_and_distill(tmp_path):
           "--batch-size", "2", "--max-steps", "2", "--warmup-steps", "0",
           "--save-steps", "2", "--kd-beta", "0", "--kd-gamma", "0"])
     assert os.path.exists(os.path.join(distill_out, "trainer_log.jsonl"))
+
+
+def test_cli_convert_sharded(tmp_path, capsys):
+    """convert --format sharded writes the orbax sharded format and eval
+    loads it through _load_any_ckpt."""
+    config = BitLlamaConfig.named("tiny")
+    latent_dir = str(tmp_path / "latent")
+    sharded_dir = str(tmp_path / "sharded")
+    tokens_path = str(tmp_path / "blocks.npy")
+    save_native(latent_dir, config,
+                init_params(config, jax.random.PRNGKey(0), mode="latent"))
+    np.save(tokens_path, np.random.default_rng(0).integers(
+        0, config.vocab_size, 4 * 16).astype(np.int32))
+
+    main(["convert", latent_dir, sharded_dir, "--format", "sharded"])
+    from onebit_tpu.ckpt.sharded import is_sharded_ckpt
+    assert is_sharded_ckpt(sharded_dir)
+
+    main(["eval", "--ckpt", sharded_dir, "--tokens", tokens_path,
+          "--seqlen", "16", "--batch-size", "2"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert np.isfinite(json.loads(out)["ppl"])
