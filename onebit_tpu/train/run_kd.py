@@ -33,19 +33,43 @@ logger = get_logger(__name__)
 
 # -- train-state persistence (resume contract, reference kd.py:221) ---------
 
-def save_train_state(path: str, state: TrainState) -> None:
+def save_train_state(path: str, state: TrainState,
+                     sharded: bool = False) -> None:
+    """``sharded=True`` writes via orbax: each process writes only its own
+    shards (no host gather) — required at 7B+ where fp32 latents + Adam
+    moments exceed host RAM (ckpt/sharded.py rationale).  The npz path is
+    the small-model/single-host default (kept: zero-dep, byte-stable)."""
     os.makedirs(path, exist_ok=True)
+    if sharded:
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(os.path.abspath(path), "train_state"),
+                       state, force=True)
+        return
     leaves = jax.tree.leaves(state)
     np.savez(os.path.join(path, "train_state.npz"),
              **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
 
 
 def load_train_state(path: str, template: TrainState) -> TrainState:
-    data = np.load(os.path.join(path, "train_state.npz"))
-    treedef = jax.tree.structure(template)
-    leaves = [jnp.asarray(data[f"leaf_{i}"])
-              for i in range(len(data.files))]
-    return jax.tree.unflatten(treedef, leaves)
+    """Auto-detects the npz vs sharded layout.  ``template`` supplies the
+    pytree structure — and, on the sharded path, the shardings: each array
+    is restored DIRECTLY to the template leaf's device placement."""
+    npz = os.path.join(path, "train_state.npz")
+    if os.path.exists(npz):
+        data = np.load(npz)
+        treedef = jax.tree.structure(template)
+        leaves = [jnp.asarray(data[f"leaf_{i}"])
+                  for i in range(len(data.files))]
+        return jax.tree.unflatten(treedef, leaves)
+    import orbax.checkpoint as ocp
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                       sharding=getattr(x, "sharding", None)),
+        template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(
+            os.path.join(os.path.abspath(path), "train_state"), abstract)
 
 
 @dataclasses.dataclass
@@ -67,6 +91,8 @@ class KDRunConfig:
     val_split: float = 0.0
     eval_steps: Optional[int] = None   # default: evaluate at save points
     eval_batches: int = 16             # eval subset size cap (batches)
+    # orbax sharded train-state checkpoints (no host gather; 7B+ scale)
+    sharded_ckpt: bool = False
 
 
 def run_kd(config: BitLlamaConfig, student_params, teacher_params,
@@ -180,7 +206,7 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
         if (step_idx + 1) % run_cfg.save_steps == 0 or step_idx + 1 == total:
             ckpt_dir = os.path.join(run_cfg.output_dir,
                                     f"checkpoint-{step_idx + 1}")
-            save_train_state(ckpt_dir, state)
+            save_train_state(ckpt_dir, state, sharded=run_cfg.sharded_ckpt)
             logger.info(f"saved {ckpt_dir}")
 
     if run_cfg.plot:

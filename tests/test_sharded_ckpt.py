@@ -66,3 +66,27 @@ def test_dtype_override(tree, tmp_path):
     if q.packed is not None:
         assert q.packed.dtype == jnp.int32          # ints untouched
     assert q.weight_scale.dtype == jnp.bfloat16
+
+
+def test_sharded_train_state_roundtrip(tmp_path):
+    """Sharded (orbax) train-state save → template-guided restore with
+    device placements intact; resume-equivalence with the npz path."""
+    from onebit_tpu.train.run_kd import load_train_state, save_train_state
+    from onebit_tpu.train.trainer import TrainConfig, init_train_state
+    from onebit_tpu.parallel.sharding import shard_params
+
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(3), mode="latent")
+    mesh = create_mesh((2, 4))
+    state = init_train_state(shard_params(params, mesh), TrainConfig())
+
+    p1 = str(tmp_path / "sharded")
+    save_train_state(p1, state, sharded=True)
+    got = load_train_state(p1, state)
+    _assert_trees_equal(got, state)
+    assert got.params["lm_head"].sharding == state.params["lm_head"].sharding
+
+    p2 = str(tmp_path / "npz")
+    save_train_state(p2, state)             # default npz path still works
+    got2 = load_train_state(p2, state)
+    _assert_trees_equal(got2, state)
