@@ -131,6 +131,8 @@ def cmd_train(args):
                           num_epochs=args.num_epochs,
                           max_steps=args.max_steps,
                           save_steps=args.save_steps,
+                          save_total_limit=args.save_total_limit,
+                          sharded_ckpt=args.sharded_ckpt,
                           resume_from=args.resume_from)
     # student-vs-teacher cross-checks need both configs; run_kd re-validates
     # the rest (reference get_train_args, core.py:81-215)
@@ -411,6 +413,12 @@ def build_parser():
     t.add_argument("--num-epochs", type=int, default=50)
     t.add_argument("--max-steps", type=int)
     t.add_argument("--save-steps", type=int, default=5000)
+    t.add_argument("--save-total-limit", type=int, default=None,
+                   help="keep only the newest N checkpoints (HF Trainer "
+                   "save_total_limit)")
+    t.add_argument("--sharded-ckpt", action="store_true",
+                   help="orbax sharded train-state checkpoints (no host "
+                   "gather; required at 7B+ multi-host)")
     t.add_argument("--resume-from")
     t.add_argument("--learning-rate", type=float, default=4e-4)
     t.add_argument("--warmup-steps", type=int, default=500)

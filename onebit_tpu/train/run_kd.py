@@ -72,6 +72,21 @@ def load_train_state(path: str, template: TrainState) -> TrainState:
             os.path.join(os.path.abspath(path), "train_state"), abstract)
 
 
+def _prune_checkpoints(output_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` checkpoint-* dirs (the HF
+    Trainer's ``save_total_limit`` rotation)."""
+    import re
+    import shutil
+    entries = []
+    for name in os.listdir(output_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and os.path.isdir(os.path.join(output_dir, name)):
+            entries.append((int(m.group(1)), name))
+    for _, name in sorted(entries)[:-keep]:
+        shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
+        logger.info(f"pruned {name} (save_total_limit={keep})")
+
+
 @dataclasses.dataclass
 class KDRunConfig:
     output_dir: str = "out"
@@ -93,6 +108,9 @@ class KDRunConfig:
     eval_batches: int = 16             # eval subset size cap (batches)
     # orbax sharded train-state checkpoints (no host gather; 7B+ scale)
     sharded_ckpt: bool = False
+    # keep only the newest N checkpoint-* dirs (HF Trainer save_total_limit,
+    # training_args save_total_limit semantics); None = keep all
+    save_total_limit: Optional[int] = None
 
 
 def run_kd(config: BitLlamaConfig, student_params, teacher_params,
@@ -208,6 +226,9 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
                                     f"checkpoint-{step_idx + 1}")
             save_train_state(ckpt_dir, state, sharded=run_cfg.sharded_ckpt)
             logger.info(f"saved {ckpt_dir}")
+            if run_cfg.save_total_limit:
+                _prune_checkpoints(run_cfg.output_dir,
+                                   run_cfg.save_total_limit)
 
     if run_cfg.plot:
         try:

@@ -174,3 +174,16 @@ def test_attention_map_kd_gamma():
     base = float(metrics["kd_loss"]) * 0.01
     np.testing.assert_allclose(float(metrics["loss"]),
                                base + 0.5 * attn_loss, rtol=1e-5)
+
+
+def test_prune_checkpoints(tmp_path):
+    """save_total_limit rotation: newest N survive (HF Trainer semantics)."""
+    import os
+    from onebit_tpu.train.run_kd import _prune_checkpoints
+
+    for step in (5, 10, 15, 200):
+        os.makedirs(tmp_path / f"checkpoint-{step}")
+    os.makedirs(tmp_path / "not-a-checkpoint")
+    _prune_checkpoints(str(tmp_path), keep=2)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["checkpoint-15", "checkpoint-200", "not-a-checkpoint"]
