@@ -324,6 +324,13 @@ def cmd_serve(args):
     if args.draft:
         d = _load_any_ckpt(args.draft)
         draft_params, draft_config = d["params"], d["config"]
+    tp_mesh = None
+    if args.tp > 1:
+        if args.fuse_decode:
+            raise SystemExit("--tp uses per-projection TP kernels; "
+                             "drop --fuse-decode")
+        from onebit_tpu.parallel.mesh import create_mesh
+        tp_mesh = create_mesh((1, args.tp))
     eng = ContinuousBatchingEngine(
         params, loaded["config"], max_batch=args.max_batch,
         max_len=args.max_len, sampling=sampling,
@@ -332,7 +339,7 @@ def cmd_serve(args):
         page_size=args.page_size, prefix_cache=args.prefix_cache,
         prefill_chunk_size=args.prefill_chunk,
         draft_params=draft_params, draft_config=draft_config,
-        n_draft=args.n_draft)
+        n_draft=args.n_draft, tp_mesh=tp_mesh)
 
     if args.http is not None:
         import time
@@ -500,6 +507,9 @@ def build_parser():
                     help="proposals per speculative round")
     sv.add_argument("--prefill-chunk", type=int, default=None,
                     help="fixed-shape chunked prefill size")
+    sv.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel ways (shard_map over the model "
+                         "mesh axis; dense bucketed path)")
     sv.set_defaults(fn=cmd_serve)
 
     bn = sub.add_parser("bench", help="decode throughput benchmark")

@@ -86,7 +86,8 @@ class ContinuousBatchingEngine:
                  prefix_cache: bool = False,
                  draft_params=None,
                  draft_config: Optional[BitLlamaConfig] = None,
-                 n_draft: int = 4):
+                 n_draft: int = 4,
+                 tp_mesh=None):
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -105,6 +106,24 @@ class ContinuousBatchingEngine:
         self.draft_params = draft_params
         self.draft_config = draft_config
         self.n_draft = n_draft
+        # tensor-parallel serving (engine/tp_backend.py): shard_map TP
+        # variants of the dense programs over tp_mesh's ``model`` axis —
+        # same scheduler, mp-fold sharded weights/KV heads.  Scope: the
+        # dense bucketed path (paged/spec/chunked prefill stay
+        # single-device).
+        self._tp = None
+        if tp_mesh is not None:
+            if paged or draft_params is not None or prefill_chunk_size:
+                raise ValueError(
+                    "tp_mesh supports the dense bucketed path only (no "
+                    "paged / speculative / chunked-prefill)")
+            from onebit_tpu.engine.tp_backend import TPServing
+            from onebit_tpu.model.tp_decode import shard_tp_params
+            self._tp = TPServing(
+                tp_mesh, config, params, impl=impl,
+                compute_dtype=compute_dtype,
+                sampling=self.sampling, block_steps=self.block_steps)
+            self.params, _ = shard_tp_params(params, tp_mesh)
         if draft_params is not None:
             if draft_config is None:
                 raise ValueError("draft_params requires draft_config")
@@ -143,6 +162,10 @@ class ContinuousBatchingEngine:
             self._prefix_map = OrderedDict()   # chained digest -> page
             self._prefix_children = {}         # digest -> set(child digests)
             self.prefix_hits = 0               # pages reused (metrics)
+        elif self._tp is not None:
+            self.prefix_cache = False
+            self.cache = self._tp.init_cache(config, max_batch, max_len,
+                                             dtype=compute_dtype)
         else:
             self.prefix_cache = False
             self.cache = init_kv_cache(config, max_batch, max_len,
@@ -193,6 +216,26 @@ class ContinuousBatchingEngine:
         kw = dict(config=self.config, impl=self.impl,
                   compute_dtype=self.compute_dtype)
         zid = jnp.zeros((), jnp.int32)
+        if self._tp is not None:
+            tok1 = jnp.zeros(self.max_batch, jnp.int32)
+            pos = jnp.zeros(self.max_batch, jnp.int32)
+            act = jnp.ones(self.max_batch, bool)
+            for b in (buckets or [32, 64, 128, 256]):
+                if b > self.max_len:
+                    continue
+                for r in sorted({1, self.max_batch}):
+                    zr = jnp.zeros(r, jnp.int32)
+                    self._tp.prefill_rows.lower(
+                        self.params, self.cache,
+                        jnp.zeros((r, b), jnp.int32), zr, zr).compile()
+            if self.block_steps > 1:
+                self._tp.block.lower(
+                    self.params, self.cache, tok1, pos, act, pos,
+                    self.key).compile()
+            else:
+                self._tp.step.lower(self.params, self.cache, tok1[:, None],
+                                    pos, act).compile()
+            return
         # -- prefill programs --
         if self.prefill_chunk_size:
             ids = jnp.zeros(self.prefill_chunk_size, jnp.int32)
@@ -494,9 +537,14 @@ class ContinuousBatchingEngine:
                     rows[j] = slot
                 for j in range(len(group), r_pad):
                     rows[j] = rows[0]
-                logits, self.cache = _donated(prefill_rows)(
-                    self.params, self.cache, jnp.asarray(ids),
-                    jnp.asarray(lens), jnp.asarray(rows), **kw)
+                if self._tp is not None:
+                    logits, self.cache = self._tp.prefill_rows(
+                        self.params, self.cache, jnp.asarray(ids),
+                        jnp.asarray(lens), jnp.asarray(rows))
+                else:
+                    logits, self.cache = _donated(prefill_rows)(
+                        self.params, self.cache, jnp.asarray(ids),
+                        jnp.asarray(lens), jnp.asarray(rows), **kw)
                 if self.draft_params is not None:
                     _, self.draft_cache = _donated(prefill_rows)(
                         self.draft_params, self.draft_cache,
@@ -590,7 +638,12 @@ class ContinuousBatchingEngine:
         if self.block_steps > 1:
             self._decode_block(active)
             return
-        if self.paged:
+        if self._tp is not None:
+            logits, self.cache = self._tp.step(
+                self.params, self.cache,
+                jnp.asarray(self.next_token[:, None]),
+                jnp.asarray(self.row_pos), jnp.asarray(active))
+        elif self.paged:
             from onebit_tpu.engine.paged import paged_decode_step
             logits, self.cache = _donated(paged_decode_step)(
                 self.params, self.cache,
@@ -673,7 +726,12 @@ class ContinuousBatchingEngine:
         budget = np.asarray(
             [r.max_new_tokens - len(r.generated) if r is not None else 0
              for r in self.slots], np.int32)
-        if self.paged:
+        if self._tp is not None:
+            toks, valid, self.cache, self.key = self._tp.block(
+                self.params, self.cache, jnp.asarray(self.next_token),
+                jnp.asarray(self.row_pos), jnp.asarray(active),
+                jnp.asarray(budget), self.key)
+        elif self.paged:
             from onebit_tpu.engine.paged import paged_decode_block
             toks, valid, self.cache, self.key = _donated(
                 paged_decode_block, _BLOCK_STATICS)(

@@ -1,0 +1,77 @@
+"""TP continuous-batching engine == single-device engine, token-exact.
+
+The TP backend (engine/tp_backend.py) swaps the engine's device programs
+for shard_map tensor-parallel variants; the host scheduler is unchanged,
+so with greedy sampling the generated sequences must match the
+single-device engine exactly — including staggered admission (more
+requests than slots → ragged per-row positions).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from onebit_tpu.engine.batching import ContinuousBatchingEngine
+from onebit_tpu.model.bitllama import init_params, pack_model_params
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.parallel.mesh import create_mesh
+
+PROMPTS = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10], [3, 1, 4, 1, 5]]
+
+
+def _mk():
+    config = BitLlamaConfig.named("tiny")
+    params = pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent"))
+    return config, params
+
+
+def _run(engine, prompts, n_new=8):
+    uids = [engine.add_request(list(p), max_new_tokens=n_new)
+            for p in prompts]
+    out = engine.run()
+    return [out[u] for u in uids]
+
+
+def test_tp_engine_matches_single_device():
+    config, params = _mk()
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32)
+    want = _run(ref, PROMPTS)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   tp_mesh=create_mesh((1, 2)))
+    got = _run(eng, PROMPTS)
+    assert got == want
+
+
+def test_tp_engine_block_decode_matches():
+    config, params = _mk()
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32)
+    want = _run(ref, PROMPTS)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32, block_steps=4,
+                                   tp_mesh=create_mesh((1, 2)))
+    got = _run(eng, PROMPTS)
+    assert got == want
+
+
+def test_tp_engine_warmup_and_4way():
+    config, params = _mk()   # tiny: 4 heads, 2 kv heads → mp=2 max for kv
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   tp_mesh=create_mesh((1, 2)))
+    eng.warmup(buckets=[32])
+    got = _run(eng, PROMPTS[:2])
+    assert all(len(g) >= 1 for g in got)
+
+
+def test_tp_engine_rejects_unsupported_combos():
+    config, params = _mk()
+    mesh = create_mesh((1, 2))
+    with pytest.raises(ValueError):
+        ContinuousBatchingEngine(params, config, tp_mesh=mesh, paged=True)
+    with pytest.raises(ValueError):
+        ContinuousBatchingEngine(params, config, tp_mesh=mesh,
+                                 prefill_chunk_size=64)
