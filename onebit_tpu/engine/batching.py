@@ -107,31 +107,37 @@ class ContinuousBatchingEngine:
         self.draft_config = draft_config
         self.n_draft = n_draft
         # tensor-parallel serving (engine/tp_backend.py): shard_map TP
-        # variants of the dense programs over tp_mesh's ``model`` axis —
-        # same scheduler, mp-fold sharded weights/KV heads.  Scope: the
-        # dense bucketed path (paged/spec/chunked prefill stay
-        # single-device).
+        # variants of the serving programs over tp_mesh's ``model`` axis —
+        # same scheduler, mp-fold sharded weights/KV heads.  Covers the
+        # dense bucketed path AND the full paged family (paged pools,
+        # quantized KV, prefix caching, chunked prefill); speculative
+        # decoding is the one remaining exclusion.
         self._tp = None
         if tp_mesh is not None:
-            if paged or draft_params is not None or prefill_chunk_size:
+            if draft_params is not None:
                 raise ValueError(
-                    "tp_mesh supports the dense bucketed path only (no "
-                    "paged / speculative / chunked-prefill)")
+                    "tp_mesh does not support speculative decoding yet "
+                    "(the draft would need to run replicated inside the "
+                    "TP program); every other feature — paged, "
+                    "quantized_kv, prefix_cache, chunked prefill, "
+                    "block_steps — composes with tp_mesh")
             from onebit_tpu.engine.tp_backend import TPServing
             from onebit_tpu.model.tp_decode import shard_tp_params
             self._tp = TPServing(
                 tp_mesh, config, params, impl=impl,
                 compute_dtype=compute_dtype,
-                sampling=self.sampling, block_steps=self.block_steps)
+                sampling=self.sampling, block_steps=self.block_steps,
+                paged=paged)
             self.params, _ = shard_tp_params(params, tp_mesh)
         if draft_params is not None:
             if draft_config is None:
                 raise ValueError("draft_params requires draft_config")
-            if paged:
-                raise ValueError("speculative decoding requires the dense "
-                                 "cache (paged draft cache not implemented)")
             # non-greedy sampling routes through the rejection-sampling
-            # round (spec_decode_round_sampled) — distribution-exact
+            # round (spec_decode_round_sampled) — distribution-exact.
+            # With ``paged=True`` the TARGET runs on its paged pool
+            # (paged_verify_window) while the draft keeps its own small
+            # dense cache — page sharing/eviction applies to the target,
+            # whose cache is the big one.
             if self.block_steps > 1:
                 raise ValueError("block_steps and speculative decoding are "
                                  "mutually exclusive (a spec round already "
@@ -144,9 +150,15 @@ class ContinuousBatchingEngine:
             self.page_size = page_size
             self.max_pages_per_seq = -(-max_len // page_size)
             num_pages = num_pages or (max_batch * self.max_pages_per_seq + 1)
-            self.cache = init_paged_kv_cache(config, num_pages, page_size,
-                                             dtype=compute_dtype,
-                                             quantized=quantized_kv)
+            if self._tp is not None:
+                self.cache = self._tp.init_paged_cache(
+                    config, num_pages, page_size, dtype=compute_dtype,
+                    quantized=quantized_kv)
+            else:
+                self.cache = init_paged_kv_cache(config, num_pages,
+                                                 page_size,
+                                                 dtype=compute_dtype,
+                                                 quantized=quantized_kv)
             self.allocator = PageAllocator(num_pages)
             self.total_pages = num_pages - 1   # page 0 is the reserved null
             self.page_tables = np.zeros(
@@ -220,18 +232,61 @@ class ContinuousBatchingEngine:
             tok1 = jnp.zeros(self.max_batch, jnp.int32)
             pos = jnp.zeros(self.max_batch, jnp.int32)
             act = jnp.ones(self.max_batch, bool)
-            for b in (buckets or [32, 64, 128, 256]):
-                if b > self.max_len:
-                    continue
-                for r in sorted({1, self.max_batch}):
-                    zr = jnp.zeros(r, jnp.int32)
-                    self._tp.prefill_rows.lower(
-                        self.params, self.cache,
-                        jnp.zeros((r, b), jnp.int32), zr, zr).compile()
+            if self.paged:
+                tables = jnp.asarray(self.page_tables)
+                if self.prefill_chunk_size or self.prefix_cache:
+                    c = self.prefill_chunk_size or 64
+                    self._tp.paged_chunk_append.lower(
+                        self.params, self.cache, jnp.zeros(c, jnp.int32),
+                        zid, zid,
+                        jnp.zeros(self.max_pages_per_seq,
+                                  jnp.int32)).compile()
+                if not self.prefill_chunk_size:
+                    for b in (buckets or [32, 64, 128, 256]):
+                        if b > self.max_len:
+                            continue
+                        for r in sorted({1, self.max_batch}):
+                            self._tp.paged_prefill_rows.lower(
+                                self.params, self.cache,
+                                jnp.zeros((r, b), jnp.int32),
+                                jnp.zeros(r, jnp.int32),
+                                jnp.zeros((r, self.max_pages_per_seq),
+                                          jnp.int32)).compile()
+                if self.block_steps > 1:
+                    self._tp.paged_block.lower(
+                        self.params, self.cache, tok1, pos, tables, act,
+                        pos, self.key).compile()
+                elif self._tp.greedy:
+                    self._tp.paged_greedy_step.lower(
+                        self.params, self.cache, tok1[:, None], pos,
+                        tables).compile()
+                else:
+                    self._tp.paged_step.lower(
+                        self.params, self.cache, tok1[:, None], pos,
+                        tables).compile()
+                return
+            if self.prefill_chunk_size:
+                self._tp.chunk_append.lower(
+                    self.params, self.cache,
+                    jnp.zeros(self.prefill_chunk_size, jnp.int32), zid,
+                    zid, zid).compile()
+            else:
+                for b in (buckets or [32, 64, 128, 256]):
+                    if b > self.max_len:
+                        continue
+                    for r in sorted({1, self.max_batch}):
+                        zr = jnp.zeros(r, jnp.int32)
+                        self._tp.prefill_rows.lower(
+                            self.params, self.cache,
+                            jnp.zeros((r, b), jnp.int32), zr, zr).compile()
             if self.block_steps > 1:
                 self._tp.block.lower(
                     self.params, self.cache, tok1, pos, act, pos,
                     self.key).compile()
+            elif self._tp.greedy:
+                self._tp.greedy_step.lower(
+                    self.params, self.cache, tok1[:, None], pos,
+                    act).compile()
             else:
                 self._tp.step.lower(self.params, self.cache, tok1[:, None],
                                     pos, act).compile()
@@ -270,6 +325,15 @@ class ContinuousBatchingEngine:
                             jnp.zeros((r, self.max_pages_per_seq),
                                       jnp.int32),
                             **kw).compile()
+                        if self.draft_params is not None:
+                            from onebit_tpu.model.ragged_decode import (
+                                prefill_rows)
+                            zr = jnp.zeros(r, jnp.int32)
+                            _donated(prefill_rows).lower(
+                                self.draft_params, self.draft_cache,
+                                jnp.zeros((r, b), jnp.int32), zr, zr,
+                                config=self.draft_config, impl=self.impl,
+                                compute_dtype=self.compute_dtype).compile()
                     else:
                         from onebit_tpu.model.ragged_decode import (
                             prefill_rows)
@@ -299,6 +363,7 @@ class ContinuousBatchingEngine:
         pos = jnp.zeros(self.max_batch, jnp.int32)
         act = jnp.ones(self.max_batch, bool)
         if self.draft_params is not None:
+            tables = jnp.asarray(self.page_tables) if self.paged else None
             if self.sampling.greedy:
                 from onebit_tpu.engine.speculative import spec_decode_round
                 _donated(spec_decode_round,
@@ -307,7 +372,7 @@ class ContinuousBatchingEngine:
                          names=("t_cache", "d_cache")).lower(
                     self.params, self.draft_params, self.cache,
                     self.draft_cache, tok1, pos, act, pos, self.config,
-                    self.draft_config, n_draft=self.n_draft,
+                    self.draft_config, tables, n_draft=self.n_draft,
                     impl=self.impl,
                     compute_dtype=self.compute_dtype).compile()
             else:
@@ -319,7 +384,8 @@ class ContinuousBatchingEngine:
                          names=("t_cache", "d_cache")).lower(
                     self.params, self.draft_params, self.cache,
                     self.draft_cache, tok1, pos, act, pos, self.key,
-                    self.config, self.draft_config, n_draft=self.n_draft,
+                    self.config, self.draft_config, tables,
+                    n_draft=self.n_draft,
                     sampling=self.sampling, impl=self.impl,
                     compute_dtype=self.compute_dtype).compile()
         elif self.block_steps > 1:
@@ -418,25 +484,32 @@ class ContinuousBatchingEngine:
                     table[i] = self.allocator.alloc()
                 self.page_tables[slot] = table
                 self.prefix_hits += hits
-                if hits:
-                    # suffix-only prefill: the shared pages already hold
-                    # K/V for the first hits*ps tokens
+                if hits or self.prefill_chunk_size:
+                    # chunked paged prefill; with prefix hits the shared
+                    # pages already hold K/V for the first hits*ps tokens
+                    # (suffix-only prefill)
                     from onebit_tpu.engine.paged import (
                         paged_chunked_prefill_row)
+                    chunk = min(self.prefill_chunk_size or 64,
+                                self.max_len)
                     logits, self.cache = paged_chunked_prefill_row(
                         self.params, self.cache, req.prompt, table,
-                        self.config,
-                        chunk_size=self.prefill_chunk_size or 64,
+                        self.config, chunk_size=chunk,
                         impl=self.impl, compute_dtype=self.compute_dtype,
-                        donate=True, start=hits * ps)
-                elif self.prefill_chunk_size:
-                    from onebit_tpu.engine.paged import (
-                        paged_chunked_prefill_row)
-                    logits, self.cache = paged_chunked_prefill_row(
-                        self.params, self.cache, req.prompt, table,
-                        self.config, chunk_size=self.prefill_chunk_size,
-                        impl=self.impl, compute_dtype=self.compute_dtype,
-                        donate=True)
+                        donate=True, start=hits * ps,
+                        step_fn=(self._tp.paged_chunk_append
+                                 if self._tp is not None else None))
+                    if self.draft_params is not None:
+                        # the draft replays the FULL prompt into its own
+                        # dense cache (prefix sharing applies only to the
+                        # target's pages; draft slots are private)
+                        from onebit_tpu.model.ragged_decode import (
+                            chunked_prefill_row)
+                        _, self.draft_cache = chunked_prefill_row(
+                            self.draft_params, self.draft_cache,
+                            req.prompt, slot, self.draft_config,
+                            chunk_size=chunk, impl=self.impl,
+                            compute_dtype=self.compute_dtype, donate=True)
                 else:
                     # defer: same-bucket paged admissions run as ONE
                     # batched prefill program below (registration happens
@@ -455,15 +528,19 @@ class ContinuousBatchingEngine:
                 logits, self.cache = chunked_prefill_row(
                     self.params, self.cache, req.prompt, slot, self.config,
                     chunk_size=self.prefill_chunk_size, impl=self.impl,
-                    compute_dtype=self.compute_dtype, donate=True)
+                    compute_dtype=self.compute_dtype, donate=True,
+                    step_fn=(self._tp.chunk_append
+                             if self._tp is not None else None))
             else:
                 # dense non-chunked: defer — same-bucket admissions run as
                 # ONE batched prefill program below
                 planned.append((slot, req, plen, bucket, None))
                 continue
-            if self.draft_params is not None and self.prefill_chunk_size:
+            if self.draft_params is not None and self.prefill_chunk_size \
+                    and not self.paged:
                 # the draft replays the prompt into ITS cache (logits
-                # unused: the pending token always comes from the target)
+                # unused: the pending token always comes from the target;
+                # the paged branch above already replayed it)
                 from onebit_tpu.model.ragged_decode import (
                     chunked_prefill_row)
                 _, self.draft_cache = chunked_prefill_row(
@@ -527,9 +604,29 @@ class ContinuousBatchingEngine:
                     tables[j] = table
                 for j in range(len(group), r_pad):
                     tables[j] = tables[0]
-                logits, self.cache = _donated(paged_prefill_rows)(
-                    self.params, self.cache, jnp.asarray(ids),
-                    jnp.asarray(lens), jnp.asarray(tables), **kw)
+                if self._tp is not None:
+                    logits, self.cache = self._tp.paged_prefill_rows(
+                        self.params, self.cache, jnp.asarray(ids),
+                        jnp.asarray(lens), jnp.asarray(tables))
+                else:
+                    logits, self.cache = _donated(paged_prefill_rows)(
+                        self.params, self.cache, jnp.asarray(ids),
+                        jnp.asarray(lens), jnp.asarray(tables), **kw)
+                if self.draft_params is not None:
+                    # the draft's dense cache slots mirror the target's
+                    # engine slots (prefix sharing is a target-pool
+                    # concern; the draft always replays the full prompt)
+                    from onebit_tpu.model.ragged_decode import prefill_rows
+                    rows = np.zeros(r_pad, np.int32)
+                    for j, (slot, _r, _p, _b, _t) in enumerate(group):
+                        rows[j] = slot
+                    for j in range(len(group), r_pad):
+                        rows[j] = rows[0]
+                    _, self.draft_cache = _donated(prefill_rows)(
+                        self.draft_params, self.draft_cache,
+                        jnp.asarray(ids), jnp.asarray(lens),
+                        jnp.asarray(rows), config=self.draft_config,
+                        impl=self.impl, compute_dtype=self.compute_dtype)
             else:
                 from onebit_tpu.model.ragged_decode import prefill_rows
                 rows = np.zeros(r_pad, np.int32)
@@ -639,10 +736,33 @@ class ContinuousBatchingEngine:
             self._decode_block(active)
             return
         if self._tp is not None:
-            logits, self.cache = self._tp.step(
-                self.params, self.cache,
-                jnp.asarray(self.next_token[:, None]),
-                jnp.asarray(self.row_pos), jnp.asarray(active))
+            # greedy runs the collective-minimal per-shard-argmax programs
+            # (no full-vocab logits all-gather on the hot path); non-greedy
+            # gathers fp32 logits for engine-side sampling
+            args = (self.params, self.cache,
+                    jnp.asarray(self.next_token[:, None]))
+            if self.paged:
+                args += (jnp.asarray(self.row_pos),
+                         jnp.asarray(self.page_tables))
+                prog = (self._tp.paged_greedy_step if self._tp.greedy
+                        else self._tp.paged_step)
+            else:
+                args += (jnp.asarray(self.row_pos), jnp.asarray(active))
+                prog = (self._tp.greedy_step if self._tp.greedy
+                        else self._tp.step)
+            out, self.cache = prog(*args)
+            if self._tp.greedy:
+                toks = np.asarray(out)
+            else:
+                self.key, sub = jax.random.split(self.key)
+                toks = np.asarray(sample_token(out[:, 0], sub,
+                                               self.sampling))
+            for slot in range(self.max_batch):
+                if self.slots[slot] is None:
+                    continue
+                self.row_pos[slot] += 1
+                self._emit(slot, int(toks[slot]))
+            return
         elif self.paged:
             from onebit_tpu.engine.paged import paged_decode_step
             logits, self.cache = _donated(paged_decode_step)(
@@ -676,6 +796,9 @@ class ContinuousBatchingEngine:
         budget = np.asarray(
             [r.max_new_tokens - len(r.generated) if r is not None else 0
              for r in self.slots], np.int32)
+        # with a paged target, the round's verify writes route through the
+        # rows' page tables (paged_verify_window); the draft stays dense
+        tables = jnp.asarray(self.page_tables) if self.paged else None
         if self.sampling.greedy:
             from onebit_tpu.engine.speculative import spec_decode_round
             emitted, n_emit, _, new_pos, self.cache, self.draft_cache = \
@@ -687,7 +810,7 @@ class ContinuousBatchingEngine:
                     self.draft_cache, jnp.asarray(self.next_token),
                     jnp.asarray(self.row_pos), jnp.asarray(active),
                     jnp.asarray(budget), self.config, self.draft_config,
-                    n_draft=self.n_draft, impl=self.impl,
+                    tables, n_draft=self.n_draft, impl=self.impl,
                     compute_dtype=self.compute_dtype)
         else:
             from onebit_tpu.engine.speculative import (
@@ -702,7 +825,7 @@ class ContinuousBatchingEngine:
                     self.draft_cache, jnp.asarray(self.next_token),
                     jnp.asarray(self.row_pos), jnp.asarray(active),
                     jnp.asarray(budget), self.key, self.config,
-                    self.draft_config, n_draft=self.n_draft,
+                    self.draft_config, tables, n_draft=self.n_draft,
                     sampling=self.sampling, impl=self.impl,
                     compute_dtype=self.compute_dtype)
         emitted = np.asarray(emitted)
@@ -726,7 +849,12 @@ class ContinuousBatchingEngine:
         budget = np.asarray(
             [r.max_new_tokens - len(r.generated) if r is not None else 0
              for r in self.slots], np.int32)
-        if self._tp is not None:
+        if self._tp is not None and self.paged:
+            toks, valid, self.cache, self.key = self._tp.paged_block(
+                self.params, self.cache, jnp.asarray(self.next_token),
+                jnp.asarray(self.row_pos), jnp.asarray(self.page_tables),
+                jnp.asarray(active), jnp.asarray(budget), self.key)
+        elif self._tp is not None:
             toks, valid, self.cache, self.key = self._tp.block(
                 self.params, self.cache, jnp.asarray(self.next_token),
                 jnp.asarray(self.row_pos), jnp.asarray(active),

@@ -18,6 +18,12 @@ as xs/ys, which would materialize per-layer slices (an extra read) and
 restack the outputs (an extra full-pool write) each step.  A (layer,
 page) block is one contiguous ``[n_kv, ps, hd]`` slab.
 
+Program bodies are parameterized by a :class:`PagedProj` projection
+strategy so the SAME cores serve single-device (flat scalar-prefetch
+stacked kernels) and tensor-parallel (column/row-parallel shards with
+psum'd LayerNorm, engine/tp_backend.py) execution — the TP feature
+matrix is the same code, not a fork.
+
 The reference has nothing comparable (its cache is per-step torch.cat,
 modeling_bitllama.py:379-384).
 """
@@ -25,7 +31,7 @@ modeling_bitllama.py:379-384).
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional
+from typing import Any, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -219,7 +225,7 @@ def _use_kernel(cache, config, impl) -> bool:
 
 def _paged_attend(q1, leaves, quant, use_kernel, lengths, page_indices,
                   layer, compute_dtype, hd):
-    """Attention for one layer of the paged pool.
+    """Attention for one layer of the paged pool (single query position).
 
     q1 [B, nh, hd]; ``leaves`` are the full pool arrays; ``layer`` is the
     traced layer index.  Kernel path: the native flat paged-attention
@@ -264,112 +270,180 @@ def _paged_attend(q1, leaves, quant, use_kernel, lengths, page_indices,
     return _jnp_paged_attention(q1, kf, vf, lengths)
 
 
+def _paged_attend_window(q, leaves, quant, mask, page_indices, layer,
+                         compute_dtype):
+    """Attention for a W-token window over gathered pages.
+
+    q [B, W, nh, hd]; mask [B, 1, W, T] (T = max_pages*ps).  The W>1
+    counterpart of :func:`_paged_attend` — verify windows and chunked
+    prefill appends; the gather is identical, the query axis is wider.
+    """
+    pick = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
+                             axis=0, keepdims=False)
+    nh = q.shape[2]
+    if quant:
+        kq, ks, vq, vs = leaves
+        k_q = _gather_seq_kv(pick(kq), page_indices)
+        k_s = _gather_seq_kv(pick(ks), page_indices)[..., 0] * \
+            (1.0 / _MAX_INT8)
+        v_q = _gather_seq_kv(pick(vq), page_indices)
+        v_s = _gather_seq_kv(pick(vs), page_indices)[..., 0] * \
+            (1.0 / _MAX_INT8)
+        return bitllama._attention_quant(
+            q.astype(compute_dtype), k_q, k_s, v_q, v_s, mask,
+            num_kv_groups=nh // k_q.shape[2])
+    kf = _gather_seq_kv(pick(leaves[0]), page_indices)
+    vf = _gather_seq_kv(pick(leaves[1]), page_indices)
+    if kf.dtype == jnp.float8_e4m3fn:
+        kf = kf.astype(q.dtype)
+        vf = vf.astype(q.dtype)
+    return bitllama._attention(q, kf.astype(q.dtype), vf.astype(q.dtype),
+                               mask, num_kv_groups=nh // kf.shape[2])
+
+
 def ps_of(pool) -> int:
     """page_size from a pool leaf [L, P, nkv, ps, *]."""
     return pool.shape[3]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "impl", "compute_dtype"))
-def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
-                      page_indices, config: BitLlamaConfig, *,
-                      impl: str = "auto", compute_dtype=jnp.bfloat16):
-    """One token per sequence with paged KV.
+# ---------------------------------------------------------------------------
+# Projection strategy: the pluggable seam between single-device execution
+# (flat scalar-prefetch stacked kernels) and tensor-parallel shards
+# (column/row-parallel with psum'd LayerNorm, engine/tp_backend.py).
+# ---------------------------------------------------------------------------
 
-    input_ids [B, 1]; lengths [B] (current length, i.e. the write position);
-    page_indices [B, max_pages].  Returns (logits [B, 1, V], new cache).
+class PagedProj(NamedTuple):
+    """Per-layer projection callbacks + head geometry for the paged cores.
+
+    ``nh``/``nkv`` are the LOCAL head counts (global for single-device,
+    per-shard under TP — the pool's head axis is sharded to match)."""
+    embed: Any          # ids -> x [..., d] compute_dtype
+    qkv: Any            # (hx, i) -> (q, k, v) flat
+    o: Any              # (ctx_flat, i) -> [..., d]
+    gateup: Any         # (hx, i) -> (gate, up)
+    down: Any           # (act, i) -> [..., d]
+    ln: Any             # (x, name, i) -> rms-normed x
+    final: Any          # (x) -> final-normed x
+    nh: int
+    nkv: int
+
+
+def default_proj(params, config: BitLlamaConfig, impl: str,
+                 compute_dtype) -> PagedProj:
+    """Single-device strategy: flat stacked projections (scalar-prefetch
+    Pallas kernels) — identical math/dispatch to model/ragged_decode.py."""
+    layers = params["layers"]
+    nkv_hd = config.num_key_value_heads * config.head_dim
+
+    def ln(x, name, i):
+        return bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers[name], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+
+    return PagedProj(
+        embed=lambda ids: params["embed_tokens"][ids].astype(compute_dtype),
+        qkv=lambda hx, i: _project_qkv_flat(hx, layers, i, impl, nkv_hd),
+        o=lambda v, i: _project_flat(v, layers, "o_proj", i, impl),
+        gateup=lambda hx, i: _project_gateup_flat(
+            hx, layers, i, impl, config.intermediate_size),
+        down=lambda v, i: _project_flat(v, layers, "down_proj", i, impl),
+        ln=ln,
+        final=lambda x: bitllama.rms_norm(x, params["final_norm"],
+                                          config.rms_norm_eps),
+        nh=config.num_attention_heads,
+        nkv=config.num_key_value_heads)
+
+
+# ---------------------------------------------------------------------------
+# Shared cores (decode / verify-window / chunk-append / batched prefill)
+# ---------------------------------------------------------------------------
+
+def _window_core(proj: PagedProj, cache, tokens, lengths, page_indices,
+                 config: BitLlamaConfig, compute_dtype, use_kernel: bool):
+    """W tokens per row written at ``lengths .. lengths+W-1``, attending
+    to each row's full (just-updated) pages.
+
+    ``tokens [B, W]``, ``lengths [B]`` write-start positions,
+    ``page_indices [B, max_pages]``.  Returns (final-normed hidden
+    ``[B, W, d]``, new cache).  W=1 is the decode step (single-query
+    attention path, incl. the opt-in native kernel); W>1 serves verify
+    windows (speculative decoding) and chunked prefill appends.
     """
-    b = input_ids.shape[0]
-    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
-                   config.head_dim)
+    b, w = tokens.shape
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
     ps = cache.page_size
-    write_page = jnp.take_along_axis(
-        page_indices, (lengths // ps)[:, None], axis=1)[:, 0]
-    write_slot = lengths % ps
+    positions = lengths[:, None] + jnp.arange(w)[None, :]       # [B, W]
+    pages = jnp.take_along_axis(
+        page_indices, jnp.minimum(positions // ps,
+                                  page_indices.shape[1] - 1), axis=1)
+    slots = positions % ps
 
-    x = params["embed_tokens"][input_ids].astype(compute_dtype)
-    cos, sin = rope_cos_sin(lengths[:, None], config.head_dim,
+    x = proj.embed(tokens)
+    cos, sin = rope_cos_sin(positions, config.head_dim,
                             config.rope_theta, config.rope_scaling,
                             config.max_position_embeddings,
                             seq_len=config.max_position_embeddings,
                             dtype=compute_dtype)
-
-    use_kernel = _use_kernel(cache, config, impl)
     quant = isinstance(cache, QuantPagedKVCache)
-    layers = params["layers"]
+    if w > 1:
+        t_full = page_indices.shape[1] * ps
+        kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t_full), 3)
+        mask = kj <= positions[:, None, :, None]                # [B,1,W,T]
 
     def body(i, carry):
         x, leaves = carry
         residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
-                                            keepdims=False),
-            config.rms_norm_eps)
-        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
-        q = q.reshape(b, 1, nh, hd)
-        k = k.reshape(b, 1, nkv, hd)
-        v = v.reshape(b, 1, nkv, hd)
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
+        q = q.reshape(b, w, nh, hd)
+        k = k.reshape(b, w, nkv, hd)
+        v = v.reshape(b, w, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        k1 = k[:, 0]    # [B, nkv, hd] — matches the pool's [.., nkv, .., hd]
-        v1 = v[:, 0]
 
         if quant:
             kq, ks, vq, vs = leaves
-            k_i8, k_sc = _quantize_kv_int8(k1)
-            v_i8, v_sc = _quantize_kv_int8(v1)
-            kq = kq.at[i, write_page, :, write_slot].set(k_i8)
-            ks = ks.at[i, write_page, :, write_slot].set(k_sc)
-            vq = vq.at[i, write_page, :, write_slot].set(v_i8)
-            vs = vs.at[i, write_page, :, write_slot].set(v_sc)
+            k_i8, k_sc = _quantize_kv_int8(k)
+            v_i8, v_sc = _quantize_kv_int8(v)
+            kq = kq.at[i, pages, :, slots].set(k_i8)
+            ks = ks.at[i, pages, :, slots].set(k_sc)
+            vq = vq.at[i, pages, :, slots].set(v_i8)
+            vs = vs.at[i, pages, :, slots].set(v_sc)
             leaves = (kq, ks, vq, vs)
         else:
             kp, vp = leaves
-            kp = kp.at[i, write_page, :, write_slot].set(k1.astype(kp.dtype))
-            vp = vp.at[i, write_page, :, write_slot].set(v1.astype(vp.dtype))
+            kp = kp.at[i, pages, :, slots].set(k.astype(kp.dtype))
+            vp = vp.at[i, pages, :, slots].set(v.astype(vp.dtype))
             leaves = (kp, vp)
 
-        ctx = _paged_attend(q[:, 0], leaves, quant, use_kernel, lengths + 1,
-                            page_indices, i, compute_dtype, hd)
-        attn = _project_flat(ctx.astype(compute_dtype).reshape(b, 1, nh * hd),
-                             layers, "o_proj", i, impl)
+        if w == 1:
+            ctx = _paged_attend(q[:, 0], leaves, quant, use_kernel,
+                                lengths + 1, page_indices, i,
+                                compute_dtype, hd)[:, None]
+        else:
+            ctx = _paged_attend_window(q, leaves, quant, mask, page_indices,
+                                       i, compute_dtype)
+        attn = proj.o(ctx.astype(compute_dtype).reshape(b, w, nh * hd), i)
         x = residual + attn
         residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(
-                layers["post_attention_layernorm"], i, 0, keepdims=False),
-            config.rms_norm_eps)
-        gate, up = _project_gateup_flat(hx, layers, i, impl,
-                                        config.intermediate_size)
-        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
-                            impl)
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
         return (residual + mlp, leaves)
 
     x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
                                       (x, tuple(cache)))
-    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
-    logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
-                        preferred_element_type=jnp.float32)
     new_cache = (QuantPagedKVCache(*new_leaves) if quant
                  else PagedKVCache(*new_leaves))
-    return logits, new_cache
+    return proj.final(x), new_cache
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("config", "impl", "compute_dtype"))
-def paged_prefill_rows(params, cache: PagedKVCache, ids, lengths,
-                       page_indices, config: BitLlamaConfig, *,
-                       impl: str = "auto", compute_dtype=jnp.bfloat16):
-    """Prefill SEVERAL sequences' pages in one program (batched paged
-    admission — the paged counterpart of ragged_decode.prefill_rows).
-
-    ``ids [R, S_pad]`` right-padded prompts, ``lengths [R]``,
-    ``page_indices [R, max_pages]``.  Rows attend only within themselves;
-    pad rows may replicate a real row (duplicate scatters write identical
-    values).  Returns (last_logits [R, V], new cache).
-    """
+def _prefill_rows_core(proj: PagedProj, cache, ids, lengths, page_indices,
+                       config: BitLlamaConfig, compute_dtype):
+    """Batched self-contained prefill: rows attend only within themselves.
+    Returns (final-normed hidden [R, S_pad, d], new cache)."""
     r, s_pad = ids.shape
-    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
-                   config.head_dim)
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
     ps = cache.page_size
     positions = jnp.arange(s_pad)
     pages = jnp.take_along_axis(
@@ -378,25 +452,20 @@ def paged_prefill_rows(params, cache: PagedKVCache, ids, lengths,
     slots = jnp.broadcast_to(positions % ps, (r, s_pad))    # [R, S]
 
     attn = (positions[None, :] < lengths[:, None])
-    x = params["embed_tokens"][ids].astype(compute_dtype)
+    x = proj.embed(ids)
     cos, sin = rope_cos_sin(positions[None, :], config.head_dim,
                             config.rope_theta, config.rope_scaling,
                             config.max_position_embeddings,
                             seq_len=config.max_position_embeddings,
                             dtype=compute_dtype)
     mask = bitllama._causal_mask(s_pad, s_pad, 0) & attn[:, None, None, :]
-
     quant = isinstance(cache, QuantPagedKVCache)
-    layers = params["layers"]
 
     def body(i, carry):
         x, leaves = carry
         residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
-                                            keepdims=False),
-            config.rms_norm_eps)
-        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
         q = q.reshape(r, s_pad, nh, hd)
         k = k.reshape(r, s_pad, nkv, hd)
         v = v.reshape(r, s_pad, nkv, hd)
@@ -415,33 +484,86 @@ def paged_prefill_rows(params, cache: PagedKVCache, ids, lengths,
             kp = kp.at[i, pages, :, slots].set(k.astype(kp.dtype))
             vp = vp.at[i, pages, :, slots].set(v.astype(vp.dtype))
             leaves = (kp, vp)
-        ctx = bitllama._attention(q, k, v, mask,
-                                  num_kv_groups=config.num_kv_groups)
-        attn_out = _project_flat(ctx.reshape(r, s_pad, nh * hd), layers,
-                                 "o_proj", i, impl)
+        ctx = bitllama._attention(q, k, v, mask, num_kv_groups=nh // nkv)
+        attn_out = proj.o(ctx.reshape(r, s_pad, nh * hd), i)
         x = residual + attn_out
         residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(
-                layers["post_attention_layernorm"], i, 0, keepdims=False),
-            config.rms_norm_eps)
-        gate, up = _project_gateup_flat(hx, layers, i, impl,
-                                        config.intermediate_size)
-        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
-                            impl)
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
         return (residual + mlp, leaves)
 
     x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
                                       (x, tuple(cache)))
-    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    new_cache = (QuantPagedKVCache(*new_leaves) if quant
+                 else PagedKVCache(*new_leaves))
+    return proj.final(x), new_cache
+
+
+def _lm_logits(params, x, compute_dtype):
+    return jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                      preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Public single-device programs (jitted wrappers over the cores)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def paged_decode_step(params, cache: PagedKVCache, input_ids, lengths,
+                      page_indices, config: BitLlamaConfig, *,
+                      impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """One token per sequence with paged KV.
+
+    input_ids [B, 1]; lengths [B] (current length, i.e. the write position);
+    page_indices [B, max_pages].  Returns (logits [B, 1, V], new cache).
+    """
+    proj = default_proj(params, config, impl, compute_dtype)
+    x, new_cache = _window_core(proj, cache, input_ids, lengths,
+                                page_indices, config, compute_dtype,
+                                _use_kernel(cache, config, impl))
+    return _lm_logits(params, x, compute_dtype), new_cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def paged_verify_window(params, cache, tokens, lengths, page_indices,
+                        config: BitLlamaConfig, *, impl: str = "auto",
+                        compute_dtype=jnp.bfloat16):
+    """W tokens per row at per-row positions, logits at EVERY position —
+    the speculative-decoding verify step on a PAGED target cache (the
+    paged twin of model.ragged_decode.ragged_verify_window).
+
+    ``tokens [B, W]`` consumed at ``lengths[b] .. lengths[b]+W-1`` (K/V
+    written into the rows' pages); returns (logits [B, W, V], new cache).
+    """
+    proj = default_proj(params, config, impl, compute_dtype)
+    x, new_cache = _window_core(proj, cache, tokens, lengths, page_indices,
+                                config, compute_dtype, False)
+    return _lm_logits(params, x, compute_dtype), new_cache
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "impl", "compute_dtype"))
+def paged_prefill_rows(params, cache: PagedKVCache, ids, lengths,
+                       page_indices, config: BitLlamaConfig, *,
+                       impl: str = "auto", compute_dtype=jnp.bfloat16):
+    """Prefill SEVERAL sequences' pages in one program (batched paged
+    admission — the paged counterpart of ragged_decode.prefill_rows).
+
+    ``ids [R, S_pad]`` right-padded prompts, ``lengths [R]``,
+    ``page_indices [R, max_pages]``.  Rows attend only within themselves;
+    pad rows may replicate a real row (duplicate scatters write identical
+    values).  Returns (last_logits [R, V], new cache).
+    """
+    proj = default_proj(params, config, impl, compute_dtype)
+    x, new_cache = _prefill_rows_core(proj, cache, ids, lengths,
+                                      page_indices, config, compute_dtype)
     last = jnp.take_along_axis(
         x, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32),
         axis=1)[:, 0]
-    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
-                        preferred_element_type=jnp.float32)
-    new_cache = (QuantPagedKVCache(*new_leaves) if quant
-                 else PagedKVCache(*new_leaves))
-    return logits, new_cache
+    return _lm_logits(params, last, compute_dtype), new_cache
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -489,112 +611,42 @@ def paged_chunk_append_row(params, cache, ids, start, length,
 
     Chunked paged prefill: ``ids [C]`` chunk (right-padded), ``start``
     chunk offset, ``length`` valid tokens, ``page_indices_row [max_pages]``.
-    The chunk attends to the sequence's earlier pages plus itself.
+    The chunk attends to the sequence's earlier pages plus itself — a
+    B=1, W=C window core call.
     """
-    c = ids.shape[0]
-    quant = isinstance(cache, QuantPagedKVCache)
-    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
-                   config.head_dim)
-    ps = cache.page_size
-    positions = start + jnp.arange(c)
-    pages = jnp.take(page_indices_row, positions // ps)
-    slots = positions % ps
-
-    x = params["embed_tokens"][ids[None, :]].astype(compute_dtype)
-    cos, sin = rope_cos_sin(positions[None, :], config.head_dim,
-                            config.rope_theta, config.rope_scaling,
-                            config.max_position_embeddings,
-                            seq_len=config.max_position_embeddings,
-                            dtype=compute_dtype)
-    max_pages = page_indices_row.shape[0]
-    t_full = max_pages * ps
-    qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, t_full), 2)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, t_full), 3)
-    mask = kj <= (start + qi)
-
-    layers = params["layers"]
-
-    def body(i, carry):
-        x, leaves = carry
-        residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
-                                            keepdims=False),
-            config.rms_norm_eps)
-        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
-        q = q.reshape(1, c, nh, hd)
-        k = k.reshape(1, c, nkv, hd)
-        v = v.reshape(1, c, nkv, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        pick = functools.partial(jax.lax.dynamic_index_in_dim, index=i,
-                                 axis=0, keepdims=False)
-        if quant:
-            kq, ks, vq, vs = leaves
-            k_i8, k_sc = _quantize_kv_int8(k[0])
-            v_i8, v_sc = _quantize_kv_int8(v[0])
-            kq = kq.at[i, pages, :, slots].set(k_i8)
-            ks = ks.at[i, pages, :, slots].set(k_sc)
-            vq = vq.at[i, pages, :, slots].set(v_i8)
-            vs = vs.at[i, pages, :, slots].set(v_sc)
-            leaves = (kq, ks, vq, vs)
-            tbl = page_indices_row[None]
-            k_seq = _dequantize_kv_int8(_gather_seq_kv(pick(kq), tbl),
-                                        _gather_seq_kv(pick(ks), tbl))
-            v_seq = _dequantize_kv_int8(_gather_seq_kv(pick(vq), tbl),
-                                        _gather_seq_kv(pick(vs), tbl))
-        else:
-            kp, vp = leaves
-            kp = kp.at[i, pages, :, slots].set(k[0].astype(kp.dtype))
-            vp = vp.at[i, pages, :, slots].set(v[0].astype(vp.dtype))
-            leaves = (kp, vp)
-            tbl = page_indices_row[None]
-            k_seq = _gather_seq_kv(pick(kp), tbl)
-            v_seq = _gather_seq_kv(pick(vp), tbl)
-        # this sequence's gathered pages → [1, T, nkv, hd]
-        ctx = bitllama._attention(q, k_seq.astype(q.dtype),
-                                  v_seq.astype(q.dtype), mask,
-                                  num_kv_groups=config.num_kv_groups)
-        attn_out = _project_flat(ctx.reshape(1, c, nh * hd), layers,
-                                 "o_proj", i, impl)
-        x = residual + attn_out
-        residual = x
-        hx = bitllama.rms_norm(
-            x, jax.lax.dynamic_index_in_dim(
-                layers["post_attention_layernorm"], i, 0, keepdims=False),
-            config.rms_norm_eps)
-        gate, up = _project_gateup_flat(hx, layers, i, impl,
-                                        config.intermediate_size)
-        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
-                            impl)
-        return (residual + mlp, leaves)
-
-    x, new_leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
-                                      (x, tuple(cache)))
-    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    proj = default_proj(params, config, impl, compute_dtype)
+    x, new_cache = _window_core(
+        proj, cache, ids[None, :], jnp.asarray(start)[None],
+        page_indices_row[None, :], config, compute_dtype, False)
     last = jnp.take_along_axis(
         x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
-    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
-                        preferred_element_type=jnp.float32)
-    new_cache = (QuantPagedKVCache(*new_leaves) if quant
-                 else PagedKVCache(*new_leaves))
-    return logits, new_cache
+    return _lm_logits(params, last, compute_dtype), new_cache
 
 
 def paged_chunked_prefill_row(params, cache, prompt, page_indices_row,
                               config: BitLlamaConfig, *,
                               chunk_size: int = 64, impl: str = "auto",
                               compute_dtype=jnp.bfloat16,
-                              donate: bool = False, start: int = 0):
+                              donate: bool = False, start: int = 0,
+                              step_fn=None):
     """Chunked paged prefill (host loop over paged_chunk_append_row).
     ``donate=True``: donate cache buffers per chunk (engine convention —
     the caller must not reuse the cache it passed in).
     ``start``: skip the first ``start`` tokens — their K/V already sit in
     the row's (shared) pages (prefix caching); the suffix chunks attend
-    to them through the page table."""
-    step = paged_chunk_append_row
-    if donate:
-        from onebit_tpu.engine.batching import _donated
-        step = _donated(paged_chunk_append_row)
+    to them through the page table.
+    ``step_fn``: override the per-chunk program (the TP engine passes its
+    shard_map chunk program, engine/tp_backend.py) — same signature as
+    :func:`paged_chunk_append_row` minus the static kwargs."""
+    if step_fn is None:
+        step = paged_chunk_append_row
+        if donate:
+            from onebit_tpu.engine.batching import _donated
+            step = _donated(paged_chunk_append_row)
+
+        def step_fn(params, cache, ids, ci, valid, table):
+            return step(params, cache, ids, ci, valid, table, config,
+                        impl=impl, compute_dtype=compute_dtype)
     prompt = list(prompt)
     logits = None
     for ci in range(start, len(prompt), chunk_size):
@@ -602,8 +654,7 @@ def paged_chunked_prefill_row(params, cache, prompt, page_indices_row,
         valid = len(chunk)
         padded = np.zeros(chunk_size, np.int32)
         padded[:valid] = chunk
-        logits, cache = step(
+        logits, cache = step_fn(
             params, cache, jnp.asarray(padded), jnp.int32(ci),
-            jnp.int32(valid), jnp.asarray(page_indices_row), config,
-            impl=impl, compute_dtype=compute_dtype)
+            jnp.int32(valid), jnp.asarray(page_indices_row))
     return logits, cache

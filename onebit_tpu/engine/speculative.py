@@ -33,11 +33,27 @@ from onebit_tpu.model.ragged_decode import (ragged_decode_step,
                                             ragged_verify_window)
 
 
+def _verify(t_params, t_cache, window, row_pos, active, t_config,
+            t_page_tables, impl, compute_dtype):
+    """Target verify window on a dense (t_page_tables=None) or paged
+    target cache.  The draft always runs dense — it is a small model whose
+    fixed-slot cache is cheap, and proposals never touch the target pool."""
+    if t_page_tables is None:
+        return ragged_verify_window(
+            t_params, t_cache, window, row_pos, active, t_config,
+            impl=impl, compute_dtype=compute_dtype)
+    from onebit_tpu.engine.paged import paged_verify_window
+    return paged_verify_window(
+        t_params, t_cache, window, row_pos, t_page_tables, t_config,
+        impl=impl, compute_dtype=compute_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "t_config", "d_config", "n_draft", "impl", "compute_dtype"))
-def spec_decode_round(t_params, d_params, t_cache: KVCache, d_cache: KVCache,
+def spec_decode_round(t_params, d_params, t_cache, d_cache: KVCache,
                       next_token, row_pos, active, budget,
-                      t_config: BitLlamaConfig, d_config: BitLlamaConfig, *,
+                      t_config: BitLlamaConfig, d_config: BitLlamaConfig,
+                      t_page_tables=None, *,
                       n_draft: int, impl: str = "auto",
                       compute_dtype=jnp.bfloat16):
     """One speculative round for all rows, in ONE device program.
@@ -47,6 +63,10 @@ def spec_decode_round(t_params, d_params, t_cache: KVCache, d_cache: KVCache,
         consumed — the engine convention).
       row_pos    [B]: position where next_token will be written.
       active     [B] bool; budget [B] int32 remaining tokens per row.
+      t_page_tables: None (dense target cache) or [B, max_pages] page
+        tables — the target then runs on a PAGED cache
+        (engine/paged.paged_verify_window) while the draft keeps its own
+        small dense cache; the emitted tokens are identical either way.
     Returns (emitted [B, n_draft+1], n_emit [B], new_next [B],
              new_row_pos [B], t_cache, d_cache):
       row b emitted ``emitted[b, :n_emit[b]]``; EOS and budget are applied
@@ -77,9 +97,8 @@ def spec_decode_round(t_params, d_params, t_cache: KVCache, d_cache: KVCache,
 
     # -- target verifies the whole window in one step ------------------------
     window = jnp.concatenate([next_token[:, None], props], axis=1)
-    t_logits, t_cache = ragged_verify_window(
-        t_params, t_cache, window, row_pos, active, t_config,
-        impl=impl, compute_dtype=compute_dtype)
+    t_logits, t_cache = _verify(t_params, t_cache, window, row_pos, active,
+                                t_config, t_page_tables, impl, compute_dtype)
     greedy = jnp.argmax(t_logits, -1).astype(jnp.int32)  # [B, n_draft+1]
 
     # -- acceptance: longest prefix of proposals matching target greedy -----
@@ -117,11 +136,12 @@ def _finalize(emitted, n_emit, next_token, row_pos, active, budget, eos):
 
 @functools.partial(jax.jit, static_argnames=(
     "t_config", "d_config", "n_draft", "sampling", "impl", "compute_dtype"))
-def spec_decode_round_sampled(t_params, d_params, t_cache: KVCache,
+def spec_decode_round_sampled(t_params, d_params, t_cache,
                               d_cache: KVCache, next_token, row_pos,
                               active, budget, key,
                               t_config: BitLlamaConfig,
-                              d_config: BitLlamaConfig, *, n_draft: int,
+                              d_config: BitLlamaConfig,
+                              t_page_tables=None, *, n_draft: int,
                               sampling, impl: str = "auto",
                               compute_dtype=jnp.bfloat16):
     """One REJECTION-SAMPLING speculative round (temperature/top-k/top-p).
@@ -168,9 +188,8 @@ def spec_decode_round_sampled(t_params, d_params, t_cache: KVCache,
 
     # -- target scores the whole window in one step -------------------------
     window = jnp.concatenate([next_token[:, None], props], axis=1)
-    t_logits, t_cache = ragged_verify_window(
-        t_params, t_cache, window, row_pos, active, t_config,
-        impl=impl, compute_dtype=compute_dtype)
+    t_logits, t_cache = _verify(t_params, t_cache, window, row_pos, active,
+                                t_config, t_page_tables, impl, compute_dtype)
     p_all = jax.nn.softmax(warp_logits(t_logits, sampling), axis=-1)
     # p_all[:, i] is the target's distribution for proposal i (position
     # after consuming window[:i+1]) — [B, n+1, V]

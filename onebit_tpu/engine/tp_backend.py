@@ -1,31 +1,40 @@
-"""Tensor-parallel serving backend: shard_map TP variants of the dense
-serving device programs (ragged decode step / block, batched prefill).
+"""Tensor-parallel serving backend: shard_map TP variants of the serving
+device programs (ragged decode step / block, batched prefill, chunked
+prefill appends, and the full PAGED program family).
 
 This lets the continuous-batching engine serve models bigger than one
 chip's HBM (13B+) — or cut per-step weight-unpack latency ``mp``-fold —
 with the SAME host-side scheduler: the engine swaps its single-device
-jitted programs for these, and admission, buckets, EOS bookkeeping and
-metrics stay untouched.  The reference has no multi-device serving at
-all: its only eval-time model parallelism is greedy layer-to-GPU
-placement with activation-moving forward hooks
-(reference evaluation/lm_eval/parallel_utils.py:89-163), and generation
-is single-device HF lockstep ``generate``
+jitted programs for these, and admission, buckets, page allocation,
+prefix caching, EOS bookkeeping and metrics stay untouched.  The
+reference has no multi-device serving at all: its only eval-time model
+parallelism is greedy layer-to-GPU placement with activation-moving
+forward hooks (reference evaluation/lm_eval/parallel_utils.py:89-163),
+and generation is single-device HF lockstep ``generate``
 (modeling_bitllama.py:1464-1510).  Here each program is Megatron-style
 tensor parallelism over the ``model`` mesh axis (column/row-parallel
 OneBit linears with distributed moment-psum LayerNorm,
 model/tp_decode.py) with XLA collectives riding ICI.
 
 Design notes:
-* The KV cache is head-sharded (``TP_CACHE_SPEC``) and stacked
-  ``[L, B, T, nkv/mp, hd]`` — per-row one-token scatters, donated at
-  every dispatch like the single-device engine path.
-* The decode step all-gathers fp32 logits only when the host needs the
-  full distribution (engine-side sampling); the in-program block loop
-  does the same per step so any ``SamplingConfig`` works unmodified.
-* Layer loop is ``lax.scan`` over stacked per-layer params (the
-  shard_map body cannot use the scalar-prefetch stacked kernels of the
-  flat single-device path; the TP win is the mp-fold smaller per-chip
-  weight stream, which dominates at 13B+).
+* Layer loops are FLAT ``fori_loop`` bodies over stacked LOCAL weight
+  shards using the raw (no-LN) scalar-prefetch stacked kernels
+  (kernels/bitlinear_pallas.bitlinear_packed_raw_stacked) — the same
+  flat HBM-traffic profile as the single-device decode path.  The
+  earlier scan-over-layers TP bodies paid an extra read+write of the
+  packed weights per step (~2x step cost at 7B, PERF.md).
+* The KV cache is head-sharded and donated at every dispatch.  Dense:
+  ``[L, B, T, nkv/mp, hd]``; paged pools: ``[L, P, nkv/mp, ps, hd]``
+  (scales too) — the paged cores in engine/paged.py run unchanged on the
+  local shard via the :class:`~onebit_tpu.engine.paged.PagedProj` seam.
+* Greedy decode avoids the full-vocab logits all-gather: each shard
+  argmaxes its local ``V/mp`` lm_head slice and only ``mp`` (value,
+  index) scalar pairs per row cross ICI (``V/(2·mp)``-fold less
+  traffic); non-greedy sampling keeps the gathered fp32 logits so any
+  SamplingConfig works unmodified.
+* ``embed_tokens`` is vocab-sharded like ``lm_head`` when divisible
+  (model/tp_decode.tp_embed) — a 13B's ~330 MB bf16 table is not
+  replicated per chip.
 """
 
 from __future__ import annotations
@@ -43,9 +52,10 @@ from onebit_tpu.model.bitllama import KVCache
 from onebit_tpu.model.config import BitLlamaConfig
 from onebit_tpu.model.rope import apply_rope, rope_cos_sin
 from onebit_tpu.model.tp_decode import (
-    _column_parallel,
+    _col_parallel_flat,
     _match_specs,
-    _row_parallel,
+    _row_parallel_flat,
+    tp_embed,
 )
 from onebit_tpu.parallel.mesh import MODEL_AXIS
 
@@ -54,82 +64,92 @@ TP_CACHE_SPEC = KVCache(k=P(None, None, None, MODEL_AXIS, None),
                         v=P(None, None, None, MODEL_AXIS, None))
 
 
-def _tp_ragged_layer(x, layer_params, cos, sin, mask, ck, cv, slot_rows,
-                     positions, config: BitLlamaConfig, mp: int, impl: str,
-                     attend_cache: bool):
-    """One TP decoder layer at per-row positions.
+def tp_proj(params, config: BitLlamaConfig, impl: str, compute_dtype,
+            mp: int):
+    """TP projection strategy for the shared cores (engine/paged.PagedProj
+    protocol): column-parallel q/k/v/gate/up with distributed moment-psum
+    LayerNorm, row-parallel o/down with activation psums, vocab-shard-aware
+    embedding.  ``params`` are the LOCAL shards inside shard_map."""
+    from onebit_tpu.engine.paged import PagedProj
+    layers = params["layers"]
 
-    ``x [R, S, d]`` (replicated), ``ck/cv [B_slots, T, nkv/mp, hd]`` (the
-    local head shard), ``slot_rows [R]`` cache slots, ``positions [R, S]``
-    write positions.  ``attend_cache=True`` attends over the full (just
-    updated) cache rows of the R slots; ``False`` attends over the fresh
-    local K/V only (self-contained prefill — rows see only themselves).
+    def ln(x, name, i):
+        return bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers[name], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+
+    return PagedProj(
+        embed=lambda ids: tp_embed(params["embed_tokens"], ids,
+                                   config.vocab_size, compute_dtype),
+        qkv=lambda hx, i: (
+            _col_parallel_flat(hx, layers, "q_proj", i, impl),
+            _col_parallel_flat(hx, layers, "k_proj", i, impl),
+            _col_parallel_flat(hx, layers, "v_proj", i, impl)),
+        o=lambda v, i: _row_parallel_flat(v, layers, "o_proj", i, impl),
+        gateup=lambda hx, i: (
+            _col_parallel_flat(hx, layers, "gate_proj", i, impl),
+            _col_parallel_flat(hx, layers, "up_proj", i, impl)),
+        down=lambda v, i: _row_parallel_flat(v, layers, "down_proj", i,
+                                             impl),
+        ln=ln,
+        final=lambda x: bitllama.rms_norm(x, params["final_norm"],
+                                          config.rms_norm_eps),
+        nh=config.num_attention_heads // mp,
+        nkv=config.num_key_value_heads // mp)
+
+
+def _dense_core(proj, cache: KVCache, tokens, slot_rows, positions, mask,
+                config: BitLlamaConfig, compute_dtype, attend_cache: bool):
+    """Flat dense-cache core: ``tokens [R, S]`` written at per-row
+    ``positions [R, S]`` into cache slots ``slot_rows [R]``.
+
+    ``attend_cache=True`` attends over the full (just updated) cache rows
+    (decode step / verify window / chunk append); ``False`` attends over
+    the fresh local K/V only (self-contained prefill).  Returns
+    (final-normed hidden [R, S, d], new cache).
     """
-    b, s, _ = x.shape
-    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
-                   config.head_dim)
-    nh_l, nkv_l = nh // mp, nkv // mp
-
-    residual = x
-    hx = bitllama.rms_norm(x, layer_params["input_layernorm"],
-                           config.rms_norm_eps)
-    q = _column_parallel(hx, layer_params["q_proj"], impl)
-    k = _column_parallel(hx, layer_params["k_proj"], impl)
-    v = _column_parallel(hx, layer_params["v_proj"], impl)
-    q = q.reshape(b, s, nh_l, hd)
-    k = k.reshape(b, s, nkv_l, hd)
-    v = v.reshape(b, s, nkv_l, hd)
-    q, k = apply_rope(q, k, cos, sin)
-
-    ck = ck.at[slot_rows[:, None], positions].set(k.astype(ck.dtype))
-    cv = cv.at[slot_rows[:, None], positions].set(v.astype(cv.dtype))
-    if attend_cache:
-        kk = ck[slot_rows].astype(q.dtype)
-        vv = cv[slot_rows].astype(q.dtype)
-    else:
-        kk, vv = k, v
-    ctx = bitllama._attention(q, kk, vv, mask,
-                              num_kv_groups=config.num_kv_groups)
-    attn = _row_parallel(ctx.reshape(b, s, nh_l * hd),
-                         layer_params["o_proj"], impl)
-    x = residual + attn
-
-    residual = x
-    hx = bitllama.rms_norm(x, layer_params["post_attention_layernorm"],
-                           config.rms_norm_eps)
-    gate = _column_parallel(hx, layer_params["gate_proj"], impl)
-    up = _column_parallel(hx, layer_params["up_proj"], impl)
-    mlp = _row_parallel(jax.nn.silu(gate) * up, layer_params["down_proj"],
-                        impl)
-    return residual + mlp, ck, cv
-
-
-def _tp_forward(params, cache: KVCache, tokens, slot_rows, positions, mask,
-                config: BitLlamaConfig, mp: int, impl: str,
-                compute_dtype, attend_cache: bool):
-    """Shared TP body: embed → scan TP layers → final norm.
-
-    ``tokens [R, S]`` int32, ``positions [R, S]`` cache write positions.
-    Returns (hidden [R, S, d], new_cache).
-    """
+    r, s = tokens.shape
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
     max_len = cache.max_len
-    x = params["embed_tokens"][tokens].astype(compute_dtype)
+    x = proj.embed(tokens)
     cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta,
                             config.rope_scaling,
                             config.max_position_embeddings, seq_len=max_len,
                             dtype=compute_dtype)
 
-    def layer(x, layer_in):
-        layer_params, ck, cv = layer_in
-        x, nk, nv = _tp_ragged_layer(
-            x, layer_params, cos, sin, mask, ck, cv, slot_rows, positions,
-            config, mp, impl, attend_cache)
-        return x, (nk, nv)
+    def body(i, carry):
+        x, k_all, v_all = carry
+        residual = x
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
+        q = q.reshape(r, s, nh, hd)
+        k = k.reshape(r, s, nkv, hd)
+        v = v.reshape(r, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        k_all = k_all.at[i, slot_rows[:, None], positions].set(
+            k.astype(k_all.dtype))
+        v_all = v_all.at[i, slot_rows[:, None], positions].set(
+            v.astype(v_all.dtype))
+        if attend_cache:
+            kk = jax.lax.dynamic_index_in_dim(
+                k_all, i, 0, keepdims=False)[slot_rows].astype(q.dtype)
+            vv = jax.lax.dynamic_index_in_dim(
+                v_all, i, 0, keepdims=False)[slot_rows].astype(q.dtype)
+        else:
+            kk, vv = k, v
+        ctx = bitllama._attention(q, kk, vv, mask, num_kv_groups=nh // nkv)
+        attn = proj.o(ctx.reshape(r, s, nh * hd), i)
+        x = residual + attn
+        residual = x
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
+        return (residual + mlp, k_all, v_all)
 
-    x, (nk, nv) = jax.lax.scan(layer, x,
-                               (params["layers"], cache.k, cache.v))
-    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
-    return x, KVCache(k=nk, v=nv)
+    x, nk, nv = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, cache.k, cache.v))
+    return proj.final(x), KVCache(k=nk, v=nv)
 
 
 def _gathered_logits(x, params, compute_dtype):
@@ -140,38 +160,80 @@ def _gathered_logits(x, params, compute_dtype):
                               tiled=True)
 
 
-class TPServing:
-    """jitted shard_map TP programs matching the dense engine contracts.
+def _greedy_token(x, params, compute_dtype):
+    """Greedy next token without gathering full logits: per-shard argmax
+    over the local ``V/mp`` lm_head slice, then ``mp`` (value, index)
+    pairs per row combined — ``V/(2·mp)``-fold less ICI traffic than the
+    fp32 logits all-gather.  Ties break toward the lowest global vocab
+    index, matching ``jnp.argmax`` on the full row (token-exact).
+    ``x [B, d]`` → tokens ``[B]`` int32."""
+    logits_l = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
+                          preferred_element_type=jnp.float32)
+    v_local = logits_l.shape[-1]
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    local_max = jnp.max(logits_l, axis=-1)                     # [B]
+    local_arg = (jnp.argmax(logits_l, axis=-1).astype(jnp.int32)
+                 + shard * v_local)                            # [B]
+    all_max = jax.lax.all_gather(local_max, MODEL_AXIS)        # [mp, B]
+    all_arg = jax.lax.all_gather(local_arg, MODEL_AXIS)
+    best = jnp.argmax(all_max, axis=0)                         # [B]
+    return jnp.take_along_axis(all_arg, best[None, :], axis=0)[0]
 
-    ``step / prefill_rows / block`` mirror
-    ``model.ragged_decode.{ragged_decode_step, prefill_rows,
-    ragged_decode_block}`` (same signatures minus config/static kwargs,
-    which are closed over) with the KV cache donated at each dispatch.
+
+class TPServing:
+    """jitted shard_map TP programs matching the engine's single-device
+    program contracts (dense AND paged), with the KV cache/pool donated at
+    each dispatch.
+
+    Dense: ``step / greedy_step / prefill_rows / chunk_append / block``.
+    Paged (``paged=True``): ``paged_step / paged_greedy_step /
+    paged_prefill_rows / paged_chunk_append / paged_block`` — built from
+    the SAME cores as the single-device paged path
+    (engine/paged._window_core/_prefill_rows_core) through the
+    :func:`tp_proj` strategy, so TP×paged×prefix-cache×quantized-KV is
+    one code path, not a fork.
     """
 
     def __init__(self, mesh, config: BitLlamaConfig, params_template, *,
                  impl: str = "auto", compute_dtype=jnp.bfloat16,
                  sampling: Optional[SamplingConfig] = None,
-                 block_steps: int = 1):
+                 block_steps: int = 1, paged: bool = False):
         mp = mesh.shape[MODEL_AXIS]
         if config.num_attention_heads % mp or \
                 config.num_key_value_heads % mp:
             raise ValueError(f"heads not divisible by model={mp}")
         self.mesh = mesh
         self.mp = mp
-        specs = _match_specs(params_template)
+        self.config = config
+        self.compute_dtype = compute_dtype
+        specs = _match_specs(params_template, mp)
         sampling = sampling or SamplingConfig(greedy=True)
+        self.greedy = bool(sampling.greedy)
+        proj_of = functools.partial(tp_proj, config=config, impl=impl,
+                                    compute_dtype=compute_dtype, mp=mp)
 
-        def step_body(params, cache, input_ids, row_pos, active):
+        # -- dense bodies ----------------------------------------------------
+        def step_hidden(params, cache, input_ids, row_pos, active):
             b, s = input_ids.shape
             kj = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, 1, cache.max_len), 3)
             mask = (kj <= row_pos[:, None, None, None]) & \
                 active[:, None, None, None]
-            x, cache = _tp_forward(
-                params, cache, input_ids, jnp.arange(b), row_pos[:, None],
-                mask, config, mp, impl, compute_dtype, attend_cache=True)
+            x, cache = _dense_core(
+                proj_of(params), cache, input_ids, jnp.arange(b),
+                row_pos[:, None], mask, config, compute_dtype,
+                attend_cache=True)
+            return x, cache
+
+        def step_body(params, cache, input_ids, row_pos, active):
+            x, cache = step_hidden(params, cache, input_ids, row_pos,
+                                   active)
             return _gathered_logits(x, params, compute_dtype), cache
+
+        def greedy_step_body(params, cache, input_ids, row_pos, active):
+            x, cache = step_hidden(params, cache, input_ids, row_pos,
+                                   active)
+            return _greedy_token(x[:, 0], params, compute_dtype), cache
 
         def prefill_body(params, cache, ids, lengths, rows):
             r, s_pad = ids.shape
@@ -180,12 +242,32 @@ class TPServing:
                 attn[:, None, None, :]
             positions = jnp.broadcast_to(jnp.arange(s_pad)[None, :],
                                          (r, s_pad))
-            x, cache = _tp_forward(
-                params, cache, ids, rows, positions, mask, config, mp,
-                impl, compute_dtype, attend_cache=False)
+            x, cache = _dense_core(
+                proj_of(params), cache, ids, rows, positions, mask, config,
+                compute_dtype, attend_cache=False)
             last = jnp.take_along_axis(
                 x, jnp.maximum(lengths - 1, 0)[:, None, None]
                 .astype(jnp.int32), axis=1)[:, 0]
+            return _gathered_logits(last, params, compute_dtype), cache
+
+        def chunk_body(params, cache, ids, start, length, row):
+            # one row's fixed-size chunk appended at ``start`` — the dense
+            # chunked-prefill program (model/ragged_decode.chunk_append_row
+            # contract): the chunk attends to the row's earlier cache
+            # content plus itself
+            c = ids.shape[0]
+            positions = (start + jnp.arange(c))[None, :]
+            qi = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, c, cache.max_len), 2)
+            kj = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, c, cache.max_len), 3)
+            mask = kj <= (start + qi)
+            x, cache = _dense_core(
+                proj_of(params), cache, ids[None, :], row[None], positions,
+                mask, config, compute_dtype, attend_cache=True)
+            last = jnp.take_along_axis(
+                x, (length - 1)[None, None, None].astype(jnp.int32),
+                axis=1)[0, 0]
             return _gathered_logits(last, params, compute_dtype), cache
 
         def block_body(params, cache, next_token, row_pos, active, budget,
@@ -194,10 +276,14 @@ class TPServing:
 
             def body(carry, _):
                 cache, tok, pos, done, budget, key = carry
-                logits, cache = step_body(params, cache, tok[:, None], pos,
-                                          active & ~done)
+                x, cache = step_hidden(params, cache, tok[:, None], pos,
+                                       active & ~done)
                 key, sub = jax.random.split(key)
-                nxt = sample_token(logits[:, 0], sub, sampling)
+                if self.greedy:
+                    nxt = _greedy_token(x[:, 0], params, compute_dtype)
+                else:
+                    logits = _gathered_logits(x, params, compute_dtype)
+                    nxt = sample_token(logits[:, 0], sub, sampling)
                 valid = active & ~done
                 nxt = jnp.where(valid, nxt, tok)
                 pos = jnp.where(valid, pos + 1, pos)
@@ -217,9 +303,19 @@ class TPServing:
                  in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep),
                  out_specs=(rep, TP_CACHE_SPEC)),
             donate_argnums=(1,))
+        self.greedy_step = jax.jit(
+            smap(greedy_step_body,
+                 in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep),
+                 out_specs=(rep, TP_CACHE_SPEC)),
+            donate_argnums=(1,))
         self.prefill_rows = jax.jit(
             smap(prefill_body,
                  in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep),
+                 out_specs=(rep, TP_CACHE_SPEC)),
+            donate_argnums=(1,))
+        self.chunk_append = jax.jit(
+            smap(chunk_body,
+                 in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep, rep),
                  out_specs=(rep, TP_CACHE_SPEC)),
             donate_argnums=(1,))
         self.block = jax.jit(
@@ -228,10 +324,137 @@ class TPServing:
                  out_specs=(rep, rep, TP_CACHE_SPEC, rep)),
             donate_argnums=(1,))
 
+        if paged:
+            self._build_paged(specs, sampling, block_steps, smap, proj_of)
+
+    # -- paged programs -------------------------------------------------------
+    def _build_paged(self, specs, sampling, block_steps, smap, proj_of):
+        from onebit_tpu.engine.paged import (PagedKVCache, QuantPagedKVCache,
+                                             _prefill_rows_core,
+                                             _window_core)
+        config, compute_dtype = self.config, self.compute_dtype
+        head_sharded = P(None, None, MODEL_AXIS, None, None)
+        scale_sharded = P(None, None, MODEL_AXIS, None, None)
+        self._paged_specs = {
+            PagedKVCache: PagedKVCache(k_pages=head_sharded,
+                                       v_pages=head_sharded),
+            QuantPagedKVCache: QuantPagedKVCache(
+                k_q=head_sharded, k_s=scale_sharded,
+                v_q=head_sharded, v_s=scale_sharded),
+        }
+
+        def pool_spec(cache):
+            return self._paged_specs[type(cache)]
+
+        def step_hidden(params, cache, input_ids, lengths, page_indices):
+            return _window_core(proj_of(params), cache, input_ids, lengths,
+                                page_indices, config, compute_dtype, False)
+
+        def pstep_body(params, cache, input_ids, lengths, page_indices):
+            x, cache = step_hidden(params, cache, input_ids, lengths,
+                                   page_indices)
+            return _gathered_logits(x, params, compute_dtype), cache
+
+        def pgreedy_body(params, cache, input_ids, lengths, page_indices):
+            x, cache = step_hidden(params, cache, input_ids, lengths,
+                                   page_indices)
+            return _greedy_token(x[:, 0], params, compute_dtype), cache
+
+        def pprefill_body(params, cache, ids, lengths, page_indices):
+            x, cache = _prefill_rows_core(
+                proj_of(params), cache, ids, lengths, page_indices, config,
+                compute_dtype)
+            last = jnp.take_along_axis(
+                x, jnp.maximum(lengths - 1, 0)[:, None, None]
+                .astype(jnp.int32), axis=1)[:, 0]
+            return _gathered_logits(last, params, compute_dtype), cache
+
+        def pchunk_body(params, cache, ids, start, length, table_row):
+            x, cache = _window_core(
+                proj_of(params), cache, ids[None, :], start[None],
+                table_row[None, :], config, compute_dtype, False)
+            last = jnp.take_along_axis(
+                x, (length - 1)[None, None, None].astype(jnp.int32),
+                axis=1)[0, 0]
+            return _gathered_logits(last, params, compute_dtype), cache
+
+        def pblock_body(params, cache, next_token, lengths, page_indices,
+                        active, budget, key):
+            eos = jnp.int32(config.eos_token_id)
+
+            def body(carry, _):
+                cache, tok, lens, done, budget, key = carry
+                x, cache = step_hidden(params, cache, tok[:, None], lens,
+                                       page_indices)
+                key, sub = jax.random.split(key)
+                if self.greedy:
+                    nxt = _greedy_token(x[:, 0], params, compute_dtype)
+                else:
+                    logits = _gathered_logits(x, params, compute_dtype)
+                    nxt = sample_token(logits[:, 0], sub, sampling)
+                valid = active & ~done
+                nxt = jnp.where(valid, nxt, tok)
+                lens = jnp.where(valid, lens + 1, lens)
+                budget = jnp.where(valid, budget - 1, budget)
+                done = done | (valid & ((nxt == eos) | (budget <= 0)))
+                return (cache, nxt, lens, done, budget, key), (nxt, valid)
+
+            carry0 = (cache, next_token, lengths, ~active, budget, key)
+            (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
+                body, carry0, None, length=block_steps)
+            return toks, valid, cache, key
+
+        rep = P()
+
+        def dispatcher(body, out_specs_of, n_rep_in):
+            # the pool spec depends on the cache TYPE (plain vs quant), so
+            # wrap in a dispatcher that builds/caches the jitted program on
+            # first call per cache type; ``.lower`` is exposed for
+            # warmup-time AOT compilation
+            compiled = {}
+
+            def get(cache):
+                kind = type(cache)
+                if kind not in compiled:
+                    cspec = self._paged_specs[kind]
+                    compiled[kind] = jax.jit(
+                        smap(body,
+                             in_specs=(specs, cspec) + (rep,) * n_rep_in,
+                             out_specs=out_specs_of(cspec)),
+                        donate_argnums=(1,))
+                return compiled[kind]
+
+            def call(params, cache, *args):
+                return get(cache)(params, cache, *args)
+            call.lower = lambda params, cache, *args: \
+                get(cache).lower(params, cache, *args)
+            return call
+
+        step_out = lambda cspec: (rep, cspec)                 # noqa: E731
+        block_out = lambda cspec: (rep, rep, cspec, rep)      # noqa: E731
+        self.paged_step = dispatcher(pstep_body, step_out, 3)
+        self.paged_greedy_step = dispatcher(pgreedy_body, step_out, 3)
+        self.paged_prefill_rows = dispatcher(pprefill_body, step_out, 3)
+        self.paged_chunk_append = dispatcher(pchunk_body, step_out, 4)
+        self.paged_block = dispatcher(pblock_body, block_out, 6)
+
+    # -- cache constructors ---------------------------------------------------
     def init_cache(self, config: BitLlamaConfig, batch: int, max_len: int,
                    dtype=jnp.bfloat16) -> KVCache:
-        """Head-sharded KV cache placed on the mesh."""
+        """Head-sharded dense KV cache placed on the mesh."""
         cache = bitllama.init_kv_cache(config, batch, max_len, dtype=dtype)
         return jax.tree.map(
             lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
             cache, TP_CACHE_SPEC)
+
+    def init_paged_cache(self, config: BitLlamaConfig, num_pages: int,
+                         page_size: int = 16, dtype=jnp.bfloat16,
+                         quantized=False):
+        """Head-sharded paged pool placed on the mesh."""
+        from onebit_tpu.engine.paged import init_paged_kv_cache
+        cache = init_paged_kv_cache(config, num_pages, page_size,
+                                    dtype=dtype, quantized=quantized)
+        spec = self._paged_specs[type(cache)]
+        return jax.tree.map(
+            lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
+            cache, spec)

@@ -133,6 +133,35 @@ def bitlinear_apply_stacked(x, w: BitLinearWeights, layer, *,
     return bitlinear_apply(x, _pick_layer(w, layer), impl=impl, eps=eps)
 
 
+def bitlinear_apply_stacked_raw(x, w: BitLinearWeights, layer, *,
+                                impl: str = "auto"):
+    """Layer ``layer`` of a STACKED packed BitLinear WITHOUT LayerNorm —
+    fp32 ``((x⊙g)·Sᵀ)⊙h``.  The per-shard projection for tensor-parallel
+    flat (fori-over-layers) bodies: LayerNorm runs after the cross-shard
+    psum (moment form for column-parallel, activation psum for
+    row-parallel — model/tp_decode.py)."""
+    if impl == "auto":
+        impl = "pallas" if (w.mode == "packed" and
+                            jax.default_backend() == "tpu") else "xla"
+    if impl == "pallas":
+        if w.mode != "packed":
+            raise ValueError("pallas impl requires packed weights")
+        from onebit_tpu.kernels.bitlinear_pallas import (
+            bitlinear_packed_raw_stacked)
+        return bitlinear_packed_raw_stacked(
+            x, w.packed, w.input_factor, w.weight_scale, layer)
+    wl = _pick_layer(w, layer)
+    if wl.mode == "latent":
+        sign_w = sign_ste(wl.latent).astype(x.dtype)
+    elif wl.mode == "dense_sign":
+        sign_w = wl.dense_sign.astype(x.dtype)
+    else:
+        sign_w = unpack_signs_device(wl.packed, dtype=x.dtype)
+    z = jnp.matmul(x * wl.input_factor.astype(x.dtype), sign_w.T,
+                   preferred_element_type=jnp.float32)
+    return z * wl.weight_scale.astype(jnp.float32)
+
+
 def bitlinear_apply(x, w: BitLinearWeights, *, impl: str = "auto",
                     eps: float = LN_EPS):
     """Apply a BitLinear projection to ``x [..., in]`` → ``[..., out]``.

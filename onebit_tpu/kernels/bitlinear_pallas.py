@@ -662,6 +662,38 @@ def bitlinear_packed_pallas(x, packed, g, h, bias=None, *,
     return out.reshape(*lead, n)
 
 
+def bitlinear_packed_raw_stacked(x, packed, g, h, layer, *,
+                                 interpret: Optional[bool] = None):
+    """Stacked-layer ``((x⊙g)·Sᵀ)⊙h`` WITHOUT LayerNorm, fp32 out.
+
+    The tensor-parallel companion of :func:`bitlinear_packed_pallas_stacked`:
+    inside a shard_map TP body each device holds the LOCAL shard of the
+    stacked weights (``packed [L, K//32, N/mp]`` column-parallel, or
+    ``[L, K_local//32, N]`` row-parallel) and the LayerNorm happens after
+    the cross-shard moment/activation psum — so the kernel must return the
+    raw projection.  Same scalar-prefetch layer selection as the fused
+    path: no per-layer weight-slice materialization inside fori-over-layers
+    bodies (the ~2x decode step cost the scan path pays, PERF.md).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    *lead, k = x.shape
+    n = packed.shape[2]
+    if packed.shape[1] * WORD_BITS != k:
+        raise ValueError(f"stacked packed {packed.shape} mismatch K={k}")
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if m > _SMALL_M:
+        pick = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
+                                 axis=0, keepdims=False)
+        z = _call_large_m(x2, pick(packed), pick(g), pick(h), LN_EPS,
+                          interpret).astype(jnp.float32)
+    else:
+        z = _call_small_m_stacked(x2, packed, g, h, None, layer, LN_EPS,
+                                  interpret, fuse_ln=False)
+    return z.reshape(*lead, n)
+
+
 def bitlinear_packed_raw(x, packed, g, h, *, interpret: Optional[bool] = None):
     """``((x⊙g)·Sᵀ)⊙h`` WITHOUT LayerNorm, fp32 out — the per-shard body
     for tensor parallelism (LN happens after the cross-shard reduction).

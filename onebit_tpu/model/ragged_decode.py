@@ -443,20 +443,28 @@ def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
 def chunked_prefill_row(params, cache: KVCache, prompt, row,
                         config: BitLlamaConfig, *, chunk_size: int = 64,
                         impl: str = "auto", compute_dtype=jnp.bfloat16,
-                        donate: bool = False):
+                        donate: bool = False, step_fn=None):
     """Prefill one slot in fixed-size chunks (host loop over chunk_append_row).
 
     One compiled program serves any prompt length; returns the logits of
     the last prompt token and the updated cache.  ``donate=True`` donates
     the cache buffers at each chunk dispatch (caller must not reuse the
     cache it passed in — the engine's calling convention).
+    ``step_fn``: override the per-chunk program (the TP engine passes its
+    shard_map chunk program) — signature
+    ``(params, cache, ids, start, valid, row) -> (logits, cache)``.
     """
     import numpy as np
 
-    step = chunk_append_row
-    if donate:
-        from onebit_tpu.engine.batching import _donated
-        step = _donated(chunk_append_row)
+    if step_fn is None:
+        step = chunk_append_row
+        if donate:
+            from onebit_tpu.engine.batching import _donated
+            step = _donated(chunk_append_row)
+
+        def step_fn(params, cache, ids, ci, valid, row_):
+            return step(params, cache, ids, ci, valid, row_, config,
+                        impl=impl, compute_dtype=compute_dtype)
     prompt = list(prompt)
     logits = None
     for ci in range(0, len(prompt), chunk_size):
@@ -464,8 +472,7 @@ def chunked_prefill_row(params, cache: KVCache, prompt, row,
         valid = len(chunk)
         padded = np.zeros(chunk_size, np.int32)
         padded[:valid] = chunk
-        logits, cache = step(
+        logits, cache = step_fn(
             params, cache, jnp.asarray(padded), jnp.int32(ci),
-            jnp.int32(valid), jnp.int32(row), config, impl=impl,
-            compute_dtype=compute_dtype)
+            jnp.int32(valid), jnp.int32(row))
     return logits, cache

@@ -20,6 +20,8 @@ Megatron collective count, overlapped by XLA's async collectives.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -69,6 +71,53 @@ def _row_parallel(x_loc, w, impl, eps=LN_EPS):
     return layernorm_noaffine(z, eps).astype(x_loc.dtype)
 
 
+# ---- flat (fori-over-layers) TP projections: stacked LOCAL shards stay
+# whole in HBM and the raw (no-LN) scalar-prefetch kernel selects the layer
+# block on device; LayerNorm's cross-shard reduction happens in XLA after
+# the psum.  This gives shard_map TP bodies the same flat HBM-traffic
+# profile as the single-device decode path (bitllama.decode_step_flat) —
+# the scan-over-layers TP bodies paid an extra read+write of the packed
+# weights per step (PERF.md). ----
+
+def _col_parallel_flat(x, layers, name: str, i, impl, eps=LN_EPS):
+    """Column-parallel stacked BitLinear with distributed moment-psum LN."""
+    from onebit_tpu.kernels.bitlinear import bitlinear_apply_stacked_raw
+    z = bitlinear_apply_stacked_raw(x, layers[name], i, impl=impl)
+    n_total = jax.lax.psum(z.shape[-1], MODEL_AXIS)
+    s1 = jax.lax.psum(jnp.sum(z, -1, keepdims=True), MODEL_AXIS)
+    s2 = jax.lax.psum(jnp.sum(jnp.square(z), -1, keepdims=True), MODEL_AXIS)
+    mean = s1 / n_total
+    var = s2 / n_total - jnp.square(mean)
+    return ((z - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _row_parallel_flat(x_loc, layers, name: str, i, impl, eps=LN_EPS):
+    """Row-parallel stacked BitLinear: partial products psum'd, LN local."""
+    from onebit_tpu.kernels.bitlinear import bitlinear_apply_stacked_raw
+    z = bitlinear_apply_stacked_raw(x_loc, layers[name], i, impl=impl)
+    z = jax.lax.psum(z, MODEL_AXIS)
+    return layernorm_noaffine(z, eps).astype(x_loc.dtype)
+
+
+def tp_embed(embed, ids, vocab_size: int, compute_dtype):
+    """Token embedding lookup that works replicated OR vocab-sharded.
+
+    When ``embed`` is a vocab shard ``[V/mp, d]`` (tp_param_specs shards
+    ``embed_tokens`` like ``lm_head`` so a 13B's ~330 MB bf16 table is not
+    replicated per chip), each shard looks up only its own rows and one
+    psum of the (small) activations combines them — exactly one shard
+    contributes nonzero per token, so the sum is exact."""
+    if embed.shape[0] == vocab_size:
+        return embed[ids].astype(compute_dtype)
+    v_local = embed.shape[0]
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    loc = ids - shard * v_local
+    ok = (loc >= 0) & (loc < v_local)
+    x = embed[jnp.where(ok, loc, 0)].astype(compute_dtype)
+    x = jnp.where(ok[..., None], x, 0)
+    return jax.lax.psum(x, MODEL_AXIS)
+
+
 def _tp_decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
                       config: BitLlamaConfig, mp: int, impl: str):
     b, s, d = x.shape
@@ -108,12 +157,14 @@ def _tp_decoder_layer(x, layer_params, cos, sin, mask, cache_kv, cache_index,
     return residual + mlp, (ck, cv)
 
 
-def tp_param_specs():
+def tp_param_specs(shard_embed: bool = False):
     """PartitionSpecs for the TP decode param tree (packed inference).
 
     Column-parallel projections shard out-features; row-parallel ones
     (o_proj/down_proj) shard the *in* axis: packed columns + input_factor,
-    with weight_scale replicated.
+    with weight_scale replicated.  ``shard_embed``: shard ``embed_tokens``
+    over vocab like ``lm_head`` (lookup via :func:`tp_embed`) so the
+    table is not replicated per chip.
     """
     # K-major packed layout [L, K//32, N]: out = last axis, words = middle
     col = BitLinearWeights(weight_scale=P(None, MODEL_AXIS),
@@ -123,7 +174,7 @@ def tp_param_specs():
                            input_factor=P(None, MODEL_AXIS),
                            packed=P(None, MODEL_AXIS, None))
     return {
-        "embed_tokens": P(None, None),
+        "embed_tokens": P(MODEL_AXIS, None) if shard_embed else P(None, None),
         "lm_head": P(MODEL_AXIS, None),
         "final_norm": P(None),
         "layers": {
@@ -136,9 +187,12 @@ def tp_param_specs():
     }
 
 
-def _match_specs(params):
-    """Spec tree matching a concrete param tree (drop None-field specs)."""
-    specs = tp_param_specs()
+def _match_specs(params, mp: Optional[int] = None):
+    """Spec tree matching a concrete param tree (drop None-field specs).
+
+    ``mp``: when given, the embed table is vocab-sharded if divisible."""
+    vocab = params["embed_tokens"].shape[0]
+    specs = tp_param_specs(shard_embed=bool(mp) and vocab % mp == 0)
     layers = {}
     for name, val in params["layers"].items():
         spec = specs["layers"][name]
@@ -159,13 +213,28 @@ def repack_row_parallel(packed, mp: int):
     K block: unpack, split K into ``mp`` blocks, re-pack each block with
     its own local bitplane layout, concatenate along the word axis (-2 in
     the K-major device layout ``[..., K//32, N]``).
+
+    Stacked planes (leading layer axis) are repacked ONE LAYER AT A TIME so
+    the transient dense int8 sign tensor is a single layer's ``[N, K]``
+    (~70 MB at 13B) rather than all layers at once (~2.8 GB) — the engine
+    repacks at construction time on the default device, before sharding,
+    where an all-layer dense materialization could OOM exactly on the
+    13B+ models TP serving exists for.
     """
     from onebit_tpu.core.packing import (pack_signs_device,
                                          unpack_signs_device)
-    dense = unpack_signs_device(packed, dtype=jnp.int8)   # [..., N, K]
-    blocks = jnp.split(dense, mp, axis=-1)
-    return jnp.concatenate([pack_signs_device(b) for b in blocks],
-                           axis=-2)
+
+    def one(plane):                                       # [K//32, N]
+        dense = unpack_signs_device(plane, dtype=jnp.int8)  # [N, K]
+        blocks = jnp.split(dense, mp, axis=-1)
+        return jnp.concatenate([pack_signs_device(b) for b in blocks],
+                               axis=-2)
+
+    if packed.ndim == 2:
+        return one(packed)
+    repack_l = jax.jit(one)
+    return jnp.stack([repack_l(packed[layer])
+                      for layer in range(packed.shape[0])])
 
 
 def shard_tp_params(params, mesh):
@@ -176,7 +245,7 @@ def shard_tp_params(params, mesh):
         w = layers[name]
         layers[name] = w._replace(packed=repack_row_parallel(w.packed, mp))
     params["layers"] = layers
-    specs = _match_specs(params)
+    specs = _match_specs(params, mp)
     placed = jax.tree.map(
         lambda p, sp: jax.device_put(p, NamedSharding(mesh, sp)),
         params, specs)
@@ -195,14 +264,15 @@ def make_tp_decode_step(mesh, config: BitLlamaConfig, params_template, *,
     mp = mesh.shape[MODEL_AXIS]
     if config.num_attention_heads % mp or config.num_key_value_heads % mp:
         raise ValueError(f"heads not divisible by model={mp}")
-    specs = _match_specs(params_template)
+    specs = _match_specs(params_template, mp)
     cache_spec = KVCache(k=P(None, None, None, MODEL_AXIS, None),
                          v=P(None, None, None, MODEL_AXIS, None))
 
     def body(params, cache, input_ids, cache_index):
         b, s = input_ids.shape
         max_len = cache.max_len
-        x = params["embed_tokens"][input_ids].astype(compute_dtype)
+        x = tp_embed(params["embed_tokens"], input_ids, config.vocab_size,
+                     compute_dtype)
         positions = cache_index + jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(
             positions, config.head_dim, config.rope_theta,
@@ -256,14 +326,15 @@ def make_tp_greedy_step(mesh, config: BitLlamaConfig, params_template, *,
     mp = mesh.shape[MODEL_AXIS]
     if config.num_attention_heads % mp or config.num_key_value_heads % mp:
         raise ValueError(f"heads not divisible by model={mp}")
-    specs = _match_specs(params_template)
+    specs = _match_specs(params_template, mp)
     cache_spec = KVCache(k=P(None, None, None, MODEL_AXIS, None),
                          v=P(None, None, None, MODEL_AXIS, None))
 
     def body(params, cache, input_ids, cache_index):
         b, s = input_ids.shape
         max_len = cache.max_len
-        x = params["embed_tokens"][input_ids].astype(compute_dtype)
+        x = tp_embed(params["embed_tokens"], input_ids, config.vocab_size,
+                     compute_dtype)
         positions = cache_index + jnp.arange(s)[None, :]
         cos, sin = rope_cos_sin(
             positions, config.head_dim, config.rope_theta,

@@ -126,9 +126,11 @@ def test_spec_config_validation(tiny):
     config, params = tiny
     with pytest.raises(ValueError, match="draft_config"):
         ContinuousBatchingEngine(params, config, draft_params=params)
-    with pytest.raises(ValueError, match="dense cache"):
-        ContinuousBatchingEngine(params, config, draft_params=params,
-                                 draft_config=config, paged=True)
+    # paged + speculative is ALLOWED: the target verifies on its paged
+    # pool (paged_verify_window) while the draft keeps a dense cache
+    eng = ContinuousBatchingEngine(params, config, draft_params=params,
+                                   draft_config=config, paged=True)
+    assert eng.paged and eng.draft_params is not None
     # non-greedy + speculative is ALLOWED: routes through the
     # rejection-sampling round (spec_decode_round_sampled)
     eng = ContinuousBatchingEngine(

@@ -57,7 +57,7 @@ def test_tp_engine_block_decode_matches():
     assert got == want
 
 
-def test_tp_engine_warmup_and_4way():
+def test_tp_engine_warmup_mp2():
     config, params = _mk()   # tiny: 4 heads, 2 kv heads → mp=2 max for kv
     eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
                                    compute_dtype=jnp.float32,
@@ -67,11 +67,35 @@ def test_tp_engine_warmup_and_4way():
     assert all(len(g) >= 1 for g in got)
 
 
+def test_tp_engine_chunked_prefill_matches():
+    config, params = _mk()
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32)
+    want = _run(ref, PROMPTS)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   prefill_chunk_size=4,
+                                   tp_mesh=create_mesh((1, 2)))
+    got = _run(eng, PROMPTS)
+    assert got == want
+
+
 def test_tp_engine_rejects_unsupported_combos():
     config, params = _mk()
     mesh = create_mesh((1, 2))
-    with pytest.raises(ValueError):
-        ContinuousBatchingEngine(params, config, tp_mesh=mesh, paged=True)
-    with pytest.raises(ValueError):
-        ContinuousBatchingEngine(params, config, tp_mesh=mesh,
-                                 prefill_chunk_size=64)
+    # speculative decoding is the one remaining tp_mesh exclusion
+    draft = pack_model_params(
+        init_params(BitLlamaConfig.named("tiny", num_hidden_layers=1),
+                    jax.random.PRNGKey(1), mode="latent"))
+    with pytest.raises(ValueError, match="speculative"):
+        ContinuousBatchingEngine(
+            params, config, tp_mesh=mesh, draft_params=draft,
+            draft_config=BitLlamaConfig.named("tiny", num_hidden_layers=1))
+
+
+def test_tp_engine_rejects_indivisible_heads():
+    # tiny has 2 kv heads: a model axis of 4 cannot split them
+    config, params = _mk()
+    with pytest.raises(ValueError, match="heads not divisible"):
+        ContinuousBatchingEngine(params, config,
+                                 tp_mesh=create_mesh((1, 4)))
