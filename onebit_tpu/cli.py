@@ -97,6 +97,30 @@ def _apply_config_file(args, parser):
     return args
 
 
+def _parse_mesh(spec: str):
+    """"4x2" → (4, 2)."""
+    parts = spec.lower().split("x")
+    if len(parts) != 2:
+        raise SystemExit(f"--mesh must be DATAxMODEL (e.g. 4x2), got {spec}")
+    return (int(parts[0]), int(parts[1]))
+
+
+def _config_only(args):
+    """Model geometry for --dry-compile without materializing weights."""
+    import os
+
+    from onebit_tpu.model.config import BitLlamaConfig
+    if getattr(args, "model", None):
+        return BitLlamaConfig.named(args.model)
+    src = getattr(args, "student", None) or getattr(args, "ckpt", None)
+    if not src:
+        raise SystemExit("--dry-compile needs --model NAME or a checkpoint "
+                         "whose config.json supplies the geometry")
+    with open(os.path.join(src, "config.json")) as f:
+        from onebit_tpu.model.config import BitLlamaConfig
+        return BitLlamaConfig.from_dict(json.load(f))
+
+
 def cmd_train(args):
     import numpy as np
 
@@ -104,6 +128,26 @@ def cmd_train(args):
     from onebit_tpu.train.losses import KDConfig
     from onebit_tpu.train.run_kd import KDRunConfig, run_kd
     from onebit_tpu.train.trainer import TrainConfig
+
+    if args.dry_compile:
+        # HBM fit validation without hardware (parallel/memplan.py): AOT
+        # compile the REAL-geometry sharded train step on a virtual mesh
+        # and check XLA's per-chip peak against --hbm-gb.  The role of
+        # ZeRO-3's sharding guarantee (reference scripts/ds_config.json),
+        # checked before any chip is touched.
+        mesh_shape = _parse_mesh(args.mesh)
+        from onebit_tpu.parallel.memplan import (dry_compile_train,
+                                                 ensure_virtual_devices)
+        ensure_virtual_devices(mesh_shape[0] * mesh_shape[1])
+        config = _config_only(args)
+        report = dry_compile_train(
+            config, mesh_shape, args.batch_size, args.cutoff_len,
+            train_cfg=TrainConfig(remat=args.remat))
+        print(report)
+        if args.hbm_gb:
+            report.check(args.hbm_gb)
+            print(f"fits the {args.hbm_gb:g} GiB/chip budget")
+        return
 
     student = _load_any_ckpt(args.student)
     teacher = _load_any_ckpt(args.teacher)
@@ -306,6 +350,21 @@ def cmd_serve(args):
     from onebit_tpu.engine.batching import ContinuousBatchingEngine
     from onebit_tpu.engine.sampler import SamplingConfig
 
+    if args.dry_compile:
+        from onebit_tpu.parallel.memplan import (dry_compile_serve,
+                                                 ensure_virtual_devices)
+        tp = max(args.tp, 1)
+        ensure_virtual_devices(tp)
+        report = dry_compile_serve(
+            _config_only(args), tp, max_batch=args.max_batch,
+            max_len=args.max_len, paged=args.paged,
+            page_size=args.page_size)
+        print(report)
+        if args.hbm_gb:
+            report.check(args.hbm_gb)
+            print(f"fits the {args.hbm_gb:g} GiB/chip budget")
+        return
+
     loaded = _load_any_ckpt(args.ckpt)
     tok = None
     if args.tokenizer:
@@ -376,6 +435,45 @@ def cmd_bench(args):
     bench.main()
 
 
+def _add_dist_args(sp):
+    """Multi-host launch flags (the reference's deepspeed --hostfile
+    surface, scripts/llama_13b.sh + scripts/hostfile): run the SAME
+    command on every host with its --process-id; jax.distributed forms the
+    global mesh.  ``--distributed`` alone auto-detects the topology from
+    the TPU pod metadata (jax.distributed.initialize with no args)."""
+    sp.add_argument("--coordinator", help="host:port of process 0 "
+                    "(multi-host launch)")
+    sp.add_argument("--num-processes", type=int,
+                    help="total processes in the multi-host run")
+    sp.add_argument("--process-id", type=int,
+                    help="this process's rank (0-based)")
+    sp.add_argument("--distributed", action="store_true",
+                    help="initialize jax.distributed with auto-detected "
+                    "TPU-pod topology")
+
+
+def _maybe_init_distributed(args) -> None:
+    """Wire parallel.mesh.initialize_distributed from the CLI flags —
+    must run before any jax computation."""
+    coord = getattr(args, "coordinator", None)
+    nproc = getattr(args, "num_processes", None)
+    pid = getattr(args, "process_id", None)
+    if getattr(args, "distributed", False) or coord is not None:
+        if coord is not None and (nproc is None or pid is None):
+            raise SystemExit("--coordinator requires --num-processes and "
+                             "--process-id")
+        import os
+
+        from onebit_tpu.parallel.mesh import initialize_distributed
+        if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+            # CPU multi-process simulation needs the gloo collective
+            # backend (tests/test_multiprocess.py pattern)
+            import jax
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        initialize_distributed(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="onebit_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -434,6 +532,21 @@ def build_parser():
     t.add_argument("--kd-beta", type=float, default=1.0)
     t.add_argument("--kd-gamma", type=float, default=0.0)
     t.add_argument("--kd-loss-scale", type=float, default=0.01)
+    t.add_argument("--remat", action="store_true",
+                   help="rematerialize decoder layers in backward "
+                   "(gradient checkpointing, reference core.py:254-263)")
+    t.add_argument("--dry-compile", action="store_true",
+                   help="AOT-compile the sharded train step at real "
+                   "geometry on a virtual mesh and report per-chip HBM "
+                   "peak — no weights, no chips")
+    t.add_argument("--model", help="named geometry for --dry-compile "
+                   "(llama-7b/llama2-7b/llama-13b/llama2-13b)")
+    t.add_argument("--mesh", default="4x2",
+                   help="DATAxMODEL mesh for --dry-compile (default 4x2)")
+    t.add_argument("--hbm-gb", type=float, default=None,
+                   help="fail --dry-compile when per-chip peak exceeds "
+                   "this budget (v5e: 16)")
+    _add_dist_args(t)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="perplexity + zero-shot eval")
@@ -460,6 +573,7 @@ def build_parser():
                    "columns computed over clean docs only")
     e.add_argument("--expect", help="pinned expected-numbers JSON; exits "
                    "nonzero when any metric misses its tolerance")
+    _add_dist_args(e)
     e.set_defaults(fn=cmd_eval)
 
     g = sub.add_parser("generate", help="text generation")
@@ -477,7 +591,7 @@ def build_parser():
 
     sv = sub.add_parser("serve", help="continuous-batching serving loop "
                         "(prompts on stdin)")
-    sv.add_argument("--ckpt", required=True)
+    sv.add_argument("--ckpt")
     sv.add_argument("--tokenizer")
     sv.add_argument("--max-batch", type=int, default=8)
     sv.add_argument("--max-len", type=int, default=2048)
@@ -509,7 +623,16 @@ def build_parser():
                     help="fixed-shape chunked prefill size")
     sv.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel ways (shard_map over the model "
-                         "mesh axis; dense bucketed path)")
+                         "mesh axis; composes with --paged/--kv-quant/"
+                         "--prefix-cache/--prefill-chunk/--block-steps)")
+    sv.add_argument("--dry-compile", action="store_true",
+                    help="AOT-compile the TP decode step at real geometry "
+                    "on a virtual mesh and report per-chip HBM peak")
+    sv.add_argument("--model", help="named geometry for --dry-compile")
+    sv.add_argument("--hbm-gb", type=float, default=None,
+                    help="fail --dry-compile when per-chip peak exceeds "
+                    "this budget (v5e: 16)")
+    _add_dist_args(sv)
     sv.set_defaults(fn=cmd_serve)
 
     bn = sub.add_parser("bench", help="decode throughput benchmark")
@@ -524,9 +647,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if getattr(args, "config", None):
         args = _apply_config_file(args, parser)
-    if args.fn is cmd_train and (not args.student or not args.teacher):
+    if args.fn is cmd_train and not args.dry_compile and \
+            (not args.student or not args.teacher):
         parser.error("train requires --student and --teacher "
                      "(via flags or --config)")
+    if args.fn is cmd_serve and not args.dry_compile and not args.ckpt:
+        parser.error("serve requires --ckpt")
+    _maybe_init_distributed(args)
     args.fn(args)
 
 

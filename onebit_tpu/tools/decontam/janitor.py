@@ -16,13 +16,40 @@ import re
 import string
 from typing import Iterable, List, Tuple
 
+def _build_native():
+    """One-shot lazy build of the C core (setup.py build_ext --inplace) so
+    a fresh checkout exercises the native path without a manual
+    ``make native`` step; any failure degrades to the pure-Python loop
+    with a visible warning (the reference's own fallback is Python,
+    janitor.py:8-20 JANITOR_CPP flag)."""
+    import os
+    import subprocess
+    import sys
+    import warnings
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=here, capture_output=True, timeout=120, check=True)
+    except Exception as e:  # toolchain missing, sandbox, …
+        warnings.warn(f"decontam C core build failed ({e}); using the "
+                      "pure-Python n-gram scanner", RuntimeWarning)
+        return None
+    import importlib
+    try:
+        return importlib.import_module(
+            "onebit_tpu.tools.decontam._janitor_core")
+    except ImportError as e:
+        warnings.warn(f"decontam C core import failed after build ({e}); "
+                      "using the pure-Python n-gram scanner", RuntimeWarning)
+        return None
+
+
 try:
     from onebit_tpu.tools.decontam import _janitor_core
-
-    HAVE_NATIVE = True
 except ImportError:
-    _janitor_core = None
-    HAVE_NATIVE = False
+    _janitor_core = _build_native()
+HAVE_NATIVE = _janitor_core is not None
 
 
 def _py_words_with_indices(s: str) -> Iterable[Tuple[str, int, int]]:

@@ -38,7 +38,9 @@ def save_train_state(path: str, state: TrainState,
     """``sharded=True`` writes via orbax: each process writes only its own
     shards (no host gather) — required at 7B+ where fp32 latents + Adam
     moments exceed host RAM (ckpt/sharded.py rationale).  The npz path is
-    the small-model/single-host default (kept: zero-dep, byte-stable)."""
+    the small-model default (zero-dep, byte-stable); in a multi-process
+    run it gathers each leaf to the hosts (a COLLECTIVE — every process
+    must call this function) and process 0 alone writes the file."""
     os.makedirs(path, exist_ok=True)
     if sharded:
         import orbax.checkpoint as ocp
@@ -47,6 +49,12 @@ def save_train_state(path: str, state: TrainState,
                        state, force=True)
         return
     leaves = jax.tree.leaves(state)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        leaves = [multihost_utils.process_allgather(x, tiled=True)
+                  for x in leaves]
+        if jax.process_index() != 0:
+            return
     np.savez(os.path.join(path, "train_state.npz"),
              **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
 
@@ -190,7 +198,12 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
                 break
         return {f"eval_{k}": v / count for k, v in sums.items()}
 
-    tlog = TrainerLog(run_cfg.output_dir, total)
+    # multi-host: exactly one process owns the jsonl log, the npz
+    # checkpoint write, and the plots (the reference's rank-0 HF Trainer
+    # behavior); orbax sharded checkpoints are written by EVERY process
+    # (each saves only its own shards — that is their point)
+    is_main = jax.process_index() == 0
+    tlog = TrainerLog(run_cfg.output_dir, total) if is_main else None
     start_step = int(state.step)
     it = batch_iterator(blocks, run_cfg.batch_size, seed=run_cfg.seed,
                         epochs=None)
@@ -203,7 +216,8 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
         batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
                  for k, v in batch.items()}
         state, metrics = step_fn(state, teacher_params, batch)
-        if (step_idx + 1) % run_cfg.log_steps == 0 or step_idx + 1 == total:
+        if is_main and ((step_idx + 1) % run_cfg.log_steps == 0
+                        or step_idx + 1 == total):
             m = {k: float(v) for k, v in metrics.items()}
             m["learning_rate"] = float(schedule(step_idx))
             entry = tlog.log(step_idx + 1, m,
@@ -217,20 +231,26 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
         if eval_fn is not None and ((step_idx + 1) % eval_every == 0
                                     or step_idx + 1 == total):
             em = run_eval(state.params)
-            tlog.log(step_idx + 1, em,
-                     epoch=(step_idx + 1) / max(steps_per_epoch, 1))
-            logger.info(f"eval step {step_idx + 1}: "
-                        f"loss={em.get('eval_loss', float('nan')):.4f}")
+            if is_main:
+                tlog.log(step_idx + 1, em,
+                         epoch=(step_idx + 1) / max(steps_per_epoch, 1))
+                logger.info(f"eval step {step_idx + 1}: "
+                            f"loss={em.get('eval_loss', float('nan')):.4f}")
         if (step_idx + 1) % run_cfg.save_steps == 0 or step_idx + 1 == total:
             ckpt_dir = os.path.join(run_cfg.output_dir,
                                     f"checkpoint-{step_idx + 1}")
-            save_train_state(ckpt_dir, state, sharded=run_cfg.sharded_ckpt)
-            logger.info(f"saved {ckpt_dir}")
-            if run_cfg.save_total_limit:
+            # every process participates (orbax shard writes / npz
+            # allgather are collectives); only process 0 emits files
+            # on the npz path
+            save_train_state(ckpt_dir, state,
+                             sharded=run_cfg.sharded_ckpt)
+            if is_main:
+                logger.info(f"saved {ckpt_dir}")
+            if is_main and run_cfg.save_total_limit:
                 _prune_checkpoints(run_cfg.output_dir,
                                    run_cfg.save_total_limit)
 
-    if run_cfg.plot:
+    if run_cfg.plot and is_main:
         try:
             plot_loss(run_cfg.output_dir, keys=["loss", "kd_loss",
                                                 "student_loss"])

@@ -101,7 +101,27 @@ def make_optimizer(cfg: TrainConfig, params: Dict[str, Any]):
 
 def init_train_state(params: Dict[str, Any], cfg: TrainConfig) -> TrainState:
     tx = make_optimizer(cfg, params)
-    return TrainState(params=params, opt_state=tx.init(params),
+    opt_state = tx.init(params)
+    # ZeRO-3 by construction REQUIRES pinning: optax's init materializes
+    # moments WITHOUT the params' shardings (measured: SingleDeviceSharding
+    # eagerly, replicated under jit — either would OOM a chip at 7B, the
+    # exact failure parallel/memplan.py exists to catch).  Every opt-state
+    # leaf that mirrors a param shape inherits that param's sharding;
+    # scalars (step counts) stay replicated.
+    table = {}
+    for p in jax.tree.leaves(params):
+        if hasattr(p, "sharding") and getattr(p, "shape", ()) != ():
+            table.setdefault(p.shape, p.sharding)
+
+    def place(leaf):
+        sharding = table.get(getattr(leaf, "shape", ()))
+        if sharding is not None and isinstance(
+                sharding, jax.sharding.NamedSharding):
+            return jax.device_put(leaf, sharding)
+        return leaf
+
+    opt_state = jax.tree.map(place, opt_state)
+    return TrainState(params=params, opt_state=opt_state,
                       step=jnp.zeros((), jnp.int32))
 
 

@@ -59,3 +59,74 @@ def test_two_process_distributed_kd_step():
               for _, o, _ in outs}
     assert len(losses) == 1, losses
     assert all("global=4 local=2" in o for _, o, _ in outs)
+
+
+@pytest.mark.timeout(280)
+def test_two_process_cli_train_end_to_end(tmp_path):
+    """`python -m onebit_tpu train --coordinator …` as 2 OS processes —
+    the user-reachable multi-host launch (VERDICT r2 item 2; the
+    reference's deepspeed --hostfile surface, scripts/llama_13b.sh).
+    The checkpoint must be written exactly once, by process 0."""
+    import numpy as np
+
+    # build tiny student/teacher ckpts + a token file (subprocesses load
+    # them from disk — the real CLI contract)
+    build = subprocess.run(
+        [sys.executable, "-c", f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from onebit_tpu.model.bitllama import init_params, pack_model_params
+from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.ckpt.writer import save_native
+config = BitLlamaConfig.named("tiny")
+save_native({str(tmp_path / 'student')!r}, config,
+            init_params(config, jax.random.PRNGKey(0), mode="latent"))
+save_native({str(tmp_path / 'teacher')!r}, config, pack_model_params(
+            init_params(config, jax.random.PRNGKey(1), mode="latent")))
+np.save({str(tmp_path / 'blocks.npy')!r},
+        np.random.RandomState(0).randint(0, config.vocab_size, (16, 16)))
+print("BUILT")
+"""],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(WORKER) + "/..")
+    assert "BUILT" in build.stdout, build.stderr[-2000:]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    coord = f"127.0.0.1:{_free_port()}"
+    out_dir = tmp_path / "out"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "onebit_tpu", "train",
+             "--student", str(tmp_path / "student"),
+             "--teacher", str(tmp_path / "teacher"),
+             "--tokens", str(tmp_path / "blocks.npy"),
+             "--output-dir", str(out_dir),
+             "--batch-size", "4", "--max-steps", "2", "--save-steps", "2",
+             "--warmup-steps", "0",
+             "--coordinator", coord, "--num-processes", "2",
+             "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=os.path.dirname(WORKER) + "/..")
+        for pid in range(2)
+    ]
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+    # exactly one checkpoint dir, written once (by process 0)
+    ckpts = sorted(d.name for d in out_dir.iterdir()
+                   if d.name.startswith("checkpoint-"))
+    assert ckpts == ["checkpoint-2"], ckpts
+    assert (out_dir / "checkpoint-2" / "train_state.npz").exists()
+    # the jsonl log exists exactly once (process 0 owns it)
+    assert (out_dir / "trainer_log.jsonl").exists()
