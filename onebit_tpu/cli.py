@@ -259,10 +259,22 @@ def cmd_eval(args):
         for name in names:
             if name == "hendrycksTest":
                 for subject in SUBJECTS:
-                    import datasets
-                    ds = datasets.load_dataset("cais/mmlu", subject,
-                                               split="test")
-                    tasks.append(MMLUSubject(list(ds), subject))
+                    if args.task_source:
+                        from onebit_tpu.eval.task_source import load_split
+                        rows = load_split(args.task_source,
+                                          f"hendrycksTest-{subject}",
+                                          "test")
+                    else:
+                        import datasets
+                        rows = list(datasets.load_dataset(
+                            "cais/mmlu", subject, split="test"))
+                    tasks.append(MMLUSubject(rows, subject))
+            elif args.task_source:
+                # offline ingestion (eval/task_source.py): local files
+                # under --task-source/NAME/, no hub access
+                tasks.append(TASK_REGISTRY[name].from_source(
+                    args.task_source, name,
+                    with_train=args.num_fewshot > 0))
             else:
                 tasks.append(TASK_REGISTRY[name].from_datasets())
         decontam = None
@@ -565,6 +577,9 @@ def build_parser():
     e.add_argument("--corpus-source", help="local corpus path (text/jsonl/"
                    "load_from_disk dir) for --corpus")
     e.add_argument("--num-fewshot", type=int, default=0)
+    e.add_argument("--task-source", help="directory of local task data "
+                   "(DIR/NAME/<split>.jsonl|.json|.csv|.parquet or an HF "
+                   "save_to_disk dir) — fully offline --tasks evaluation")
     e.add_argument("--vocab-chunk", type=int, default=None,
                    help="stream the ppl lm_head/CE in vocab chunks of this "
                    "size (online logsumexp; cuts peak memory V/chunk-fold)")

@@ -216,6 +216,17 @@ class DocTask(Task):
         return [self.convert(d) for d in self._raw_train]
 
     @classmethod
+    def from_source(cls, source_dir: str, name: str,
+                    split: Optional[str] = None, with_train: bool = False):
+        """Load raw rows from local files under ``source_dir/name``
+        (eval/task_source.py conventions) — the offline path replacing the
+        reference's 13 vendored HF dataset builders
+        (evaluation/lm_eval/datasets/)."""
+        from onebit_tpu.eval.task_source import task_from_source
+        return task_from_source(cls, name, source_dir, split=split,
+                                with_train=with_train)
+
+    @classmethod
     def from_datasets(cls, split: Optional[str] = None,
                       with_train: bool = False, **load_kwargs):
         import datasets
