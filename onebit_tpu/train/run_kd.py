@@ -250,6 +250,22 @@ def run_kd(config: BitLlamaConfig, student_params, teacher_params,
                 _prune_checkpoints(run_cfg.output_dir,
                                    run_cfg.save_total_limit)
 
+    # final PARAMS checkpoint in the loadable native format (the reference
+    # Trainer's end-of-run save_pretrained): `convert`/`eval`/`serve`
+    # consume this directly — train_state.npz checkpoints are resume
+    # state, not a model artifact
+    final_dir = os.path.join(run_cfg.output_dir, "final")
+    params_out = state.params
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        params_out = jax.tree.map(
+            lambda x: multihost_utils.process_allgather(x, tiled=True),
+            params_out)
+    if is_main:
+        from onebit_tpu.ckpt.writer import save_native
+        save_native(final_dir, config, params_out)
+        logger.info(f"final model → {final_dir}")
+
     if run_cfg.plot and is_main:
         try:
             plot_loss(run_cfg.output_dir, keys=["loss", "kd_loss",
