@@ -42,3 +42,80 @@ def test_tp_bitlinear_pallas_interpret():
     got = jax.jit(tp)(x, pack_signs_device(w), g, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_raw_stacked_kernel_matches_xla():
+    """bitlinear_apply_stacked_raw: pallas (interpret) == xla, both layers.
+
+    The raw (no-LN) scalar-prefetch stacked kernel is the per-shard body
+    of the flat TP decode path (engine/tp_backend.py) — VERDICT r2 item 7
+    equivalence check."""
+    from onebit_tpu.kernels.bitlinear import (BitLinearWeights,
+                                              bitlinear_apply_stacked_raw)
+
+    rng = np.random.default_rng(2)
+    L, m, n, k = 3, 4, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((L, n, k)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((L, k)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((L, n)).astype(np.float32))
+    blw = BitLinearWeights(weight_scale=h, input_factor=g,
+                           packed=pack_signs_device(w))
+    for layer in range(L):
+        want = bitlinear_apply_stacked_raw(x, blw, jnp.int32(layer),
+                                           impl="xla")
+        got = bitlinear_apply_stacked_raw(x, blw, jnp.int32(layer),
+                                          impl="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_col_row_flat_tp_match_single_device():
+    """_col_parallel_flat/_row_parallel_flat under shard_map == the
+    unsharded BitLinear (LN included), pallas interpret per shard."""
+    from onebit_tpu.kernels.bitlinear import (BitLinearWeights,
+                                              bitlinear_apply)
+    from onebit_tpu.model.tp_decode import (_col_parallel_flat,
+                                            _row_parallel_flat,
+                                            repack_row_parallel)
+    from jax.sharding import PartitionSpec as P
+    from onebit_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = create_mesh((1, 2))
+    rng = np.random.default_rng(3)
+    L, m, n, k = 2, 4, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((L, n, k)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((L, k)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((L, n)).astype(np.float32))
+    blw = BitLinearWeights(weight_scale=h, input_factor=g,
+                           packed=pack_signs_device(w))
+    want = bitlinear_apply(
+        x, BitLinearWeights(weight_scale=h[1], input_factor=g[1],
+                            packed=pack_signs_device(w[1])), impl="xla")
+
+    col_spec = BitLinearWeights(weight_scale=P(None, MODEL_AXIS),
+                                input_factor=P(None, None),
+                                packed=P(None, None, MODEL_AXIS))
+    col = jax.shard_map(
+        lambda xx, ww: _col_parallel_flat(
+            xx, {"p": ww}, "p", jnp.int32(1), "pallas"),
+        mesh=mesh, in_specs=(P(), col_spec),
+        out_specs=P(None, MODEL_AXIS), check_vma=False)
+    np.testing.assert_allclose(np.asarray(col(x, blw)), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    # row-parallel: x and packed K-sharded; output replicated
+    blw_row = blw._replace(packed=repack_row_parallel(blw.packed, 2))
+    row_spec = BitLinearWeights(weight_scale=P(None, None),
+                                input_factor=P(None, MODEL_AXIS),
+                                packed=P(None, MODEL_AXIS, None))
+    row = jax.shard_map(
+        lambda xx, ww: _row_parallel_flat(
+            xx, {"p": ww}, "p", jnp.int32(1), "pallas"),
+        mesh=mesh, in_specs=(P(None, MODEL_AXIS), row_spec),
+        out_specs=P(), check_vma=False)
+    got = row(x * g[1][None, :], blw_row._replace(
+        input_factor=jnp.ones_like(g)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
