@@ -514,7 +514,11 @@ def decode_step(params, cache: KVCache, input_ids, cache_index,
         kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
         mask = mask & (kj >= key_start[:, None, None, None])
 
-    from onebit_tpu.model.kv_cache import QuantKVCache
+    from onebit_tpu.model.kv_cache import QuantKVCache, QuantKVCacheKT
+    if isinstance(cache, QuantKVCacheKT):
+        raise TypeError("QuantKVCacheKT is a decode_step_flat cache (the "
+                        "fused-kernel transposed-K layout); the scan step "
+                        "has no kernel to exploit it")
     quant = isinstance(cache, QuantKVCache)
     cache_leaves = tuple(cache)  # KVCache: (k, v); QuantKVCache: 4 arrays
 
@@ -571,8 +575,10 @@ def decode_step_flat(params, cache, input_ids, cache_index,
         kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
         mask = mask & (kj >= key_start[:, None, None, None])
 
-    from onebit_tpu.model.kv_cache import QuantKVCache, quantize_kv
+    from onebit_tpu.model.kv_cache import (QuantKVCache, QuantKVCacheKT,
+                                           quantize_kv)
     quant = isinstance(cache, QuantKVCache)
+    kt = isinstance(cache, QuantKVCacheKT)
     layers = params["layers"]
 
     def pick(a, i):
@@ -589,7 +595,43 @@ def decode_step_flat(params, cache, input_ids, cache_index,
         v = v.reshape(b, s, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        if quant:
+        if kt:
+            # transposed-K int8 cache + fused Pallas attention
+            # (kernels/kv_attention): K tiles feed the MXU as raw s8 in the
+            # standard bf16-LHS x s8-RHS orientation — no VPU dequant of
+            # the multi-GB pool (the XLA path's ~1.9 ms/step overhead at
+            # ctx 2048, scripts/probe_longctx_parts.py)
+            from onebit_tpu.kernels.kv_attention import kv_attention_decode_kt
+            k_qt, k_st, v_q, v_s = leaves
+            nkq, nks = quantize_kv(k)
+            nvq, nvs = quantize_kv(v)
+            k_qt = jax.lax.dynamic_update_slice(
+                k_qt, jnp.transpose(nkq, (0, 2, 3, 1))[None],
+                (i, 0, 0, 0, cache_index))
+            k_st = jax.lax.dynamic_update_slice(
+                k_st, jnp.transpose(nks, (0, 2, 1))[None],
+                (i, 0, 0, cache_index))
+            v_q = jax.lax.dynamic_update_slice(
+                v_q, nvq[None], (i, 0, cache_index, 0, 0))
+            v_s = jax.lax.dynamic_update_slice(
+                v_s, nvs[None], (i, 0, cache_index, 0))
+            leaves = (k_qt, k_st, v_q, v_s)
+            if s == 1:
+                # FULL stacked pools + scalar-prefetched layer index — a
+                # per-layer pick() would materialize a [B,nkv,hd,T] slice
+                # copy at the custom-call boundary every layer
+                lengths = jnp.full((b,), cache_index + 1, jnp.int32)
+                ctx = kv_attention_decode_kt(
+                    q[:, 0], k_qt, k_st, v_q, v_s, lengths, i,
+                    starts=key_start, inv_scale=1.0)[:, None]
+            else:
+                # multi-token windows: row-major views + the XLA path
+                ctx = _attention_quant(
+                    q, jnp.transpose(pick(k_qt, i), (0, 3, 1, 2)),
+                    jnp.transpose(pick(k_st, i), (0, 2, 1)),
+                    pick(v_q, i), pick(v_s, i), mask,
+                    num_kv_groups=config.num_kv_groups)
+        elif quant:
             k_q, k_s, v_q, v_s = leaves
             nkq, nks = quantize_kv(k)
             nvq, nvs = quantize_kv(v)
@@ -633,5 +675,5 @@ def decode_step_flat(params, cache, input_ids, cache_index,
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
-    new_cache = QuantKVCache(*leaves) if quant else KVCache(*leaves)
+    new_cache = type(cache)(*leaves)
     return logits, new_cache
