@@ -114,20 +114,21 @@ class ContinuousBatchingEngine:
         # decoding is the one remaining exclusion.
         self._tp = None
         if tp_mesh is not None:
-            if draft_params is not None:
+            if draft_params is not None and not self.sampling.greedy:
                 raise ValueError(
-                    "tp_mesh does not support speculative decoding yet "
-                    "(the draft would need to run replicated inside the "
-                    "TP program); every other feature — paged, "
-                    "quantized_kv, prefix_cache, chunked prefill, "
-                    "block_steps — composes with tp_mesh")
+                    "tp_mesh + speculative decoding supports greedy "
+                    "sampling only (TPServing runs the draft replicated "
+                    "and combines per-shard argmaxes; the rejection-"
+                    "sampling round would need full target distributions "
+                    "gathered every round)")
             from onebit_tpu.engine.tp_backend import TPServing
             from onebit_tpu.model.tp_decode import shard_tp_params
             self._tp = TPServing(
                 tp_mesh, config, params, impl=impl,
                 compute_dtype=compute_dtype,
                 sampling=self.sampling, block_steps=self.block_steps,
-                paged=paged)
+                paged=paged, draft_template=draft_params,
+                draft_config=draft_config, n_draft=n_draft)
             self.params, _ = shard_tp_params(params, tp_mesh)
         if draft_params is not None:
             if draft_config is None:
@@ -144,6 +145,16 @@ class ContinuousBatchingEngine:
                                  "amortizes host round trips)")
             self.draft_cache = init_kv_cache(draft_config, max_batch,
                                              max_len, dtype=compute_dtype)
+            if self._tp is not None:
+                # the draft runs REPLICATED inside the TP program: place
+                # its params/cache on the TP mesh with P() shardings (the
+                # caller may hand a tree sharded on a different mesh)
+                from jax.sharding import NamedSharding, PartitionSpec
+                rep = NamedSharding(tp_mesh, PartitionSpec())
+                put = lambda t: jax.tree.map(          # noqa: E731
+                    lambda a: jax.device_put(a, rep), t)
+                self.draft_params = put(self.draft_params)
+                self.draft_cache = put(self.draft_cache)
         if paged:
             from onebit_tpu.engine.paged import (PageAllocator,
                                                  init_paged_kv_cache)
@@ -362,7 +373,16 @@ class ContinuousBatchingEngine:
         tok1 = jnp.zeros(self.max_batch, jnp.int32)
         pos = jnp.zeros(self.max_batch, jnp.int32)
         act = jnp.ones(self.max_batch, bool)
-        if self.draft_params is not None:
+        if self.draft_params is not None and self._tp is not None:
+            args = (self.params, self.cache, self.draft_params,
+                    self.draft_cache, tok1, pos, act, pos)
+            if self.paged:
+                tables = jnp.asarray(self.page_tables)
+                self._tp.paged_spec_round.lower(
+                    *args[:6], tables, *args[6:]).compile()
+            else:
+                self._tp.spec_round.lower(*args).compile()
+        elif self.draft_params is not None:
             tables = jnp.asarray(self.page_tables) if self.paged else None
             if self.sampling.greedy:
                 from onebit_tpu.engine.speculative import spec_decode_round
@@ -799,7 +819,22 @@ class ContinuousBatchingEngine:
         # with a paged target, the round's verify writes route through the
         # rows' page tables (paged_verify_window); the draft stays dense
         tables = jnp.asarray(self.page_tables) if self.paged else None
-        if self.sampling.greedy:
+        if self._tp is not None:
+            # TP round: draft replicated per shard, target verify through
+            # the column/row-parallel cores (tp_backend._build_spec)
+            args = (self.params, self.cache, self.draft_params,
+                    self.draft_cache, jnp.asarray(self.next_token),
+                    jnp.asarray(self.row_pos))
+            if self.paged:
+                emitted, n_emit, _, new_pos, self.cache, \
+                    self.draft_cache = self._tp.paged_spec_round(
+                        *args, tables, jnp.asarray(active),
+                        jnp.asarray(budget))
+            else:
+                emitted, n_emit, _, new_pos, self.cache, \
+                    self.draft_cache = self._tp.spec_round(
+                        *args, jnp.asarray(active), jnp.asarray(budget))
+        elif self.sampling.greedy:
             from onebit_tpu.engine.speculative import spec_decode_round
             emitted, n_emit, _, new_pos, self.cache, self.draft_cache = \
                 _donated(spec_decode_round,

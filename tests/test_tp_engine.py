@@ -81,15 +81,18 @@ def test_tp_engine_chunked_prefill_matches():
 
 
 def test_tp_engine_rejects_unsupported_combos():
+    # the one remaining tp_mesh exclusion: NON-GREEDY speculative
+    # (the rejection-sampling round needs gathered target distributions)
+    from onebit_tpu.engine.sampler import SamplingConfig
     config, params = _mk()
     mesh = create_mesh((1, 2))
-    # speculative decoding is the one remaining tp_mesh exclusion
     draft = pack_model_params(
         init_params(BitLlamaConfig.named("tiny", num_hidden_layers=1),
                     jax.random.PRNGKey(1), mode="latent"))
-    with pytest.raises(ValueError, match="speculative"):
+    with pytest.raises(ValueError, match="greedy"):
         ContinuousBatchingEngine(
             params, config, tp_mesh=mesh, draft_params=draft,
+            sampling=SamplingConfig(greedy=False, temperature=0.7),
             draft_config=BitLlamaConfig.named("tiny", num_hidden_layers=1))
 
 
@@ -99,3 +102,45 @@ def test_tp_engine_rejects_indivisible_heads():
     with pytest.raises(ValueError, match="heads not divisible"):
         ContinuousBatchingEngine(params, config,
                                  tp_mesh=create_mesh((1, 4)))
+
+
+def test_tp_engine_speculative_matches():
+    """TP x speculative (the last feature-matrix exclusion, lifted):
+    greedy spec rounds through the TP program == plain single-device
+    greedy engine, token-exact (self-draft: acceptance is high but the
+    guarantee holds for ANY draft)."""
+    config, params = _mk()
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32)
+    want = _run(ref, PROMPTS)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   draft_params=params, draft_config=config,
+                                   n_draft=3, tp_mesh=create_mesh((1, 2)))
+    got = _run(eng, PROMPTS)
+    assert got == want
+
+
+def test_tp_engine_speculative_paged_matches():
+    """TP x paged x speculative: the full stack in one engine."""
+    config, params = _mk()
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32)
+    want = _run(ref, PROMPTS)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32, paged=True,
+                                   draft_params=params, draft_config=config,
+                                   n_draft=3, tp_mesh=create_mesh((1, 2)))
+    got = _run(eng, PROMPTS)
+    assert got == want
+
+
+def test_tp_spec_rejects_non_greedy():
+    from onebit_tpu.engine.sampler import SamplingConfig
+    config, params = _mk()
+    with pytest.raises(ValueError, match="greedy"):
+        ContinuousBatchingEngine(
+            params, config, max_batch=2, max_len=32,
+            sampling=SamplingConfig(greedy=False, temperature=1.0),
+            draft_params=params, draft_config=config,
+            tp_mesh=create_mesh((1, 2)))
