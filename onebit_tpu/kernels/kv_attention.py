@@ -29,6 +29,7 @@ scale/127); softmax in fp32.  Tested against it in interpret mode
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -36,7 +37,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_T_BLK = 512
+# T-block size: perf knob (swept on-chip, scripts/probe_kt_step.py); 512
+# balances DMA size (2 MB K + 2 MB V tiles at 7B) against grid overhead
+DEFAULT_T_BLK = int(os.environ.get("ONEBIT_KV_TBLK", "512"))
 
 
 def _kernel(lidx_ref, lengths_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
@@ -168,6 +171,206 @@ def _kernel_kt(lidx_ref, lengths_ref, starts_ref, q_ref, kq_ref, ks_ref,
         # slot) yields zeros instead of 0/0 NaNs
         out_ref[0] = (acc_scr[:] /
                       jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
+
+
+def _kernel_append_kt(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
+                      knew_ref, kq_ref, ks_ref, vq_ref, vs_ref, out_ref,
+                      kqout_ref, s_scr, m_scr, l_scr, acc_scr, *, nkv: int,
+                      g: int, hd: int, t_blk: int, wb: int,
+                      inv_scale: float):
+    """Transposed-K attention that ALSO appends this step's K column.
+
+    The one-token write into a ``[.., hd, T]`` pool as an XLA
+    dynamic_update_slice is a stride-T scatter: B·nkv·hd one-byte elements
+    each in its own 512 B HBM sector — measured ~1.2 ms/step at 7B b4
+    T2048, eating the kernel's attention win (scripts/probe_kt_step.py).
+    Here the column lands while the tile is already resident in VMEM for
+    scoring: at the grid step whose tile contains ``pos`` the kernel
+    rewrites that tile's scores for the fresh column from ``knew``
+    directly, and writes back ONE ``wb``-wide aliased sub-block
+    (nkv·hd·wb bytes, sector-aligned) instead of a strided scatter —
+    everything else of the pool is untouched through the input/output
+    alias.  K scales are NOT handled here: a scale column write is 128
+    f32 elements (sector-cheap), so the caller updates ``k_st`` before
+    the call and this kernel reads the fresh scale from its tile.
+    """
+    b = pl.program_id(0)
+    tb = pl.program_id(1)
+    n_tb = pl.num_programs(1)
+    nh = nkv * g
+
+    @pl.when(tb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                       # [nh, hd] bf16
+    kt = kq_ref[0, 0]                  # [nkv, hd, T_BLK] s8
+    vt = vq_ref[0, 0]                  # [T_BLK, nkv, hd] s8
+    ks_t = ks_ref[0, 0] * jnp.float32(inv_scale)       # [nkv, T_BLK]
+    vs_t = vs_ref[0, 0].T * jnp.float32(inv_scale)     # [nkv, T_BLK]
+
+    for n in range(nkv):
+        s_n = jax.lax.dot_general(
+            q[n * g:(n + 1) * g], kt[n],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [g, T_BLK]
+        s_scr[n * g:(n + 1) * g, :] = \
+            s_n * ks_t[n][None, :] * (hd ** -0.5)
+
+    pos = pos_ref[0]
+    jb = pos // t_blk
+    col = pos - jb * t_blk
+
+    @pl.when(tb == jb)
+    def _():
+        knew = knew_ref[0]                             # [nkv, hd] s8
+        # sub-block write-back: copy the wb-wide slice containing pos,
+        # insert the column, store to the aliased out ref.  The insert is
+        # a masked where in the 32-bit domain: Mosaic supports neither
+        # non-no-op minor-dim insertion on int8 nor unaligned dynamic
+        # lane stores
+        off = (col // wb) * wb
+        sub32 = kq_ref[0, 0, :, :, pl.ds(off, wb)].astype(jnp.int32)
+        colsel = jax.lax.broadcasted_iota(
+            jnp.int32, (nkv, hd, wb), 2) == (col - off)
+        ins = jnp.where(colsel, knew.astype(jnp.int32)[:, :, None], sub32)
+        kqout_ref[0, 0] = ins.astype(jnp.int8)
+
+    # fresh-column score fix-up: the pool tile held stale bytes at pos, so
+    # recompute that one column from knew directly (its scale column is
+    # already fresh — the caller updates k_st before the call).  All
+    # masked elementwise math — no unaligned dynamic lane load/store.
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    cols = tb * t_blk + jax.lax.broadcasted_iota(jnp.int32, (nh, t_blk), 1)
+    ks_cols = tb * t_blk + jax.lax.broadcasted_iota(
+        jnp.int32, (nkv, t_blk), 1)
+    ks_pos = jnp.sum(jnp.where(ks_cols == pos, ks_t, 0.0), axis=1,
+                     keepdims=True)                    # [nkv, 1]
+    s_col = jnp.sum(
+        q.astype(jnp.float32)
+        * jnp.repeat(knew_ref[0].astype(jnp.float32), g, axis=0),
+        axis=-1, keepdims=True)                        # [nh, 1]
+    s_col = s_col * jnp.repeat(ks_pos, g, axis=0) * (hd ** -0.5)
+    valid = (cols >= start) & (cols < length)
+    s = jnp.where(valid, s_scr[:], jnp.float32(-1e30))
+    s = jnp.where(valid & (cols == pos),
+                  jnp.broadcast_to(s_col, s.shape), s)
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_old - m_new)
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = m_new
+
+    p16 = (p * jnp.repeat(vs_t, g, axis=0)).astype(q.dtype)
+    for n in range(nkv):
+        pv = jax.lax.dot_general(
+            p16[n * g:(n + 1) * g], vt[:, n, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [g, hd]
+        rows = slice(n * g, (n + 1) * g)
+        acc_scr[rows, :] = acc_scr[rows, :] * alpha[rows] + pv
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        out_ref[0] = (acc_scr[:] /
+                      jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
+
+
+def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
+                           pos, *, starts=None,
+                           inv_scale: float = 1.0 / 127.0,
+                           t_blk: int = DEFAULT_T_BLK, wb: int = 128,
+                           interpret: Optional[bool] = None):
+    """Fused append+attend over the transposed-K quantized pool.
+
+    Like :func:`kv_attention_decode_kt` but additionally inserts
+    ``k_new [B, nkv, hd]`` (int8, this step's K) at column ``pos`` of
+    layer ``layer`` — the pool return value aliases the input buffer, so
+    the append costs one nkv·hd·wb write-back instead of a stride-T
+    scatter.  ``k_st`` must already hold the fresh scale column at
+    ``pos``; ``lengths[b]`` must be > pos for rows that attend the new
+    token.  Returns ``(ctx [B, nh, hd], k_qt')``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, nh, hd = q.shape
+    nkv = k_qt.shape[2]
+    t = k_qt.shape[4]
+    g = nh // nkv
+    while t % t_blk and t_blk > 128:
+        t_blk //= 2
+    if t % t_blk:
+        raise ValueError(f"T={t} not divisible by a supported block")
+    if t_blk % wb:
+        raise ValueError(f"wb={wb} must divide t_blk={t_blk}")
+
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts = jnp.asarray(starts, jnp.int32).reshape(b)
+    posv = jnp.asarray(pos, jnp.int32).reshape(1)
+    ctx, k_qt_new = pl.pallas_call(
+        functools.partial(_kernel_append_kt, nkv=nkv, g=g, hd=hd,
+                          t_blk=t_blk, wb=wb, inv_scale=inv_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, t // t_blk),
+            in_specs=[
+                pl.BlockSpec((1, nh, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, hd, t_blk),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, 0, tb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, t_blk),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, tb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t_blk, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, tb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t_blk, nkv),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, tb, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nh, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # ONE wb-wide sub-block of the pool, pinned to pos//wb —
+                # revisited across tb, written once per bb
+                pl.BlockSpec((1, 1, nkv, hd, wb),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, 0, ps[0] // wb),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nh, t_blk), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+                pltpu.VMEM((nh, hd), jnp.float32),
+            ]),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+            jax.ShapeDtypeStruct(k_qt.shape, k_qt.dtype),
+        ],
+        input_output_aliases={6: 1},   # k_qt input (after 4 scalars, q,
+                                       # k_new) aliases the pool output
+        interpret=interpret,
+    )(lidx, lengths, starts, posv, q, k_new, k_qt, k_st, v_q, v_s)
+    return ctx, k_qt_new
 
 
 def kv_attention_decode_kt(q, k_qt, k_st, v_q, v_s, lengths, layer, *,

@@ -601,13 +601,9 @@ def decode_step_flat(params, cache, input_ids, cache_index,
             # standard bf16-LHS x s8-RHS orientation — no VPU dequant of
             # the multi-GB pool (the XLA path's ~1.9 ms/step overhead at
             # ctx 2048, scripts/probe_longctx_parts.py)
-            from onebit_tpu.kernels.kv_attention import kv_attention_decode_kt
             k_qt, k_st, v_q, v_s = leaves
             nkq, nks = quantize_kv(k)
             nvq, nvs = quantize_kv(v)
-            k_qt = jax.lax.dynamic_update_slice(
-                k_qt, jnp.transpose(nkq, (0, 2, 3, 1))[None],
-                (i, 0, 0, 0, cache_index))
             k_st = jax.lax.dynamic_update_slice(
                 k_st, jnp.transpose(nks, (0, 2, 1))[None],
                 (i, 0, 0, cache_index))
@@ -615,22 +611,33 @@ def decode_step_flat(params, cache, input_ids, cache_index,
                 v_q, nvq[None], (i, 0, cache_index, 0, 0))
             v_s = jax.lax.dynamic_update_slice(
                 v_s, nvs[None], (i, 0, cache_index, 0))
-            leaves = (k_qt, k_st, v_q, v_s)
             if s == 1:
-                # FULL stacked pools + scalar-prefetched layer index — a
-                # per-layer pick() would materialize a [B,nkv,hd,T] slice
-                # copy at the custom-call boundary every layer
+                # fused append+attend: the K column lands inside the
+                # kernel via an aliased wb-wide write-back — an XLA DUS
+                # into the [.., hd, T] pool is a stride-T scatter
+                # (~1.2 ms/step at 7B b4 T2048, probe_kt_step).  FULL
+                # stacked pools + scalar-prefetched layer index — a
+                # per-layer pick() would materialize a [B,nkv,hd,T]
+                # slice copy at the custom-call boundary every layer.
+                from onebit_tpu.kernels.kv_attention import (
+                    kv_attention_append_kt)
                 lengths = jnp.full((b,), cache_index + 1, jnp.int32)
-                ctx = kv_attention_decode_kt(
-                    q[:, 0], k_qt, k_st, v_q, v_s, lengths, i,
-                    starts=key_start, inv_scale=1.0)[:, None]
+                ctx, k_qt = kv_attention_append_kt(
+                    q[:, 0], nkq[:, 0], k_qt, k_st, v_q, v_s, lengths, i,
+                    cache_index, starts=key_start, inv_scale=1.0)
+                ctx = ctx[:, None]
             else:
-                # multi-token windows: row-major views + the XLA path
+                # multi-token windows: DUS K write + row-major views +
+                # the XLA path (correctness fallback, not the hot path)
+                k_qt = jax.lax.dynamic_update_slice(
+                    k_qt, jnp.transpose(nkq, (0, 2, 3, 1))[None],
+                    (i, 0, 0, 0, cache_index))
                 ctx = _attention_quant(
                     q, jnp.transpose(pick(k_qt, i), (0, 3, 1, 2)),
                     jnp.transpose(pick(k_st, i), (0, 2, 1)),
                     pick(v_q, i), pick(v_s, i), mask,
                     num_kv_groups=config.num_kv_groups)
+            leaves = (k_qt, k_st, v_q, v_s)
         elif quant:
             k_q, k_s, v_q, v_s = leaves
             nkq, nks = quantize_kv(k)

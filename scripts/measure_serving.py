@@ -11,7 +11,8 @@ phase.  Each decode block is one device program of ``block_steps`` steps,
 so per-block host/tunnel overhead is amortized 1/block_steps.
 
 Env: ONEBIT_BENCH_SIZE, ONEBIT_SERVE_BATCH (16), ONEBIT_SERVE_TOKENS (96),
-ONEBIT_SERVE_BLOCK (16), ONEBIT_SERVE_PAGED (1), ONEBIT_SERVE_FUSE (1).
+ONEBIT_SERVE_BLOCK (16), ONEBIT_SERVE_PAGED (1), ONEBIT_SERVE_FUSE (1),
+ONEBIT_SERVE_PAGE (16), ONEBIT_SERVE_MAXLEN (256).
 
 ONEBIT_SERVE_SPEC=1 measures greedy speculative decoding with the target
 as its own draft (random weights give ~zero cross-model acceptance, so
@@ -60,6 +61,8 @@ def main():
     fuse = os.environ.get("ONEBIT_SERVE_FUSE", "1") == "1"
     spec = os.environ.get("ONEBIT_SERVE_SPEC", "0") == "1"
     n_draft = int(os.environ.get("ONEBIT_SERVE_NDRAFT", "4"))
+    page = int(os.environ.get("ONEBIT_SERVE_PAGE", "16"))
+    max_len = int(os.environ.get("ONEBIT_SERVE_MAXLEN", "256"))
 
     config = BitLlamaConfig.named(size)
     params = host_random_packed_params(config)
@@ -69,7 +72,7 @@ def main():
 
     if spec:
         eng = ContinuousBatchingEngine(
-            params, config, max_batch=batch, max_len=256,
+            params, config, max_batch=batch, max_len=max_len,
             sampling=SamplingConfig(greedy=True), impl="pallas",
             compute_dtype=jnp.bfloat16, draft_params=params,
             draft_config=config, n_draft=n_draft)
@@ -77,10 +80,10 @@ def main():
         paged = False
     else:
         eng = ContinuousBatchingEngine(
-            params, config, max_batch=batch, max_len=256,
+            params, config, max_batch=batch, max_len=max_len,
             sampling=SamplingConfig(greedy=True), impl="pallas",
             compute_dtype=jnp.bfloat16, paged=paged, quantized_kv=paged,
-            block_steps=block)
+            page_size=page, block_steps=block)
 
     print(f"# warmup round (compiles prefill + decode block)",
           file=sys.stderr, flush=True)
@@ -91,7 +94,7 @@ def main():
     rate = ntok / dt
     print(f"serving: {ntok} tokens in {dt:.2f}s -> {rate:.1f} tok/s "
           f"({size}, batch {batch}, block {block}, paged={paged}, "
-          f"fuse={fuse})")
+          f"page={page}, fuse={fuse})")
 
 
 if __name__ == "__main__":

@@ -114,6 +114,33 @@ def test_kt_variant_starts():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_append_kt_inserts_and_attends():
+    """Fused append+attend == manual insert + plain kt kernel; the pool
+    output is the input with exactly the one column replaced."""
+    from onebit_tpu.kernels.kv_attention import (kv_attention_append_kt,
+                                                 kv_attention_decode_kt)
+    q, k_q, k_s, v_q, v_s = _mk(g=2, seed=11)
+    k_qt = jnp.moveaxis(k_q, 2, 4)
+    k_st = jnp.moveaxis(k_s, 2, 3)
+    rng = np.random.RandomState(12)
+    pos, layer = 131, 1
+    k_new = jnp.asarray(rng.randint(-127, 128, (2, 4, 128)), jnp.int8)
+    lengths = jnp.asarray([pos + 1, pos + 1], jnp.int32)
+
+    ctx, k_qt_new = kv_attention_append_kt(
+        q, k_new, k_qt, k_st, v_q, v_s, lengths, jnp.int32(layer),
+        jnp.int32(pos), inv_scale=1.0, t_blk=128)
+    k_qt_ref = k_qt.at[layer, :, :, :, pos].set(k_new)
+    want = kv_attention_decode_kt(q, k_qt_ref, k_st, v_q, v_s, lengths,
+                                  jnp.int32(layer), inv_scale=1.0,
+                                  t_blk=128)
+    np.testing.assert_allclose(np.asarray(ctx, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(k_qt_new),
+                                  np.asarray(k_qt_ref))
+
+
 def test_decode_step_flat_kt_matches_quant():
     """decode_step_flat on QuantKVCacheKT == on QuantKVCache, greedy
     multi-step (the integrated fused-kernel path, interpret mode)."""
