@@ -377,6 +377,12 @@ def _window_core(proj: PagedProj, cache, tokens, lengths, page_indices,
     pages = jnp.take_along_axis(
         page_indices, jnp.minimum(positions // ps,
                                   page_indices.shape[1] - 1), axis=1)
+    # overshoot positions (a verify window always writes n_draft+1 slots,
+    # so a row within n_draft of capacity runs past its table) route to the
+    # reserved null page 0 — CLAMPING them to the last real page would
+    # wrap slot = position % ps and overwrite live K/V the same round
+    # attends to (ADVICE r3)
+    pages = jnp.where(positions < page_indices.shape[1] * ps, pages, 0)
     slots = positions % ps
 
     x = proj.embed(tokens)

@@ -21,8 +21,10 @@ as-is:
 * the output block writes once, on each row's final T block.
 
 Numerics: identical quantization convention to
-``model.bitllama._attention_quant`` (absmax over head_dim, int8 ·
-scale/127); softmax in fp32.  Tested against it in interpret mode
+``model.kv_cache.quantize_kv`` / ``model.bitllama._attention_quant``
+(absmax over head_dim; the stored scale is PRE-DIVIDED, scale =
+absmax/127, so dequant is int8 · scale and ``inv_scale`` defaults to
+1.0); softmax in fp32.  Tested against the XLA path in interpret mode
 (tests/test_kv_attention.py).
 """
 
@@ -42,9 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_T_BLK = int(os.environ.get("ONEBIT_KV_TBLK", "512"))
 
 
-def _kernel(lidx_ref, lengths_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-            out_ref, s_scr, m_scr, l_scr, acc_scr, *, nkv: int, g: int,
-            hd: int, t_blk: int, inv_scale: float, quant: bool):
+def _kernel(lidx_ref, lengths_ref, starts_ref, q_ref, kq_ref, ks_ref,
+            vq_ref, vs_ref, out_ref, s_scr, m_scr, l_scr, acc_scr, *,
+            nkv: int, g: int, hd: int, t_blk: int, inv_scale: float,
+            quant: bool):
     b = pl.program_id(0)
     tb = pl.program_id(1)
     n_tb = pl.num_programs(1)
@@ -78,8 +81,10 @@ def _kernel(lidx_ref, lengths_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
         s_scr[n * g:(n + 1) * g, :] = s_n * (hd ** -0.5)
 
     length = lengths_ref[b]
+    start = starts_ref[b]
     col = tb * t_blk + jax.lax.broadcasted_iota(jnp.int32, (nh, t_blk), 1)
-    s = jnp.where(col < length, s_scr[:], jnp.float32(-1e30))
+    s = jnp.where((col >= start) & (col < length), s_scr[:],
+                  jnp.float32(-1e30))
 
     # online softmax update (batched over all heads)
     m_old = m_scr[:]                                   # [nh, 1]
@@ -106,7 +111,10 @@ def _kernel(lidx_ref, lengths_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
 
     @pl.when(tb == n_tb - 1)
     def _():
-        out_ref[0] = (acc_scr[:] / l_scr[:]).astype(out_ref.dtype)
+        # max(l, tiny): a fully-masked row (length 0 — an inactive engine
+        # slot) yields zeros instead of 0/0 NaNs (parity with _kernel_kt)
+        out_ref[0] = (acc_scr[:] /
+                      jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
 
 
 def _kernel_kt(lidx_ref, lengths_ref, starts_ref, q_ref, kq_ref, ks_ref,
@@ -283,7 +291,7 @@ def _kernel_append_kt(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
 
 def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
                            pos, *, starts=None,
-                           inv_scale: float = 1.0 / 127.0,
+                           inv_scale: float = 1.0,
                            t_blk: int = DEFAULT_T_BLK, wb: int = 128,
                            interpret: Optional[bool] = None):
     """Fused append+attend over the transposed-K quantized pool.
@@ -374,7 +382,7 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
 
 
 def kv_attention_decode_kt(q, k_qt, k_st, v_q, v_s, lengths, layer, *,
-                           starts=None, inv_scale: float = 1.0 / 127.0,
+                           starts=None, inv_scale: float = 1.0,
                            t_blk: int = DEFAULT_T_BLK,
                            interpret: Optional[bool] = None):
     """Fused decode attention over the TRANSPOSED-K quantized pool.
@@ -443,7 +451,7 @@ def kv_attention_decode_kt(q, k_qt, k_st, v_q, v_s, lengths, layer, *,
 
 
 def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,
-                        inv_scale: float = 1.0 / 127.0,
+                        starts=None, inv_scale: float = 1.0,
                         t_blk: int = DEFAULT_T_BLK,
                         interpret: Optional[bool] = None):
     """Fused decode attention over the stacked flat (quantized) pool.
@@ -451,10 +459,13 @@ def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,
     q ``[B, nh, hd]`` bf16; pools ``k_q/v_q [L, B, T, nkv, hd]`` (int8, or
     bf16/fp8 with ``k_s=v_s=None``), scales ``k_s/v_s [L, B, T, nkv]``
     fp32 absmax; ``lengths [B]`` valid tokens (attend positions
-    ``< lengths[b]``); ``layer`` traced int32.  Returns ``[B, nh, hd]``
-    in ``q.dtype``.  ``inv_scale``: dequant = q · scale · inv_scale
-    (model.kv_cache stores scale/127-ready scales → 1/127 here matches
-    ``_attention_quant``; pass 1.0 if scales are pre-divided).
+    ``< lengths[b]``); ``layer`` traced int32.  ``starts [B]`` (optional)
+    masks positions below it per row (``key_start`` left-pad convention).
+    Returns ``[B, nh, hd]`` in ``q.dtype``.  ``inv_scale``: dequant =
+    q · scale · inv_scale.  The default 1.0 matches
+    ``model.kv_cache.quantize_kv``, which stores PRE-DIVIDED scales
+    (scale = absmax/127) — the convention of every in-repo pool.  A
+    1/127-style factor is only for pools whose scales are raw absmax.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -470,33 +481,37 @@ def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,
 
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts = jnp.asarray(starts, jnp.int32).reshape(b)
     if not quant:
         # dummy scale operands (1-element blocks)
         k_s = jnp.zeros((L, b, t, nkv), jnp.float32)[:, :, :1, :1]
         v_s = k_s
-        s_specs = [pl.BlockSpec((1, 1, 1, 1), lambda bb, tb, lr, ln:
+        s_specs = [pl.BlockSpec((1, 1, 1, 1), lambda bb, tb, lr, ln, st:
                                 (0, 0, 0, 0), memory_space=pltpu.VMEM)] * 2
     else:
         s_specs = [pl.BlockSpec((1, 1, t_blk, nkv),
-                                lambda bb, tb, lr, ln: (lr[0], bb, tb, 0),
+                                lambda bb, tb, lr, ln, st: (lr[0], bb, tb, 0),
                                 memory_space=pltpu.VMEM)] * 2
 
     pool_spec = pl.BlockSpec((1, 1, t_blk, nkv, hd),
-                             lambda bb, tb, lr, ln: (lr[0], bb, tb, 0, 0),
+                             lambda bb, tb, lr, ln, st: (lr[0], bb, tb, 0, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, nkv=nkv, g=g, hd=hd, t_blk=t_blk,
                           inv_scale=inv_scale, quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, n_tb),
             in_specs=[
-                pl.BlockSpec((1, nh, hd), lambda bb, tb, lr, ln: (bb, 0, 0),
+                pl.BlockSpec((1, nh, hd),
+                             lambda bb, tb, lr, ln, st: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
                 pool_spec, s_specs[0], pool_spec, s_specs[1],
             ],
             out_specs=pl.BlockSpec((1, nh, hd),
-                                   lambda bb, tb, lr, ln: (bb, 0, 0),
+                                   lambda bb, tb, lr, ln, st: (bb, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((nh, t_blk), jnp.float32),   # scores
@@ -506,5 +521,5 @@ def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,
             ]),
         out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
         interpret=interpret,
-    )(lidx, lengths, q, k_q, k_s, v_q, v_s)
+    )(lidx, lengths, starts, q, k_q, k_s, v_q, v_s)
     return out

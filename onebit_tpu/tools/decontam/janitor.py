@@ -21,16 +21,24 @@ def _build_native():
     a fresh checkout exercises the native path without a manual
     ``make native`` step; any failure degrades to the pure-Python loop
     with a visible warning (the reference's own fallback is Python,
-    janitor.py:8-20 JANITOR_CPP flag)."""
+    janitor.py:8-20 JANITOR_CPP flag).  The build is serialized across
+    processes with an flock so parallel test workers don't race the
+    compiler over the same build/ tree."""
     import os
     import subprocess
     import sys
     import warnings
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        subprocess.run(
-            [sys.executable, "setup.py", "build_ext", "--inplace"],
-            cwd=here, capture_output=True, timeout=120, check=True)
+        with open(os.path.join(here, ".build.lock"), "w") as lockf:
+            try:
+                import fcntl
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+            except ImportError:      # non-POSIX: best effort
+                pass
+            subprocess.run(
+                [sys.executable, "setup.py", "build_ext", "--inplace"],
+                cwd=here, capture_output=True, timeout=120, check=True)
     except Exception as e:  # toolchain missing, sandbox, …
         warnings.warn(f"decontam C core build failed ({e}); using the "
                       "pure-Python n-gram scanner", RuntimeWarning)
@@ -45,11 +53,34 @@ def _build_native():
         return None
 
 
+# The C core is imported if PREBUILT, but never built at import time: a
+# build is an up-to-120 s subprocess writing artifacts into the source
+# tree — a surprising import-time side effect in read-only installs,
+# sandboxes, and parallel test workers (ADVICE r3).  The build is
+# deferred to first USE: constructing a Janitor(use_native=True) or
+# reading the module's HAVE_NATIVE attribute triggers one attempt.
 try:
     from onebit_tpu.tools.decontam import _janitor_core
 except ImportError:
-    _janitor_core = _build_native()
-HAVE_NATIVE = _janitor_core is not None
+    _janitor_core = None
+_BUILD_ATTEMPTED = _janitor_core is not None
+
+
+def native_core():
+    """Return the C core module, building it on first use (or None)."""
+    global _janitor_core, _BUILD_ATTEMPTED
+    if not _BUILD_ATTEMPTED:
+        _BUILD_ATTEMPTED = True
+        _janitor_core = _build_native()
+    return _janitor_core
+
+
+def __getattr__(name):
+    # HAVE_NATIVE stays importable (tests/test_decontam.py skip guards)
+    # but now evaluates lazily — reading it is the "first use"
+    if name == "HAVE_NATIVE":
+        return native_core() is not None
+    raise AttributeError(name)
 
 
 def _py_words_with_indices(s: str) -> Iterable[Tuple[str, int, int]]:
@@ -70,7 +101,7 @@ class Janitor:
         self.too_dirty_cutoff = too_dirty_cutoff
         self.minimum_slice_length = minimum_slice_length
         self.delete_chars = delete_chars
-        self.native = use_native and HAVE_NATIVE
+        self.native = use_native and native_core() is not None
         self.dirt_ngrams = set()
         self._table = str.maketrans(
             string.ascii_uppercase, string.ascii_lowercase, delete_chars)

@@ -274,3 +274,47 @@ def test_sampled_spec_engine_end_to_end(tiny):
         assert all(0 <= t < config.vocab_size for t in toks)
         if len(toks) < cap:
             assert toks[-1] == eos
+
+
+def test_spec_paged_full_capacity_row(tiny, draft):
+    """End-to-end: a row that exactly fills max_len under the paged spec
+    engine still matches the plain dense engine token for token."""
+    config, params = tiny
+    dconfig, dparams = draft
+    max_len = 32
+    prompt = [5, 17, 42, 9]
+    max_new = max_len - len(prompt)          # fills capacity exactly
+    want = _plain(params, config, [prompt], max_new)[0]
+    eng = ContinuousBatchingEngine(
+        params, config, max_batch=2, max_len=max_len,
+        compute_dtype=jnp.float32, paged=True, page_size=8,
+        draft_params=dparams, draft_config=dconfig, n_draft=3)
+    uid = eng.add_request(prompt, max_new_tokens=max_new)
+    out = eng.run()
+    assert out[uid] == want
+
+
+def test_verify_window_overshoot_writes_null_page(tiny):
+    """ADVICE r3 regression: a verify window whose tail positions run past
+    the row's page table must route those writes to the reserved null
+    page 0 — clamping them to the last REAL page wraps slot = pos % ps
+    and overwrites live K/V the same round attends to."""
+    from onebit_tpu.engine.paged import (init_paged_kv_cache,
+                                         paged_verify_window)
+
+    config, params = tiny
+    ps, n_real = 8, 4                       # capacity 32 positions
+    cache = init_paged_kv_cache(config, n_real + 1, ps, dtype=jnp.float32)
+    # sentinel-fill every pool slot so any unexpected write is visible
+    cache = cache.__class__(*(jnp.full_like(a, 7.0) for a in cache))
+    table = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    # W=4 window at length 29 writes positions 29..32; 32 >= capacity
+    tokens = jnp.asarray([[5, 17, 42, 9]], jnp.int32)
+    _, new_cache = paged_verify_window(
+        params, cache, tokens, jnp.asarray([29], jnp.int32), table, config,
+        compute_dtype=jnp.float32)
+    # positions 29..31 legitimately land in page 4 slots 5..7; slots 0..4
+    # of page 4 (positions 24..28) must keep their sentinel values — the
+    # pre-fix clamp sent position 32 to page 4 slot 0
+    live = np.asarray(new_cache.k_pages[:, 4, :, :5, :])
+    np.testing.assert_array_equal(live, np.full_like(live, 7.0))
