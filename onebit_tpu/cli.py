@@ -385,8 +385,17 @@ def cmd_serve(args):
     sampling = SamplingConfig(greedy=args.greedy,
                               temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
-    if not args.paged and (args.kv_quant or args.prefix_cache):
-        raise SystemExit("--kv-quant and --prefix-cache require --paged")
+    if not args.paged and args.prefix_cache:
+        raise SystemExit("--prefix-cache requires --paged")
+    if not args.paged and args.kv_quant == "fp8":
+        raise SystemExit("--kv-quant fp8 requires --paged (dense "
+                         "quantized serving uses the int8 transposed-K "
+                         "fused kernel; fp8 pools are paged-only)")
+    if not args.paged and args.kv_quant and args.tp > 1:
+        raise SystemExit("--kv-quant without --paged is single-device "
+                         "(no TP variant of the fused append+attend "
+                         "kernel yet); add --paged for TP quantized "
+                         "serving")
     params = loaded["params"]
     if args.fuse_decode:
         from onebit_tpu.model.bitllama import fuse_for_decode
@@ -406,7 +415,7 @@ def cmd_serve(args):
         params, loaded["config"], max_batch=args.max_batch,
         max_len=args.max_len, sampling=sampling,
         block_steps=args.block_steps, paged=args.paged,
-        quantized_kv=args.kv_quant if args.paged else False,
+        quantized_kv=args.kv_quant or False,
         page_size=args.page_size, prefix_cache=args.prefix_cache,
         prefill_chunk_size=args.prefill_chunk,
         draft_params=draft_params, draft_config=draft_config,
@@ -625,7 +634,10 @@ def build_parser():
     sv.add_argument("--paged", action="store_true",
                     help="paged KV cache (block tables + page pool)")
     sv.add_argument("--kv-quant", choices=["int8", "fp8"], default=None,
-                    help="quantized pages (requires --paged)")
+                    help="quantized KV cache: with --paged, int8/fp8 "
+                         "pages; without, the dense int8 transposed-K "
+                         "cache served by the fused append+attend "
+                         "Pallas kernel (deep-context hot path)")
     sv.add_argument("--page-size", type=int, default=16)
     sv.add_argument("--prefix-cache", action="store_true",
                     help="share full prompt pages across requests "

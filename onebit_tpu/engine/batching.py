@@ -96,6 +96,22 @@ class ContinuousBatchingEngine:
         self.impl = impl
         self.compute_dtype = compute_dtype
         self.paged = paged
+        self.quantized_kv = quantized_kv
+        if quantized_kv and not paged:
+            # dense quantized engine preconditions (validated before any
+            # TP/draft state is built)
+            if quantized_kv == "fp8":
+                raise ValueError(
+                    "quantized_kv='fp8' requires paged=True (the dense "
+                    "quantized engine uses the int8 transposed-K fused "
+                    "kernel; fp8 pools exist only in the paged family)")
+            if tp_mesh is not None:
+                raise ValueError(
+                    "tp_mesh + dense quantized_kv is not supported yet: "
+                    "the TP backend shards KV heads over the model axis "
+                    "but has no sharded variant of the fused append+"
+                    "attend kernel — use paged=True with quantized_kv "
+                    "for TP serving, or drop quantized_kv")
         self.block_steps = max(block_steps, 1)
         # fixed-shape chunked prefill (dense and paged caches)
         self.prefill_chunk_size = prefill_chunk_size
@@ -185,6 +201,15 @@ class ContinuousBatchingEngine:
             self._prefix_map = OrderedDict()   # chained digest -> page
             self._prefix_children = {}         # digest -> set(child digests)
             self.prefix_hits = 0               # pages reused (metrics)
+        elif quantized_kv:
+            # dense quantized engine: transposed-K int8 pools whose decode
+            # step runs the fused append+attend Pallas kernel with per-row
+            # positions (kernels/kv_attention) — the deep-context serving
+            # hot path (PERF.md "Deep-context decode"); preconditions
+            # validated at the top of __init__
+            from onebit_tpu.model.kv_cache import init_quant_kv_cache_kt
+            self.prefix_cache = False
+            self.cache = init_quant_kv_cache_kt(config, max_batch, max_len)
         elif self._tp is not None:
             self.prefix_cache = False
             self.cache = self._tp.init_cache(config, max_batch, max_len,

@@ -111,8 +111,10 @@ def _kernel(lidx_ref, lengths_ref, starts_ref, q_ref, kq_ref, ks_ref,
 
     @pl.when(tb == n_tb - 1)
     def _():
-        # max(l, tiny): a fully-masked row (length 0 — an inactive engine
-        # slot) yields zeros instead of 0/0 NaNs (parity with _kernel_kt)
+        # max(l, tiny) guards 0/0: a fully-masked row (length 0 — an
+        # inactive engine slot) stays FINITE (the all-masked softmax
+        # degenerates to uniform attention — garbage, but inactive slots
+        # are never read); parity with _kernel_kt
         out_ref[0] = (acc_scr[:] /
                       jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
 
@@ -175,8 +177,9 @@ def _kernel_kt(lidx_ref, lengths_ref, starts_ref, q_ref, kq_ref, ks_ref,
 
     @pl.when(tb == n_tb - 1)
     def _():
-        # max(l, tiny): a fully-masked row (length 0 — an inactive engine
-        # slot) yields zeros instead of 0/0 NaNs
+        # max(l, tiny) guards 0/0; a fully-masked row (length 0 — an
+        # inactive engine slot) stays finite (degenerates to uniform
+        # attention; inactive slots are never read)
         out_ref[0] = (acc_scr[:] /
                       jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
 
@@ -227,7 +230,7 @@ def _kernel_append_kt(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
         s_scr[n * g:(n + 1) * g, :] = \
             s_n * ks_t[n][None, :] * (hd ** -0.5)
 
-    pos = pos_ref[0]
+    pos = pos_ref[b]                   # per-row write position (ragged)
     jb = pos // t_blk
     col = pos - jb * t_blk
 
@@ -300,9 +303,15 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
     ``k_new [B, nkv, hd]`` (int8, this step's K) at column ``pos`` of
     layer ``layer`` — the pool return value aliases the input buffer, so
     the append costs one nkv·hd·wb write-back instead of a stride-T
-    scatter.  ``k_st`` must already hold the fresh scale column at
-    ``pos``; ``lengths[b]`` must be > pos for rows that attend the new
-    token.  Returns ``(ctx [B, nh, hd], k_qt')``.
+    scatter.  ``pos`` is a scalar (lockstep decode) or ``[B]`` per-row
+    positions (the continuous-batching engine's ragged decode — rows
+    admitted at different times sit at different lengths); the aliased
+    write-back block index is scalar-prefetched per row.  ``k_st`` must
+    already hold the fresh scale column at each row's ``pos``;
+    ``lengths[b]`` must be > pos for rows that attend the new token
+    (``lengths[b] == 0`` fully masks an inactive row → finite garbage,
+    never read by the engine).
+    Returns ``(ctx [B, nh, hd], k_qt')``.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -322,7 +331,7 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
     if starts is None:
         starts = jnp.zeros((b,), jnp.int32)
     starts = jnp.asarray(starts, jnp.int32).reshape(b)
-    posv = jnp.asarray(pos, jnp.int32).reshape(1)
+    posv = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
     ctx, k_qt_new = pl.pallas_call(
         functools.partial(_kernel_append_kt, nkv=nkv, g=g, hd=hd,
                           t_blk=t_blk, wb=wb, inv_scale=inv_scale),
@@ -357,11 +366,11 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
                 pl.BlockSpec((1, nh, hd),
                              lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
-                # ONE wb-wide sub-block of the pool, pinned to pos//wb —
-                # revisited across tb, written once per bb
+                # ONE wb-wide sub-block of the pool, pinned to the row's
+                # pos//wb — revisited across tb, written once per bb
                 pl.BlockSpec((1, 1, nkv, hd, wb),
                              lambda bb, tb, lr, ln, st, ps:
-                             (lr[0], bb, 0, 0, ps[0] // wb),
+                             (lr[0], bb, 0, 0, ps[bb] // wb),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[

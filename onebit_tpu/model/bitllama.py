@@ -225,16 +225,24 @@ def _attention_quant(q, k_q, k_s, v_q, v_s, mask, *, num_kv_groups: int):
     """
     b, s, nh, hd = q.shape
     nkv = k_q.shape[2]
+    # XLA:CPU's fallback DotThunk cannot execute bf16×bf16→f32 batched
+    # dots that miss the oneDNN/Eigen fast paths (the S=1 decode einsum
+    # below lands there); compute them in f32 on CPU — bf16 values are
+    # exactly representable in f32 and the accumulate was f32 already.
+    # TPU is unaffected (trace-time backend check).
+    dt = (jnp.float32 if q.dtype == jnp.bfloat16
+          and jax.default_backend() == "cpu" else q.dtype)
     qg = q.reshape(b, s, nkv, num_kv_groups, hd)
-    scores = jnp.einsum("bsngh,btnh->bngst", qg, k_q.astype(q.dtype),
+    scores = jnp.einsum("bsngh,btnh->bngst", qg.astype(dt),
+                        k_q.astype(dt),
                         preferred_element_type=jnp.float32)
     scores = scores * jnp.moveaxis(k_s, 1, 2)[:, :, None, None, :]
     scores = scores * (hd ** -0.5)
     scores = jnp.where(mask[:, :, None], scores, jnp.float32(-1e30))
     probs = jax.nn.softmax(scores, axis=-1)
-    pv = (probs * jnp.moveaxis(v_s, 1, 2)[:, :, None, None, :]).astype(q.dtype)
-    ctx = jnp.einsum("bngst,btnh->bsngh", pv, v_q.astype(q.dtype))
-    return ctx.reshape(b, s, nh, hd)
+    pv = (probs * jnp.moveaxis(v_s, 1, 2)[:, :, None, None, :]).astype(dt)
+    ctx = jnp.einsum("bngst,btnh->bsngh", pv, v_q.astype(dt))
+    return ctx.reshape(b, s, nh, hd).astype(q.dtype)
 
 
 def project_qkv(hx, layer_params, impl: str, n_out: int):
@@ -611,7 +619,7 @@ def decode_step_flat(params, cache, input_ids, cache_index,
                 v_q, nvq[None], (i, 0, cache_index, 0, 0))
             v_s = jax.lax.dynamic_update_slice(
                 v_s, nvs[None], (i, 0, cache_index, 0))
-            if s == 1:
+            if s == 1 and max_len % 128 == 0:
                 # fused append+attend: the K column lands inside the
                 # kernel via an aliased wb-wide write-back — an XLA DUS
                 # into the [.., hd, T] pool is a stride-T scatter
@@ -619,6 +627,8 @@ def decode_step_flat(params, cache, input_ids, cache_index,
                 # stacked pools + scalar-prefetched layer index — a
                 # per-layer pick() would materialize a [B,nkv,hd,T]
                 # slice copy at the custom-call boundary every layer.
+                # (max_len must fit the kernel's 128-wide T blocks; tiny
+                # caches fall through to the XLA path below.)
                 from onebit_tpu.kernels.kv_attention import (
                     kv_attention_append_kt)
                 lengths = jnp.full((b,), cache_index + 1, jnp.int32)

@@ -43,12 +43,21 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
     stay whole in HBM (scalar-prefetch kernels) and the cache is updated
     in place with per-row one-token scatters — no scan xs/ys slice
     materialization (~2x decode HBM traffic at 7B, PERF.md).
+
+    ``cache`` may be a dense ``KVCache`` or a ``QuantKVCacheKT`` — the
+    transposed-K int8 pool whose decode attention runs through the fused
+    append+attend Pallas kernel (``kernels.kv_attention``) with per-row
+    write positions; this is the deep-context serving hot path (378 vs
+    260 tok/s at 7B ctx 2048, PERF.md "Deep-context decode").
     """
     b, s = input_ids.shape
     assert s == 1
     max_len = cache.max_len
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
+
+    from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
+    kt = isinstance(cache, QuantKVCacheKT)
 
     x = params["embed_tokens"][input_ids].astype(compute_dtype)
     cos, sin = rope_cos_sin(row_pos[:, None], config.head_dim,
@@ -60,12 +69,14 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
     kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
     mask = (kj <= row_pos[:, None, None, None]) & \
         active[:, None, None, None]
+    # the fused kernel takes the same semantics as per-row lengths
+    kt_lengths = jnp.where(active, row_pos + 1, 0)
 
     rows = jnp.arange(b)
     layers = params["layers"]
 
     def body(i, carry):
-        x, k_all, v_all = carry
+        x, leaves = carry
         residual = x
         hx = bitllama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
@@ -77,14 +88,53 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
         v = v.reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        # per-row one-token scatter at (layer i, row, row_pos) — in place
-        k_all = k_all.at[i, rows, row_pos].set(k[:, 0].astype(k_all.dtype))
-        v_all = v_all.at[i, rows, row_pos].set(v[:, 0].astype(v_all.dtype))
-        ck = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
+        if kt:
+            # quantize this step's K/V; V + scales land via per-row
+            # scatters (row-major: one contiguous token each), the K
+            # column lands INSIDE the fused kernel via the aliased
+            # wb-wide write-back — an XLA scatter into the [.., hd, T]
+            # pool would be a stride-T scatter (~1.2 ms/step at 7B,
+            # PERF.md)
+            k_qt, k_st, v_q, v_s = leaves
+            nkq, nks = quantize_kv(k)
+            nvq, nvs = quantize_kv(v)
+            k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
+            v_q = v_q.at[i, rows, row_pos].set(nvq[:, 0])
+            v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
+            if max_len % 128 == 0:
+                from onebit_tpu.kernels.kv_attention import (
+                    kv_attention_append_kt)
+                ctx, k_qt = kv_attention_append_kt(
+                    q[:, 0], nkq[:, 0], k_qt, k_st, v_q, v_s, kt_lengths,
+                    i, row_pos, inv_scale=1.0)
+                ctx = ctx[:, None]
+            else:
+                # cache too short for the kernel's 128-wide T blocks
+                # (tiny test shapes): strided K scatter + XLA attention
+                k_qt = k_qt.at[i, rows, :, :, row_pos].set(nkq[:, 0])
+                ctx = bitllama._attention_quant(
+                    q, jnp.transpose(jax.lax.dynamic_index_in_dim(
+                        k_qt, i, 0, keepdims=False), (0, 3, 1, 2)),
+                    jnp.transpose(jax.lax.dynamic_index_in_dim(
+                        k_st, i, 0, keepdims=False), (0, 2, 1)),
+                    jax.lax.dynamic_index_in_dim(v_q, i, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(v_s, i, 0, keepdims=False),
+                    mask, num_kv_groups=config.num_kv_groups)
+            leaves = (k_qt, k_st, v_q, v_s)
+        else:
+            k_all, v_all = leaves
+            # per-row one-token scatter at (layer i, row, row_pos)
+            k_all = k_all.at[i, rows, row_pos].set(
+                k[:, 0].astype(k_all.dtype))
+            v_all = v_all.at[i, rows, row_pos].set(
+                v[:, 0].astype(v_all.dtype))
+            ck = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
+            ctx = bitllama._attention(q, ck.astype(q.dtype),
+                                      cv.astype(q.dtype), mask,
+                                      num_kv_groups=config.num_kv_groups)
+            leaves = (k_all, v_all)
 
-        ctx = bitllama._attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
-                                  mask, num_kv_groups=config.num_kv_groups)
         attn_out = _project_flat(ctx.reshape(b, 1, nh * hd), layers,
                                  "o_proj", i, impl)
         x = residual + attn_out
@@ -97,14 +147,14 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
                                         config.intermediate_size)
         mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
                             impl)
-        return (residual + mlp, k_all, v_all)
+        return (residual + mlp, leaves)
 
-    x, new_k, new_v = jax.lax.fori_loop(
-        0, config.num_hidden_layers, body, (x, cache.k, cache.v))
+    x, leaves = jax.lax.fori_loop(
+        0, config.num_hidden_layers, body, (x, tuple(cache)))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    return logits, type(cache)(*leaves)
 
 
 @functools.partial(jax.jit,
@@ -182,11 +232,18 @@ def prefill_rows(params, cache: KVCache, ids, lengths, rows,
     — admission of an R-request burst costs one program instead of R
     sequential ones.  Flat layer loop with scalar-prefetch stacked
     projections.  Returns (last_logits [R, V], new_cache).
+
+    With a ``QuantKVCacheKT`` cache the prompt K/V are quantized at
+    insertion (attention within the prefill itself stays full precision
+    — same convention as the quantized paged engine, whose first sampled
+    token therefore matches the dense engine exactly).
     """
     r, s_pad = ids.shape
     max_len = cache.max_len
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
+    from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
+    kt = isinstance(cache, QuantKVCacheKT)
     x = params["embed_tokens"][ids].astype(compute_dtype)
     cos, sin = rope_cos_sin(jnp.arange(s_pad)[None, :], config.head_dim,
                             config.rope_theta, config.rope_scaling,
@@ -199,7 +256,7 @@ def prefill_rows(params, cache: KVCache, ids, lengths, rows,
     layers = params["layers"]
 
     def body(i, carry):
-        x, k_all, v_all = carry
+        x, leaves = carry
         residual = x
         hx = bitllama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
@@ -210,8 +267,25 @@ def prefill_rows(params, cache: KVCache, ids, lengths, rows,
         k = k.reshape(r, s_pad, nkv, hd)
         v = v.reshape(r, s_pad, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        k_all = k_all.at[i, rows, :s_pad].set(k.astype(k_all.dtype))
-        v_all = v_all.at[i, rows, :s_pad].set(v.astype(v_all.dtype))
+        if kt:
+            k_qt, k_st, v_q, v_s = leaves
+            nkq, nks = quantize_kv(k)
+            nvq, nvs = quantize_kv(v)
+            # K transposed to the pool's [nkv, hd, T] device layout;
+            # prefill is one bulk write per layer, not the per-token
+            # hot path, so an XLA scatter is fine here
+            k_qt = k_qt.at[i, rows, :, :, :s_pad].set(
+                jnp.transpose(nkq, (0, 2, 3, 1)))
+            k_st = k_st.at[i, rows, :, :s_pad].set(
+                jnp.transpose(nks, (0, 2, 1)))
+            v_q = v_q.at[i, rows, :s_pad].set(nvq)
+            v_s = v_s.at[i, rows, :s_pad].set(nvs)
+            leaves = (k_qt, k_st, v_q, v_s)
+        else:
+            k_all, v_all = leaves
+            k_all = k_all.at[i, rows, :s_pad].set(k.astype(k_all.dtype))
+            v_all = v_all.at[i, rows, :s_pad].set(v.astype(v_all.dtype))
+            leaves = (k_all, v_all)
         ctx = bitllama._attention(q, k, v, mask,
                                   num_kv_groups=config.num_kv_groups)
         attn_out = _project_flat(ctx.reshape(r, s_pad, nh * hd), layers,
@@ -226,17 +300,17 @@ def prefill_rows(params, cache: KVCache, ids, lengths, rows,
                                         config.intermediate_size)
         mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
                             impl)
-        return (residual + mlp, k_all, v_all)
+        return (residual + mlp, leaves)
 
-    x, new_k, new_v = jax.lax.fori_loop(
-        0, config.num_hidden_layers, body, (x, cache.k, cache.v))
+    x, leaves = jax.lax.fori_loop(
+        0, config.num_hidden_layers, body, (x, tuple(cache)))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     last = jnp.take_along_axis(
         x, jnp.maximum(lengths - 1, 0)[:, None, None].astype(jnp.int32),
         axis=1)[:, 0]
     logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    return logits, type(cache)(*leaves)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -298,6 +372,10 @@ def chunk_append_row(params, cache: KVCache, ids, start, length, row,
     tokens in this chunk, ``row`` scalar slot.  The chunk attends to the
     row's earlier cache content plus itself (causal).  Returns
     (last_valid_logits [V], new_cache).
+
+    Supports ``QuantKVCacheKT`` (chunked prefill into the quantized dense
+    engine): the chunk's K/V are quantized at insertion and attention
+    reads the row's int8 pool slices through ``_attention_quant``.
     """
     c = ids.shape[0]
     max_len = cache.max_len
@@ -316,6 +394,12 @@ def chunk_append_row(params, cache: KVCache, ids, start, length, row,
     qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, max_len), 2)
     kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c, max_len), 3)
     mask = kj <= (start + qi)
+
+    from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
+    if isinstance(cache, QuantKVCacheKT):
+        return _chunk_append_row_kt(
+            params, cache, x, cos, sin, mask, start, length, row, config,
+            impl, compute_dtype, quantize_kv)
 
     def layer(x, layer_in):
         layer_params, ck, cv = layer_in
@@ -359,6 +443,80 @@ def chunk_append_row(params, cache: KVCache, ids, start, length, row,
     return logits, KVCache(k=new_k, v=new_v)
 
 
+def _chunk_append_row_kt(params, cache, x, cos, sin, mask, start, length,
+                         row, config: BitLlamaConfig, impl, compute_dtype,
+                         quantize_kv):
+    """KT-cache body of :func:`chunk_append_row` (flat layer loop; the
+    chunk attends to the row's int8 pool slices via the scale-folded XLA
+    path — prefill correctness, not the per-token hot path)."""
+    c = x.shape[1]
+    t = cache.max_len
+    nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
+                   config.head_dim)
+    layers = params["layers"]
+
+    def body(i, carry):
+        x, leaves = carry
+        k_qt, k_st, v_q, v_s = leaves
+        residual = x
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
+                                            keepdims=False),
+            config.rms_norm_eps)
+        q, k, v = _project_qkv_flat(hx, layers, i, impl, nkv * hd)
+        q = q.reshape(1, c, nh, hd)
+        k = k.reshape(1, c, nkv, hd)
+        v = v.reshape(1, c, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        nkq, nks = quantize_kv(k)
+        nvq, nvs = quantize_kv(v)
+        z = jnp.int32(0)
+        k_qt = jax.lax.dynamic_update_slice(
+            k_qt, jnp.transpose(nkq, (0, 2, 3, 1))[None],
+            (i, row, z, z, start))
+        k_st = jax.lax.dynamic_update_slice(
+            k_st, jnp.transpose(nks, (0, 2, 1))[None], (i, row, z, start))
+        v_q = jax.lax.dynamic_update_slice(v_q, nvq[None],
+                                           (i, row, start, z, z))
+        v_s = jax.lax.dynamic_update_slice(v_s, nvs[None],
+                                           (i, row, start, z))
+        leaves = (k_qt, k_st, v_q, v_s)
+        ck = jax.lax.dynamic_slice(k_qt, (i, row, z, z, z),
+                                   (1, 1, nkv, hd, t))[0]
+        cks = jax.lax.dynamic_slice(k_st, (i, row, z, z),
+                                    (1, 1, nkv, t))[0]
+        cv = jax.lax.dynamic_slice(v_q, (i, row, z, z, z),
+                                   (1, 1, t, nkv, hd))[0]
+        cvs = jax.lax.dynamic_slice(v_s, (i, row, z, z),
+                                    (1, 1, t, nkv))[0]
+        ctx = bitllama._attention_quant(
+            q, jnp.transpose(ck, (0, 3, 1, 2)),
+            jnp.transpose(cks, (0, 2, 1)), cv, cvs, mask,
+            num_kv_groups=config.num_kv_groups)
+        attn_out = _project_flat(ctx.reshape(1, c, nh * hd), layers,
+                                 "o_proj", i, impl)
+        x = residual + attn_out
+        residual = x
+        hx = bitllama.rms_norm(
+            x, jax.lax.dynamic_index_in_dim(
+                layers["post_attention_layernorm"], i, 0, keepdims=False),
+            config.rms_norm_eps)
+        gate, up = _project_gateup_flat(hx, layers, i, impl,
+                                        config.intermediate_size)
+        mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
+                            impl)
+        return (residual + mlp, leaves)
+
+    x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, tuple(cache)))
+    x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, (length - 1)[None, None, None].astype(jnp.int32), axis=1)[0, 0]
+    logits = jnp.matmul(last, params["lm_head"].astype(compute_dtype).T,
+                        preferred_element_type=jnp.float32)
+    return logits, type(cache)(*leaves)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("config", "impl", "compute_dtype"))
 def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
@@ -373,11 +531,18 @@ def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
     program verifies W draft proposals.  On the 1-bit kernel this costs
     nearly the same as a single decode step: the packed-weight unpack is
     width-invariant and dominates at small batch.
+
+    Supports ``QuantKVCacheKT`` targets (speculative × quantized-KV):
+    window K/V are quantized at insertion and attention reads the int8
+    pools through the scale-folded XLA path (``_attention_quant``) — the
+    correctness fallback; the fused kernel serves the W=1 hot step.
     """
     b, w = tokens.shape
     max_len = cache.max_len
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
+    from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
+    kt = isinstance(cache, QuantKVCacheKT)
 
     positions = row_pos[:, None] + jnp.arange(w)[None, :]        # [B, W]
     x = params["embed_tokens"][tokens].astype(compute_dtype)
@@ -395,8 +560,11 @@ def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
     rows = jnp.arange(b)
     layers = params["layers"]
 
+    def pick(a, i):
+        return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
     def body(i, carry):
-        x, k_all, v_all = carry
+        x, leaves = carry
         residual = x
         hx = bitllama.rms_norm(
             x, jax.lax.dynamic_index_in_dim(layers["input_layernorm"], i, 0,
@@ -408,16 +576,34 @@ def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
         v = v.reshape(b, w, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        # per-row scatter of the whole window at row_pos..row_pos+W-1
-        k_all = k_all.at[i, rows[:, None], positions].set(
-            k.astype(k_all.dtype))
-        v_all = v_all.at[i, rows[:, None], positions].set(
-            v.astype(v_all.dtype))
-        ck = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
-
-        ctx = bitllama._attention(q, ck.astype(q.dtype), cv.astype(q.dtype),
-                                  mask, num_kv_groups=config.num_kv_groups)
+        if kt:
+            k_qt, k_st, v_q, v_s = leaves
+            nkq, nks = quantize_kv(k)
+            nvq, nvs = quantize_kv(v)
+            # per-row window scatters; the K pool write is strided
+            # ([.., hd, T] minor-dim positions) — acceptable on the
+            # verify path, whose round cost is dominated by the model
+            k_qt = k_qt.at[i, rows[:, None], :, :, positions].set(nkq)
+            k_st = k_st.at[i, rows[:, None], :, positions].set(nks)
+            v_q = v_q.at[i, rows[:, None], positions].set(nvq)
+            v_s = v_s.at[i, rows[:, None], positions].set(nvs)
+            leaves = (k_qt, k_st, v_q, v_s)
+            ctx = bitllama._attention_quant(
+                q, jnp.transpose(pick(k_qt, i), (0, 3, 1, 2)),
+                jnp.transpose(pick(k_st, i), (0, 2, 1)),
+                pick(v_q, i), pick(v_s, i), mask,
+                num_kv_groups=config.num_kv_groups)
+        else:
+            k_all, v_all = leaves
+            # per-row scatter of the whole window at row_pos..row_pos+W-1
+            k_all = k_all.at[i, rows[:, None], positions].set(
+                k.astype(k_all.dtype))
+            v_all = v_all.at[i, rows[:, None], positions].set(
+                v.astype(v_all.dtype))
+            leaves = (k_all, v_all)
+            ctx = bitllama._attention(q, pick(k_all, i).astype(q.dtype),
+                                      pick(v_all, i).astype(q.dtype), mask,
+                                      num_kv_groups=config.num_kv_groups)
         attn_out = _project_flat(ctx.reshape(b, w, nh * hd), layers,
                                  "o_proj", i, impl)
         x = residual + attn_out
@@ -430,14 +616,14 @@ def ragged_verify_window(params, cache: KVCache, tokens, row_pos, active,
                                         config.intermediate_size)
         mlp = _project_flat(jax.nn.silu(gate) * up, layers, "down_proj", i,
                             impl)
-        return (residual + mlp, k_all, v_all)
+        return (residual + mlp, leaves)
 
-    x, new_k, new_v = jax.lax.fori_loop(
-        0, config.num_hidden_layers, body, (x, cache.k, cache.v))
+    x, leaves = jax.lax.fori_loop(
+        0, config.num_hidden_layers, body, (x, tuple(cache)))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    return logits, type(cache)(*leaves)
 
 
 def chunked_prefill_row(params, cache: KVCache, prompt, row,

@@ -204,3 +204,29 @@ def test_cli_convert_sharded(tmp_path, capsys):
           "--seqlen", "16", "--batch-size", "2"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert np.isfinite(json.loads(out)["ppl"])
+
+
+def test_cli_serve_kv_quant_dense(tmp_path, capsys, monkeypatch):
+    """serve --kv-quant int8 WITHOUT --paged: the dense quantized engine
+    (transposed-K pools + fused append+attend kernel), VERDICT r3 item 1."""
+    import io
+
+    config = BitLlamaConfig.named("tiny")
+    packed_dir = str(tmp_path / "packed")
+    from onebit_tpu.model.bitllama import pack_model_params
+    save_native(packed_dir, config, pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent")))
+
+    monkeypatch.setattr(sys, "stdin", io.StringIO("5,6,7,8,9\n9,10\n"))
+    main(["serve", "--ckpt", packed_dir, "--max-batch", "2",
+          "--max-len", "64", "--max-new-tokens", "4", "--greedy",
+          "--kv-quant", "int8"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rows = [json.loads(l) for l in lines]
+    assert len(rows) == 2
+    assert all("completion" in r for r in rows)
+    # fp8 stays paged-only
+    import pytest as _pytest
+    monkeypatch.setattr(sys, "stdin", io.StringIO("5\n"))
+    with _pytest.raises(SystemExit, match="fp8"):
+        main(["serve", "--ckpt", packed_dir, "--kv-quant", "fp8"])

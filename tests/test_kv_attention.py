@@ -180,3 +180,61 @@ def test_decode_step_flat_kt_matches_quant():
     # kt_from_quant itself is an exact relayout
     np.testing.assert_array_equal(
         np.asarray(kt_from_quant(cache_q).v_q), np.asarray(cache_q.v_q))
+
+
+def test_append_kt_per_row_positions():
+    """Ragged append: per-row ``pos [B]`` in different T blocks — each
+    row's column lands at its own position (the continuous-batching
+    engine's decode step)."""
+    from onebit_tpu.kernels.kv_attention import (kv_attention_append_kt,
+                                                 kv_attention_decode_kt)
+    rng = np.random.RandomState(21)
+    L, B, nkv, hd, T, g = 2, 3, 4, 128, 384, 2
+    nh = nkv * g
+    q = jnp.asarray(rng.randn(B, nh, hd), jnp.float32)
+    k_qt = jnp.asarray(rng.randint(-127, 128, (L, B, nkv, hd, T)), jnp.int8)
+    k_st = jnp.asarray(rng.rand(L, B, nkv, T), jnp.float32)
+    v_q = jnp.asarray(rng.randint(-127, 128, (L, B, T, nkv, hd)), jnp.int8)
+    v_s = jnp.asarray(rng.rand(L, B, T, nkv), jnp.float32)
+    k_new = jnp.asarray(rng.randint(-127, 128, (B, nkv, hd)), jnp.int8)
+    pos = jnp.asarray([5, 131, 300], jnp.int32)   # three different blocks
+    lengths = pos + 1
+    layer = 1
+
+    ctx, k_qt_new = kv_attention_append_kt(
+        q, k_new, k_qt, k_st, v_q, v_s, lengths, jnp.int32(layer), pos,
+        inv_scale=1.0, t_blk=128)
+    k_qt_ref = k_qt
+    for b in range(B):
+        k_qt_ref = k_qt_ref.at[layer, b, :, :, int(pos[b])].set(k_new[b])
+    want = kv_attention_decode_kt(q, k_qt_ref, k_st, v_q, v_s, lengths,
+                                  jnp.int32(layer), inv_scale=1.0,
+                                  t_blk=128)
+    np.testing.assert_allclose(np.asarray(ctx, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(k_qt_new),
+                                  np.asarray(k_qt_ref))
+
+
+def test_append_kt_inactive_row_zeros():
+    """length 0 (inactive engine slot) yields a FINITE context row, not
+    NaNs (fully-masked flash softmax degenerates to uniform attention —
+    garbage, but the engine never reads inactive slots)."""
+    from onebit_tpu.kernels.kv_attention import kv_attention_append_kt
+    rng = np.random.RandomState(22)
+    L, B, nkv, hd, T, g = 1, 2, 2, 128, 128, 2
+    nh = nkv * g
+    q = jnp.asarray(rng.randn(B, nh, hd), jnp.float32)
+    k_qt = jnp.asarray(rng.randint(-127, 128, (L, B, nkv, hd, T)), jnp.int8)
+    k_st = jnp.asarray(rng.rand(L, B, nkv, T), jnp.float32)
+    v_q = jnp.asarray(rng.randint(-127, 128, (L, B, T, nkv, hd)), jnp.int8)
+    v_s = jnp.asarray(rng.rand(L, B, T, nkv), jnp.float32)
+    k_new = jnp.asarray(rng.randint(-127, 128, (B, nkv, hd)), jnp.int8)
+    pos = jnp.asarray([3, 7], jnp.int32)
+    lengths = jnp.asarray([4, 0], jnp.int32)      # row 1 inactive
+    ctx, _ = kv_attention_append_kt(
+        q, k_new, k_qt, k_st, v_q, v_s, lengths, jnp.int32(0), pos,
+        inv_scale=1.0, t_blk=128)
+    out = np.asarray(ctx, np.float32)
+    assert np.isfinite(out).all()
