@@ -1,7 +1,13 @@
-.PHONY: test native bench lint
+.PHONY: test test-all native bench lint
 
+# default selection: excludes @pytest.mark.slow (multi-process launches,
+# e2e pipeline, beam search) — <8 min on 4 CPUs.  test-all is the full
+# suite the driver runs.
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n 4 -m "not slow"
+
+test-all:
+	python -m pytest tests/ -q -n 4
 
 native:
 	cd onebit_tpu/tools/decontam && python setup.py build_ext --inplace

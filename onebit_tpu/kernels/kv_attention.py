@@ -459,6 +459,393 @@ def kv_attention_decode_kt(q, k_qt, k_st, v_q, v_s, lengths, layer, *,
     return out
 
 
+def _unpack_nibbles(p32):
+    """Sign-extended int32 bytes → (low nibble, high nibble) int8 planes."""
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(p32, 4)   # bytes arrive sign-extended: >>4 is exact
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def _kernel_kt4(lidx_ref, lengths_ref, starts_ref, q_ref, kqp_ref, ksa_ref,
+                ksb_ref, vqp_ref, vsa_ref, vsb_ref, out_ref, s_scr, m_scr,
+                l_scr, acc_scr, *, nkv: int, g: int, hd: int, t_blk: int,
+                t_half: int, inv_scale: float):
+    """INT4 (nibble-packed) variant of ``_kernel_kt``.
+
+    Pools are packed two columns per byte in the HALF-PLANE layout
+    (``model.kv_cache.pack_int4_halfplane``): the packed tile at byte
+    columns [tb·tbp, (tb+1)·tbp) unpacks to unpacked columns
+    [tb·tbp, ...) (low nibbles, plane A) and [T/2 + tb·tbp, ...) (high
+    nibbles, plane B) — two CONTIGUOUS groups, no lane interleave.  The
+    flash-style online softmax is column-order-independent, so each grid
+    step simply scores both groups with their true column indices for
+    masking.  Scales keep full T resolution in the int8 cache's layout;
+    the two plane tiles arrive as separate offset BlockSpecs.
+    """
+    b = pl.program_id(0)
+    tb = pl.program_id(1)
+    n_tb = pl.num_programs(1)
+    nh = nkv * g
+    tbp = t_blk // 2                   # packed bytes per grid step
+
+    @pl.when(tb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                       # [nh, hd] bf16
+    k_lo, k_hi = _unpack_nibbles(
+        kqp_ref[0, 0].astype(jnp.int32))               # [nkv, hd, tbp] s8
+    ksa = ksa_ref[0, 0] * jnp.float32(inv_scale)       # [nkv, tbp]
+    ksb = ksb_ref[0, 0] * jnp.float32(inv_scale)
+
+    for n in range(nkv):
+        qn = q[n * g:(n + 1) * g]
+        sa = jax.lax.dot_general(
+            qn, k_lo[n], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [g, tbp]
+        sb = jax.lax.dot_general(
+            qn, k_hi[n], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_scr[n * g:(n + 1) * g, :tbp] = sa * ksa[n][None, :] * (hd ** -0.5)
+        s_scr[n * g:(n + 1) * g, tbp:] = sb * ksb[n][None, :] * (hd ** -0.5)
+
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nh, t_blk), 1)
+    col = jnp.where(ii < tbp, tb * tbp + ii,
+                    t_half + tb * tbp + (ii - tbp))
+    s = jnp.where((col >= start) & (col < length), s_scr[:],
+                  jnp.float32(-1e30))
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_old - m_new)
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = m_new
+
+    v_lo, v_hi = _unpack_nibbles(
+        vqp_ref[0, 0].astype(jnp.int32))               # [tbp, nkv, hd] s8
+    vsa = vsa_ref[0, 0].T * jnp.float32(inv_scale)     # [nkv, tbp]
+    vsb = vsb_ref[0, 0].T * jnp.float32(inv_scale)
+    pa = (p[:, :tbp] * jnp.repeat(vsa, g, axis=0)).astype(q.dtype)
+    pb = (p[:, tbp:] * jnp.repeat(vsb, g, axis=0)).astype(q.dtype)
+    for n in range(nkv):
+        rows = slice(n * g, (n + 1) * g)
+        pva = jax.lax.dot_general(
+            pa[rows], v_lo[:, n, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [g, hd]
+        pvb = jax.lax.dot_general(
+            pb[rows], v_hi[:, n, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[rows, :] = acc_scr[rows, :] * alpha[rows] + pva + pvb
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        out_ref[0] = (acc_scr[:] /
+                      jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
+
+
+def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
+                       knew_ref, kqp_ref, ksa_ref, ksb_ref, vqp_ref, vsa_ref,
+                       vsb_ref, out_ref, kqpout_ref, s_scr, m_scr, l_scr,
+                       acc_scr, *, nkv: int, g: int, hd: int, t_blk: int,
+                       t_half: int, wb: int, inv_scale: float):
+    """INT4 append+attend: ``_kernel_append_kt`` over nibble-packed pools.
+
+    The fresh K column at ``pos`` targets byte column ``c = pos % (T/2)``
+    nibble ``pos // (T/2)``; the merge preserves the byte's OTHER nibble
+    (the other plane's live column) via masked byte math in the 32-bit
+    domain, then writes back one wb-wide aliased sub-block as in the int8
+    variant.  Scores for the whole stale tile are fixed up at ``pos`` by
+    recomputing that column from ``knew`` directly.
+    """
+    b = pl.program_id(0)
+    tb = pl.program_id(1)
+    n_tb = pl.num_programs(1)
+    nh = nkv * g
+    tbp = t_blk // 2
+
+    @pl.when(tb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k_lo, k_hi = _unpack_nibbles(kqp_ref[0, 0].astype(jnp.int32))
+    ksa = ksa_ref[0, 0] * jnp.float32(inv_scale)
+    ksb = ksb_ref[0, 0] * jnp.float32(inv_scale)
+
+    for n in range(nkv):
+        qn = q[n * g:(n + 1) * g]
+        sa = jax.lax.dot_general(
+            qn, k_lo[n], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sb = jax.lax.dot_general(
+            qn, k_hi[n], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s_scr[n * g:(n + 1) * g, :tbp] = sa * ksa[n][None, :] * (hd ** -0.5)
+        s_scr[n * g:(n + 1) * g, tbp:] = sb * ksb[n][None, :] * (hd ** -0.5)
+
+    pos = pos_ref[b]
+    hi_plane = pos >= t_half           # traced bool: which nibble
+    c = pos - jnp.where(hi_plane, t_half, 0)   # byte column in [0, T/2)
+    jb = c // tbp
+    col_in_tile = c - jb * tbp
+
+    @pl.when(tb == jb)
+    def _():
+        knew4 = knew_ref[0].astype(jnp.int32) & 0xF    # [nkv, hd]
+        off = (col_in_tile // wb) * wb
+        sub32 = kqp_ref[0, 0, :, :, pl.ds(off, wb)].astype(jnp.int32)
+        bytesel = jax.lax.broadcasted_iota(
+            jnp.int32, (nkv, hd, wb), 2) == (col_in_tile - off)
+        # preserve the other plane's nibble; bits ≥8 die in the s8 cast
+        merged_lo = (sub32 & 0xF0) | knew4[:, :, None]
+        merged_hi = (sub32 & 0x0F) | (knew4[:, :, None] << 4)
+        merged = jnp.where(hi_plane, merged_hi, merged_lo)
+        kqpout_ref[0, 0] = jnp.where(bytesel, merged, sub32).astype(jnp.int8)
+
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nh, t_blk), 1)
+    cols = jnp.where(ii < tbp, tb * tbp + ii,
+                     t_half + tb * tbp + (ii - tbp))
+    iik = jax.lax.broadcasted_iota(jnp.int32, (nkv, tbp), 1)
+    cols_a = tb * tbp + iik
+    cols_b = t_half + tb * tbp + iik
+    ks_pos = (jnp.sum(jnp.where(cols_a == pos, ksa, 0.0), axis=1,
+                      keepdims=True)
+              + jnp.sum(jnp.where(cols_b == pos, ksb, 0.0), axis=1,
+                        keepdims=True))                # [nkv, 1]
+    s_col = jnp.sum(
+        q.astype(jnp.float32)
+        * jnp.repeat(knew_ref[0].astype(jnp.float32), g, axis=0),
+        axis=-1, keepdims=True)                        # [nh, 1]
+    s_col = s_col * jnp.repeat(ks_pos, g, axis=0) * (hd ** -0.5)
+    valid = (cols >= start) & (cols < length)
+    s = jnp.where(valid, s_scr[:], jnp.float32(-1e30))
+    s = jnp.where(valid & (cols == pos),
+                  jnp.broadcast_to(s_col, s.shape), s)
+
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_old - m_new)
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[:] = m_new
+
+    v_lo, v_hi = _unpack_nibbles(vqp_ref[0, 0].astype(jnp.int32))
+    vsa = vsa_ref[0, 0].T * jnp.float32(inv_scale)
+    vsb = vsb_ref[0, 0].T * jnp.float32(inv_scale)
+    pa = (p[:, :tbp] * jnp.repeat(vsa, g, axis=0)).astype(q.dtype)
+    pb = (p[:, tbp:] * jnp.repeat(vsb, g, axis=0)).astype(q.dtype)
+    for n in range(nkv):
+        rows = slice(n * g, (n + 1) * g)
+        pva = jax.lax.dot_general(
+            pa[rows], v_lo[:, n, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pvb = jax.lax.dot_general(
+            pb[rows], v_hi[:, n, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[rows, :] = acc_scr[rows, :] * alpha[rows] + pva + pvb
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        out_ref[0] = (acc_scr[:] /
+                      jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
+
+
+def _kt4_blocks(t: int, t_blk: int):
+    """Resolve the unpacked block width for a packed pool of T columns."""
+    t_half = t // 2
+    while (t_half % (t_blk // 2) or t_blk > t) and t_blk > 256:
+        t_blk //= 2
+    if t_half % (t_blk // 2):
+        raise ValueError(f"T={t} not divisible by a supported int4 block")
+    return t_blk, t_half
+
+
+def kv_attention_decode_kt4(q, k_qp, k_st, v_qp, v_s, lengths, layer, *,
+                            starts=None, inv_scale: float = 1.0,
+                            t_blk: int = 2 * DEFAULT_T_BLK,
+                            interpret: Optional[bool] = None):
+    """Fused decode attention over the INT4 nibble-packed KT pool.
+
+    ``k_qp [L, B, nkv, hd, T//2]`` int8 (half-plane packed int4),
+    ``k_st [L, B, nkv, T]`` f32, ``v_qp [L, B, T//2, nkv, hd]`` int8,
+    ``v_s [L, B, T, nkv]`` f32 — scales in the int8 cache's layout with
+    scale = absmax/7 (``model.kv_cache.quantize_kv4``).  ``t_blk`` is in
+    UNPACKED columns (each grid step reads t_blk/2 packed bytes); default
+    2×DEFAULT_T_BLK keeps the per-step DMA bytes equal to the int8 kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, nh, hd = q.shape
+    nkv = k_qp.shape[2]
+    t = k_st.shape[3]
+    g = nh // nkv
+    t_blk, t_half = _kt4_blocks(t, t_blk)
+    tbp = t_blk // 2
+    n_tb = t_half // tbp
+
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts = jnp.asarray(starts, jnp.int32).reshape(b)
+    out = pl.pallas_call(
+        functools.partial(_kernel_kt4, nkv=nkv, g=g, hd=hd, t_blk=t_blk,
+                          t_half=t_half, inv_scale=inv_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, n_tb),
+            in_specs=[
+                pl.BlockSpec((1, nh, hd),
+                             lambda bb, tb, lr, ln, st: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, hd, tbp),
+                             lambda bb, tb, lr, ln, st: (lr[0], bb, 0, 0, tb),
+                             memory_space=pltpu.VMEM),
+                # K scale plane tiles: same array, offset block indices
+                pl.BlockSpec((1, 1, nkv, tbp),
+                             lambda bb, tb, lr, ln, st: (lr[0], bb, 0, tb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, tbp),
+                             lambda bb, tb, lr, ln, st:
+                             (lr[0], bb, 0, tb + t_half // tbp),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tbp, nkv, hd),
+                             lambda bb, tb, lr, ln, st: (lr[0], bb, tb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tbp, nkv),
+                             lambda bb, tb, lr, ln, st: (lr[0], bb, tb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tbp, nkv),
+                             lambda bb, tb, lr, ln, st:
+                             (lr[0], bb, tb + t_half // tbp, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nh, hd),
+                                   lambda bb, tb, lr, ln, st: (bb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((nh, t_blk), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+                pltpu.VMEM((nh, hd), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+        interpret=interpret,
+    )(lidx, lengths, starts, q, k_qp, k_st, k_st, v_qp, v_s, v_s)
+    return out
+
+
+def kv_attention_append_kt4(q, k_new, k_qp, k_st, v_qp, v_s, lengths, layer,
+                            pos, *, starts=None, inv_scale: float = 1.0,
+                            t_blk: int = 2 * DEFAULT_T_BLK, wb: int = 128,
+                            interpret: Optional[bool] = None):
+    """INT4 fused append+attend over the nibble-packed KT pool.
+
+    Like :func:`kv_attention_append_kt` but ``k_new [B, nkv, hd]`` holds
+    int4-valued int8 (``quantize_kv4`` output, in [-7, 7]) and the
+    write-back merges the nibble into byte column ``pos % (T/2)``
+    preserving the other plane's nibble.  ``k_st`` must already hold the
+    fresh scale at each row's ``pos``.  Returns ``(ctx, k_qp')`` with the
+    pool aliased.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, nh, hd = q.shape
+    nkv = k_qp.shape[2]
+    t = k_st.shape[3]
+    g = nh // nkv
+    t_blk, t_half = _kt4_blocks(t, t_blk)
+    tbp = t_blk // 2
+    n_tb = t_half // tbp
+    if tbp % wb:
+        raise ValueError(f"wb={wb} must divide packed block {tbp}")
+
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    starts = jnp.asarray(starts, jnp.int32).reshape(b)
+    posv = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
+    ctx, k_qp_new = pl.pallas_call(
+        functools.partial(_kernel_append_kt4, nkv=nkv, g=g, hd=hd,
+                          t_blk=t_blk, t_half=t_half, wb=wb,
+                          inv_scale=inv_scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b, n_tb),
+            in_specs=[
+                pl.BlockSpec((1, nh, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, hd, tbp),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, 0, tb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, tbp),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, tb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, tbp),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, tb + t_half // tbp),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tbp, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, tb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tbp, nkv),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, tb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tbp, nkv),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, tb + t_half // tbp, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nh, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # one wb-wide packed sub-block pinned to the row's byte col
+                pl.BlockSpec((1, 1, nkv, hd, wb),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, 0, (ps[bb] % t_half) // wb),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nh, t_blk), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+                pltpu.VMEM((nh, 1), jnp.float32),
+                pltpu.VMEM((nh, hd), jnp.float32),
+            ]),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+            jax.ShapeDtypeStruct(k_qp.shape, k_qp.dtype),
+        ],
+        input_output_aliases={6: 1},   # k_qp input (after 4 scalars, q,
+                                       # k_new) aliases the pool output
+        interpret=interpret,
+    )(lidx, lengths, starts, posv, q, k_new, k_qp, k_st, k_st, v_qp, v_s,
+      v_s)
+    return ctx, k_qp_new
+
+
 def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,
                         starts=None, inv_scale: float = 1.0,
                         t_blk: int = DEFAULT_T_BLK,

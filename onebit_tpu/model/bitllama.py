@@ -522,9 +522,10 @@ def decode_step(params, cache: KVCache, input_ids, cache_index,
         kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s, max_len), 3)
         mask = mask & (kj >= key_start[:, None, None, None])
 
-    from onebit_tpu.model.kv_cache import QuantKVCache, QuantKVCacheKT
-    if isinstance(cache, QuantKVCacheKT):
-        raise TypeError("QuantKVCacheKT is a decode_step_flat cache (the "
+    from onebit_tpu.model.kv_cache import (QuantKVCache, QuantKVCacheKT,
+                                           QuantKVCacheKT4)
+    if isinstance(cache, (QuantKVCacheKT, QuantKVCacheKT4)):
+        raise TypeError("QuantKVCacheKT(4) is a decode_step_flat cache (the "
                         "fused-kernel transposed-K layout); the scan step "
                         "has no kernel to exploit it")
     quant = isinstance(cache, QuantKVCache)
@@ -584,9 +585,13 @@ def decode_step_flat(params, cache, input_ids, cache_index,
         mask = mask & (kj >= key_start[:, None, None, None])
 
     from onebit_tpu.model.kv_cache import (QuantKVCache, QuantKVCacheKT,
-                                           quantize_kv)
+                                           QuantKVCacheKT4,
+                                           pack_int4_halfplane, quantize_kv,
+                                           quantize_kv4,
+                                           unpack_int4_halfplane)
     quant = isinstance(cache, QuantKVCache)
     kt = isinstance(cache, QuantKVCacheKT)
+    kt4 = isinstance(cache, QuantKVCacheKT4)
     layers = params["layers"]
 
     def pick(a, i):
@@ -603,7 +608,62 @@ def decode_step_flat(params, cache, input_ids, cache_index,
         v = v.reshape(b, s, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        if kt:
+        if kt4:
+            # INT4 nibble-packed transposed-K cache: halves KV HBM bytes
+            # again vs int8 (the remaining deep-context lever, PERF.md);
+            # the fused kernel unpacks half-plane nibbles in VMEM
+            k_qp, k_st, v_qp, v_s = leaves
+            t_half = max_len // 2
+            nkq, nks = quantize_kv4(k)
+            nvq, nvs = quantize_kv4(v)
+            k_st = jax.lax.dynamic_update_slice(
+                k_st, jnp.transpose(nks, (0, 2, 1))[None],
+                (i, 0, 0, cache_index))
+            v_s = jax.lax.dynamic_update_slice(
+                v_s, nvs[None], (i, 0, cache_index, 0))
+            if s == 1 and max_len % 256 == 0:
+                # V nibble RMW: one [b, nkv, hd] byte row (16 KB at 7B b4)
+                cp = jax.lax.rem(cache_index, t_half)
+                hi_plane = cache_index >= t_half
+                old = jax.lax.dynamic_slice(
+                    v_qp, (i, 0, cp, 0, 0),
+                    (1, b, 1, nkv, hd)).astype(jnp.int32)
+                n4 = (nvq[:, 0].astype(jnp.int32) & 0xF)[None, :, None]
+                merged = jnp.where(hi_plane,
+                                   (old & 0x0F) | (n4 << 4),
+                                   (old & 0xF0) | n4)
+                v_qp = jax.lax.dynamic_update_slice(
+                    v_qp, merged.astype(jnp.int8), (i, 0, cp, 0, 0))
+                lengths = jnp.full((b,), cache_index + 1, jnp.int32)
+                from onebit_tpu.kernels.kv_attention import (
+                    kv_attention_append_kt4)
+                ctx, k_qp = kv_attention_append_kt4(
+                    q[:, 0], nkq[:, 0], k_qp, k_st, v_qp, v_s, lengths, i,
+                    cache_index, starts=key_start, inv_scale=1.0)
+                ctx = ctx[:, None]
+            else:
+                # multi-token / tiny-cache fallback: unpack the layer's
+                # pools, insert, repack (correctness path, not hot)
+                k_qt_i = unpack_int4_halfplane(pick(k_qp, i), axis=3)
+                k_qt_i = jax.lax.dynamic_update_slice(
+                    k_qt_i, jnp.transpose(nkq, (0, 2, 3, 1)),
+                    (0, 0, 0, cache_index))
+                k_qp = jax.lax.dynamic_update_slice(
+                    k_qp, pack_int4_halfplane(k_qt_i, axis=3)[None],
+                    (i, 0, 0, 0, 0))
+                v_i = unpack_int4_halfplane(pick(v_qp, i), axis=1)
+                v_i = jax.lax.dynamic_update_slice(
+                    v_i, nvq, (0, cache_index, 0, 0))
+                v_qp = jax.lax.dynamic_update_slice(
+                    v_qp, pack_int4_halfplane(v_i, axis=1)[None],
+                    (i, 0, 0, 0, 0))
+                ctx = _attention_quant(
+                    q, jnp.transpose(k_qt_i, (0, 3, 1, 2)),
+                    jnp.transpose(pick(k_st, i), (0, 2, 1)),
+                    v_i, pick(v_s, i),
+                    mask, num_kv_groups=config.num_kv_groups)
+            leaves = (k_qp, k_st, v_qp, v_s)
+        elif kt:
             # transposed-K int8 cache + fused Pallas attention
             # (kernels/kv_attention): K tiles feed the MXU as raw s8 in the
             # standard bf16-LHS x s8-RHS orientation — no VPU dequant of

@@ -17,6 +17,17 @@ zero_optimization) — but checked ahead of time, per chip, against a
 Used by ``python -m onebit_tpu train --dry-compile`` and
 ``serve --dry-compile`` (cli.py) and pinned for 7B/13B @ 8 chips in
 tests/test_memplan.py.
+
+CAVEAT — CPU-backend buffer assignment: these peaks come from XLA:CPU's
+buffer assignment of the lowered program.  They are exact for THAT
+compilation, but a real TPU compile makes different fusion, layout-
+padding, and remat choices, so the on-chip peak can shift by tens of
+percent (not orders of magnitude — the resident terms, params/moments/
+teacher, are backend-independent).  :func:`analytic_train_bytes` is the
+backend-free hand model (params + moments + teacher + activation
+checkpoints + logits); tests assert the compiled peak stays within a
+band of it so a divergence on either side — a compiler regression OR a
+sharding bug reintroducing replicated state — is detectable.
 """
 
 from __future__ import annotations
@@ -205,6 +216,54 @@ def dry_compile_serve(config: BitLlamaConfig, tp: int, *,
     kind = "paged" if paged else "dense"
     return _report(compiled, f"serve tp={tp} {kind} B={max_batch} "
                              f"T={max_len}")
+
+
+def analytic_train_bytes(config: BitLlamaConfig,
+                         mesh_shape: Tuple[int, int], batch_size: int,
+                         seq_len: int, *, compute_dtype=jnp.bfloat16,
+                         teacher_dtype=jnp.bfloat16) -> int:
+    """Backend-free per-chip hand model of the KD train step's resident
+    bytes: fp32 latent student + 2 Adam moments over the trainable subset
+    + dense teacher (all fully sharded over every chip) + per-layer remat
+    checkpoints + student/teacher logits on the local batch shard.
+
+    Gradients are omitted: with donation XLA overlaps them with the
+    moment updates (confirmed by the compiled peaks sitting ~10% BELOW
+    params+moments+teacher+activations).  Tests assert the XLA peak lies
+    within a band of this number so either a compiler divergence or a
+    sharding regression (replicated moments = ~8x) is caught.
+    """
+    from onebit_tpu.model.bitllama import init_params
+
+    n_chips = mesh_shape[0] * mesh_shape[1]
+    student = jax.eval_shape(
+        lambda: init_params(config, jax.random.PRNGKey(0), mode="latent",
+                            dtype=jnp.float32))
+    teacher = jax.eval_shape(
+        lambda: init_params(config, jax.random.PRNGKey(0), mode="linear",
+                            dtype=teacher_dtype))
+
+    def tree_bytes(t):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
+
+    # trainable subset ≈ the per-layer tree (BitLinear latents + value
+    # vectors; the frozen norms in there are d-sized — noise at this
+    # granularity).  embed/lm_head/final_norm are frozen → no moments.
+    trainable = tree_bytes(student["layers"])
+    params_b = tree_bytes(student)
+    moments_b = 2 * trainable
+    teacher_b = tree_bytes(teacher)
+
+    b_local = max(1, batch_size // mesh_shape[0])
+    act_itemsize = jnp.dtype(compute_dtype).itemsize
+    # remat: one [B_local, S, d] checkpoint per layer boundary (x2 for
+    # the teacher's non-remat'd layer outputs kept for hidden-state KD)
+    acts_b = (2 * config.num_hidden_layers * b_local * seq_len *
+              config.hidden_size * act_itemsize)
+    # fp32 logits: student + teacher + the KL softmax temporary
+    logits_b = 3 * b_local * seq_len * config.vocab_size * 4
+
+    return (params_b + moments_b + teacher_b) // n_chips + acts_b + logits_b
 
 
 def ensure_virtual_devices(n: int) -> None:

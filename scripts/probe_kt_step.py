@@ -30,7 +30,8 @@ def main():
                                            init_kv_cache)
     from onebit_tpu.model.config import BitLlamaConfig
     from onebit_tpu.model.kv_cache import (init_quant_kv_cache,
-                                           init_quant_kv_cache_kt)
+                                           init_quant_kv_cache_kt,
+                                           init_quant_kv_cache_kt4)
     from onebit_tpu.utils.benchmark import bench_fn_with_state
     from onebit_tpu.utils.randinit import host_random_packed_params
 
@@ -57,6 +58,8 @@ def main():
         return step, (cache0, jnp.int32(max_len - iters - 1))
 
     for name, mk in (
+            ("KT4 fused-kernel int4", lambda: init_quant_kv_cache_kt4(
+                config, batch, max_len)),
             ("KT fused-kernel int8", lambda: init_quant_kv_cache_kt(
                 config, batch, max_len)),
             ("int8 (XLA attn)", lambda: init_quant_kv_cache(

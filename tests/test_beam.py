@@ -55,6 +55,7 @@ def _brute_force_best(params, config, prompt, steps, vocab):
     return best, best_ll
 
 
+@pytest.mark.slow
 def test_beam_finds_global_optimum(tiny):
     config, params = tiny
     prompt = [5, 9, 3]

@@ -6,6 +6,7 @@ import subprocess
 import sys
 
 import jax
+import pytest
 import numpy as np
 
 from onebit_tpu.ckpt.writer import save_native
@@ -14,6 +15,7 @@ from onebit_tpu.model.bitllama import init_params
 from onebit_tpu.model.config import BitLlamaConfig
 
 
+@pytest.mark.slow
 def test_cli_full_pipeline(tmp_path, capsys):
     config = BitLlamaConfig.named("tiny")
     teacher_dir = str(tmp_path / "teacher")
@@ -156,6 +158,7 @@ def test_cli_eval_expect_pass_and_fail(tmp_path, capsys):
               "--seqlen", "16", "--batch-size", "2", "--expect", str(bad)])
 
 
+@pytest.mark.slow
 def test_cli_build_draft_and_distill(tmp_path):
     """build-draft slices a shallow draft; train distills it against the
     1-bit student (the draft recipe, train/draft.py)."""

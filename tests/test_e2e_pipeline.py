@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))), "scripts"))
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(600)
 def test_pipeline_end_to_end(tmp_path):
     from e2e_pipeline import run_pipeline

@@ -182,6 +182,77 @@ def test_decode_step_flat_kt_matches_quant():
         np.asarray(kt_from_quant(cache_q).v_q), np.asarray(cache_q.v_q))
 
 
+def test_decode_step_flat_kt4_matches_quant():
+    """decode_step_flat on the INT4 cache tracks the int8 KT path: same
+    greedy tokens on a tiny model, logits close (int4 carries ~4.3 bits of
+    the int8 signal; tolerance reflects that)."""
+    from onebit_tpu.model.bitllama import decode_step_flat
+    from onebit_tpu.model.config import BitLlamaConfig
+    from onebit_tpu.model.kv_cache import (init_quant_kv_cache_kt,
+                                           init_quant_kv_cache_kt4)
+    from onebit_tpu.utils.randinit import host_random_packed_params
+
+    config = BitLlamaConfig.named("tiny")
+    params = host_random_packed_params(config, seed=0)
+    b = 2
+    # max_len 512: multiple of 256 → the fused int4 kernel path runs
+    cache_kt = init_quant_kv_cache_kt(config, b, 512)
+    cache_kt4 = init_quant_kv_cache_kt4(config, b, 512)
+
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(1, config.vocab_size, (b, 1)), jnp.int32)
+    for step in range(3):
+        lkt, cache_kt = decode_step_flat(params, cache_kt, toks,
+                                         jnp.int32(step), config, impl="xla")
+        lkt4, cache_kt4 = decode_step_flat(params, cache_kt4, toks,
+                                           jnp.int32(step), config,
+                                           impl="xla")
+        np.testing.assert_allclose(np.asarray(lkt4), np.asarray(lkt),
+                                   rtol=0.3, atol=0.3)
+        # random tiny-model logits sit in near-ties, so token-exact greedy
+        # vs the LESS lossy int8 cache is not a fair bar; require the int8
+        # winner to stay within a small logit gap of the int4 winner
+        l4 = np.asarray(lkt4[:, -1], np.float32)
+        winner8 = np.asarray(jnp.argmax(lkt[:, -1], -1))
+        for row in range(b):
+            assert l4[row].max() - l4[row, winner8[row]] < 0.2
+        toks = jnp.argmax(lkt[:, -1:], -1).astype(jnp.int32)
+
+
+def test_decode_step_flat_kt4_fallback_matches_kernel():
+    """The multi-token unpack-repack fallback and the fused s=1 kernel
+    agree: prefill a window via the fallback, then decode one token and
+    compare against a cache built token-by-token through the kernel."""
+    from onebit_tpu.model.bitllama import decode_step_flat
+    from onebit_tpu.model.config import BitLlamaConfig
+    from onebit_tpu.model.kv_cache import init_quant_kv_cache_kt4
+    from onebit_tpu.utils.randinit import host_random_packed_params
+
+    config = BitLlamaConfig.named("tiny")
+    params = host_random_packed_params(config, seed=1)
+    b, T0 = 2, 4
+    rng = np.random.RandomState(1)
+    prompt = jnp.asarray(rng.randint(1, config.vocab_size, (b, T0)),
+                         jnp.int32)
+
+    cache_a = init_quant_kv_cache_kt4(config, b, 512)
+    la, cache_a = decode_step_flat(params, cache_a, prompt, jnp.int32(0),
+                                   config, impl="xla")   # fallback path
+    cache_b = init_quant_kv_cache_kt4(config, b, 512)
+    for t in range(T0):
+        lb, cache_b = decode_step_flat(params, cache_b, prompt[:, t:t + 1],
+                                       jnp.int32(t), config, impl="xla")
+    np.testing.assert_allclose(np.asarray(la[:, -1]), np.asarray(lb[:, -1]),
+                               rtol=0.08, atol=0.08)
+    tok = jnp.argmax(la[:, -1:], -1).astype(jnp.int32)
+    la2, _ = decode_step_flat(params, cache_a, tok, jnp.int32(T0), config,
+                              impl="xla")
+    lb2, _ = decode_step_flat(params, cache_b, tok, jnp.int32(T0), config,
+                              impl="xla")
+    np.testing.assert_allclose(np.asarray(la2), np.asarray(lb2),
+                               rtol=0.08, atol=0.08)
+
+
 def test_append_kt_per_row_positions():
     """Ragged append: per-row ``pos [B]`` in different T blocks — each
     row's column lands at its own position (the continuous-batching
@@ -215,6 +286,130 @@ def test_append_kt_per_row_positions():
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(np.asarray(k_qt_new),
                                   np.asarray(k_qt_ref))
+
+
+def _mk4(L=3, B=2, T=512, nkv=4, g=1, hd=128, seed=31):
+    """Random int4 pools in both the row-major (for the jnp reference) and
+    packed-KT layouts, with quantize_kv4-convention scales."""
+    from onebit_tpu.model.kv_cache import pack_int4_halfplane
+    rng = np.random.RandomState(seed)
+    nh = nkv * g
+    q = jnp.asarray(rng.randn(B, nh, hd), jnp.float32).astype(jnp.bfloat16)
+    k_q = jnp.asarray(rng.randint(-7, 8, (L, B, T, nkv, hd)), jnp.int8)
+    v_q = jnp.asarray(rng.randint(-7, 8, (L, B, T, nkv, hd)), jnp.int8)
+    k_s = jnp.asarray(rng.rand(L, B, T, nkv) * 0.3 + 0.01, jnp.float32)
+    v_s = jnp.asarray(rng.rand(L, B, T, nkv) * 0.3 + 0.01, jnp.float32)
+    k_qp = pack_int4_halfplane(jnp.moveaxis(k_q, 2, 4), axis=4)
+    k_st = jnp.moveaxis(k_s, 2, 3)
+    v_qp = pack_int4_halfplane(v_q, axis=2)
+    return q, k_q, k_s, v_q, v_s, k_qp, k_st, v_qp
+
+
+@pytest.mark.parametrize("g", [1, 2])
+def test_kt4_matches_attention_quant(g):
+    """INT4 packed kernel == the jnp int8-style reference on the same
+    int4-valued pools (dequant math is identical: q·scale)."""
+    from onebit_tpu.kernels.kv_attention import kv_attention_decode_kt4
+    q, k_q, k_s, v_q, v_s, k_qp, k_st, v_qp = _mk4(g=g)
+    T = 512
+    lengths = jnp.asarray([T, 77], jnp.int32)
+    got = kv_attention_decode_kt4(q, k_qp, k_st, v_qp, v_s, lengths,
+                                  jnp.int32(1), inv_scale=1.0, t_blk=256)
+    mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, None, None, :]
+    want = bitllama._attention_quant(
+        q[:, None], k_q[1], k_s[1], v_q[1], v_s[1], mask,
+        num_kv_groups=g)[:, 0]
+    np.testing.assert_allclose(np.asarray(got, jnp.float32),
+                               np.asarray(want, jnp.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_kt4_starts_and_roundtrip():
+    from onebit_tpu.kernels.kv_attention import kv_attention_decode_kt4
+    from onebit_tpu.model.kv_cache import (pack_int4_halfplane,
+                                           unpack_int4_halfplane)
+    q, k_q, k_s, v_q, v_s, k_qp, k_st, v_qp = _mk4(g=2, seed=33)
+    T = 512
+    # pack/unpack round trip is exact
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4_halfplane(k_qp, axis=4)),
+        np.asarray(jnp.moveaxis(k_q, 2, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4_halfplane(v_qp, axis=2)), np.asarray(v_q))
+    lengths = jnp.asarray([T, 300], jnp.int32)
+    starts = jnp.asarray([3, 50], jnp.int32)
+    got = kv_attention_decode_kt4(q, k_qp, k_st, v_qp, v_s, lengths,
+                                  jnp.int32(0), starts=starts,
+                                  inv_scale=1.0, t_blk=256)
+    cols = jnp.arange(T)[None, :]
+    mask = ((cols < lengths[:, None]) &
+            (cols >= starts[:, None]))[:, None, None, :]
+    want = bitllama._attention_quant(
+        q[:, None], k_q[0], k_s[0], v_q[0], v_s[0], mask,
+        num_kv_groups=2)[:, 0]
+    np.testing.assert_allclose(np.asarray(got, jnp.float32),
+                               np.asarray(want, jnp.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("positions", [[5, 131, 300], [250, 259, 450]])
+def test_append_kt4_per_row_positions(positions):
+    """INT4 fused append+attend: per-row positions across BOTH nibble
+    planes (pos < T/2 → low nibble, pos ≥ T/2 → high) — ctx matches the
+    decode kernel on a manually-written pool, write-back touches exactly
+    one nibble."""
+    from onebit_tpu.kernels.kv_attention import (kv_attention_append_kt4,
+                                                 kv_attention_decode_kt4)
+    from onebit_tpu.model.kv_cache import (pack_int4_halfplane,
+                                           unpack_int4_halfplane)
+    rng = np.random.RandomState(41)
+    q, k_q, k_s, v_q, v_s, k_qp, k_st, v_qp = _mk4(B=3, g=2, seed=41)
+    layer = 1
+    k_new = jnp.asarray(rng.randint(-7, 8, (3, 4, 128)), jnp.int8)
+    pos = jnp.asarray(positions, jnp.int32)
+    lengths = pos + 1
+
+    ctx, k_qp_new = kv_attention_append_kt4(
+        q, k_new, k_qp, k_st, v_qp, v_s, lengths, jnp.int32(layer), pos,
+        inv_scale=1.0, t_blk=256)
+    # reference pool: insert into the unpacked layout, repack
+    k_qt_ref = jnp.moveaxis(k_q, 2, 4)
+    for b in range(3):
+        k_qt_ref = k_qt_ref.at[layer, b, :, :, int(pos[b])].set(k_new[b])
+    k_qp_ref = pack_int4_halfplane(k_qt_ref, axis=4)
+    want = kv_attention_decode_kt4(q, k_qp_ref, k_st, v_qp, v_s, lengths,
+                                   jnp.int32(layer), inv_scale=1.0,
+                                   t_blk=256)
+    np.testing.assert_allclose(np.asarray(ctx, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(k_qp_new),
+                                  np.asarray(k_qp_ref))
+    # and the unpacked view confirms only the target columns changed
+    unp = unpack_int4_halfplane(k_qp_new, axis=4)
+    np.testing.assert_array_equal(
+        np.asarray(unp), np.asarray(k_qt_ref))
+
+
+def test_append_kt4_inactive_row_finite():
+    from onebit_tpu.kernels.kv_attention import kv_attention_append_kt4
+    from onebit_tpu.model.kv_cache import pack_int4_halfplane
+    rng = np.random.RandomState(42)
+    L, B, nkv, hd, T, g = 1, 2, 2, 128, 256, 2
+    nh = nkv * g
+    q = jnp.asarray(rng.randn(B, nh, hd), jnp.float32)
+    k_qt = jnp.asarray(rng.randint(-7, 8, (L, B, nkv, hd, T)), jnp.int8)
+    k_st = jnp.asarray(rng.rand(L, B, nkv, T), jnp.float32)
+    v_q = jnp.asarray(rng.randint(-7, 8, (L, B, T, nkv, hd)), jnp.int8)
+    v_s = jnp.asarray(rng.rand(L, B, T, nkv), jnp.float32)
+    k_new = jnp.asarray(rng.randint(-7, 8, (B, nkv, hd)), jnp.int8)
+    pos = jnp.asarray([3, 7], jnp.int32)
+    lengths = jnp.asarray([4, 0], jnp.int32)
+    ctx, _ = kv_attention_append_kt4(
+        q, k_new, pack_int4_halfplane(k_qt, axis=4), k_st,
+        pack_int4_halfplane(v_q, axis=2), v_s, lengths, jnp.int32(0), pos,
+        inv_scale=1.0, t_blk=256)
+    assert np.isfinite(np.asarray(ctx, np.float32)).all()
 
 
 def test_append_kt_inactive_row_zeros():

@@ -19,6 +19,7 @@ import pytest
 
 from onebit_tpu.model.config import BitLlamaConfig
 from onebit_tpu.parallel.memplan import (
+    analytic_train_bytes,
     dry_compile_serve,
     dry_compile_train,
 )
@@ -30,6 +31,14 @@ def test_7b_train_fits_v5e_8chip():
                                4, 1024, train_cfg=TrainConfig(remat=True))
     report.check(16.0)          # v5e budget — raises on overflow
     assert 6.0 < report.peak_gb < 16.0, report
+    # sanity band vs the backend-free hand model (params+moments+teacher+
+    # acts+logits): peaks are CPU-XLA buffer assignment (see memplan.py
+    # caveat); the band catches a compiler divergence OR a sharding
+    # regression (replicated moments alone would be ~5x the model).
+    # measured calibration: ratio 0.93 (7B), 0.95 (13B)
+    model = analytic_train_bytes(BitLlamaConfig.named("llama2-7b"), (4, 2),
+                                 4, 1024)
+    assert 0.7 < report.peak_bytes / model < 1.3, (report.peak_bytes, model)
 
 
 def test_13b_train_needs_more_than_8x16g():
@@ -40,6 +49,9 @@ def test_13b_train_needs_more_than_8x16g():
         report.check(16.0)
     # ...but fits v4/v5p-class HBM per chip at 8 chips
     report.check(32.0)
+    model = analytic_train_bytes(BitLlamaConfig.named("llama2-13b"), (2, 4),
+                                 2, 1024)
+    assert 0.7 < report.peak_bytes / model < 1.3, (report.peak_bytes, model)
 
 
 def test_13b_tp8_serving_fits_easily():

@@ -5,6 +5,7 @@ the same shardings that run on a pod slice compile and execute here.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,6 +15,7 @@ from onebit_tpu.parallel.mesh import DATA_AXIS, create_mesh
 from onebit_tpu.parallel.sharding import shard_params
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
@@ -37,6 +39,7 @@ def test_sharded_forward_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__
     fn, args = __graft_entry__.entry()

@@ -25,6 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(280)
 def test_two_process_distributed_kd_step():
     env = dict(os.environ)
@@ -61,6 +62,7 @@ def test_two_process_distributed_kd_step():
     assert all("global=4 local=2" in o for _, o, _ in outs)
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(280)
 def test_two_process_cli_train_end_to_end(tmp_path):
     """`python -m onebit_tpu train --coordinator …` as 2 OS processes —
