@@ -38,7 +38,10 @@ def read_rows(path: str) -> List[dict]:
         with open(path) as f:
             data = json.load(f)
         if not isinstance(data, list):
-            raise ValueError(f"{path}: expected a JSON list of rows")
+            raise ValueError(
+                f"{path}: expected a JSON list of rows (original-"
+                "distribution raw files are accepted when named per the "
+                "corpus's published layout — see eval/raw_formats.py)")
         return data
     if path.endswith((".csv", ".tsv")):
         delim = "\t" if path.endswith(".tsv") else ","
@@ -68,9 +71,26 @@ def load_split(source_dir: str, name: str, split: str) -> List[dict]:
             f"no local data for task {name!r}: expected directory "
             f"{task_dir} (file conventions: {_EXTS} per split, or an HF "
             f"save_to_disk dir)")
+    from onebit_tpu.eval import raw_formats
     p = _split_file(task_dir, split)
     if p is not None:
-        return read_rows(p)
+        try:
+            return read_rows(p)
+        except ValueError:
+            # a <split>.json holding a raw (non-list) object: try the
+            # task's original-format converter before giving up
+            if p.endswith(".json"):
+                with open(p) as f:
+                    data = json.load(f)
+                rows = raw_formats.convert_raw(name, data)
+                if rows is not None:
+                    return rows
+            raise
+    # original-distribution raw download dropped into the task dir
+    # (e.g. drop/drop_dataset_dev.json, coqa/coqa-dev-v1.0.json)
+    rows = raw_formats.load_raw_split(name, task_dir, split)
+    if rows is not None:
+        return rows
     # HF save_to_disk layouts: either the split is a sub-dataset dir, or
     # the task dir is a DatasetDict containing the split
     import datasets

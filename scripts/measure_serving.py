@@ -63,6 +63,10 @@ def main():
     n_draft = int(os.environ.get("ONEBIT_SERVE_NDRAFT", "4"))
     page = int(os.environ.get("ONEBIT_SERVE_PAGE", "16"))
     max_len = int(os.environ.get("ONEBIT_SERVE_MAXLEN", "256"))
+    # dense quantized-KV engine (int8 transposed-K fused kernel) — the
+    # deep-context serving configuration (no paging)
+    kvq = os.environ.get("ONEBIT_SERVE_KVQ", "0") == "1"
+    prompt_len = int(os.environ.get("ONEBIT_SERVE_PROMPT", "16"))
 
     config = BitLlamaConfig.named(size)
     params = host_random_packed_params(config)
@@ -82,19 +86,37 @@ def main():
         eng = ContinuousBatchingEngine(
             params, config, max_batch=batch, max_len=max_len,
             sampling=SamplingConfig(greedy=True), impl="pallas",
-            compute_dtype=jnp.bfloat16, paged=paged, quantized_kv=paged,
-            page_size=page, block_steps=block)
+            compute_dtype=jnp.bfloat16, paged=paged,
+            quantized_kv=(paged or kvq), page_size=page,
+            block_steps=block)
 
     print(f"# warmup round (compiles prefill + decode block)",
           file=sys.stderr, flush=True)
-    run_round(eng, batch, 16, 8)
+    run_round(eng, batch, min(prompt_len, 16), 8)
+
+    if prompt_len > 64:
+        # deep-context mode: report the DECODE rate net of prefill (long
+        # prompts would otherwise dominate wall clock) — a 1-token round
+        # measures prefill+roundtrip, subtracted from the full round
+        print("# prefill-only round", file=sys.stderr, flush=True)
+        run_round(eng, batch, prompt_len, 1)        # compile full shapes
+        _, dt_p, _ = run_round(eng, batch, prompt_len, 1)
+        print("# timed round", file=sys.stderr, flush=True)
+        ntok, dt, _ = run_round(eng, batch, prompt_len, tokens)
+        rate = (ntok - batch) / max(dt - dt_p, 1e-9)
+        print(f"serving decode (net of prefill): {ntok - batch} tokens in "
+              f"{dt - dt_p:.2f}s -> {rate:.1f} tok/s "
+              f"({size}, batch {batch}, prompt {prompt_len}, block {block}, "
+              f"paged={paged}, kvq={kvq or paged}, page={page}, "
+              f"fuse={fuse})")
+        return
 
     print(f"# timed round", file=sys.stderr, flush=True)
-    ntok, dt, _ = run_round(eng, batch, 16, tokens)
+    ntok, dt, _ = run_round(eng, batch, prompt_len, tokens)
     rate = ntok / dt
     print(f"serving: {ntok} tokens in {dt:.2f}s -> {rate:.1f} tok/s "
           f"({size}, batch {batch}, block {block}, paged={paged}, "
-          f"page={page}, fuse={fuse})")
+          f"kvq={kvq or paged}, page={page}, fuse={fuse})")
 
 
 if __name__ == "__main__":
