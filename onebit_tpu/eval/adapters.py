@@ -9,6 +9,10 @@ takes any object with the three-method surface; this module provides:
 * :class:`TorchCausalLM` — any HuggingFace ``*ForCausalLM`` (e.g. the FP16
   teacher on host CPU), so the "FP16" columns of the reference's README
   tables reproduce through our harness.
+* :class:`TorchSeq2SeqLM` — the hf-seq2seq class (reference
+  huggingface.py:421 ``AutoSeq2SeqLM``): encoder-decoder scoring where
+  the context feeds the encoder and the continuation is the decoder
+  target.
 * :class:`JaxLM` — the native model wrapped into the same object surface,
   for code that wants a uniform handle instead of (params, config).
 
@@ -125,6 +129,114 @@ class TorchCausalLM:
                         dim=1)[:, -self.max_length:]
             text = detokenize(gen)
             for s in stops:   # truncate at the first stop sequence
+                pos = text.find(s)
+                if pos >= 0:
+                    text = text[:pos]
+            outs.append(text)
+        return outs
+
+
+class TorchSeq2SeqLM:
+    """The reference's hf-seq2seq adapter (huggingface.py:421-560
+    ``AutoSeq2SeqLM``) for encoder-decoder torch models (T5 family).
+
+    Seq2seq scoring semantics (reference loglikelihood, huggingface.py:
+    437-465 + _loglikelihood_tokens :516-550): the CONTEXT feeds the
+    encoder and the CONTINUATION is the decoder target — ``model(
+    input_ids=ctx, labels=cont)`` shifts the labels right internally, so
+    decoder logit t predicts cont[t]; the score is the sum of target
+    log-softmaxes over the true continuation length and ``is_greedy`` is
+    argmax equality.  Rolling loglikelihood scores each window
+    independently with the window's prefix as encoder input
+    (reference :467-514).  Token-level API like :class:`TorchCausalLM`;
+    ``pad_id`` pads both encoder batches (with attention masked) and
+    label batches (masked from the score).
+    """
+
+    def __init__(self, model, *, max_length: int = 512,
+                 batch_size: int = 8, device: str = "cpu",
+                 pad_id: int = 0):
+        import torch
+        self._torch = torch
+        self.model = model.to(device).eval()
+        self.device = device
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.pad_id = pad_id
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kw):
+        from transformers import AutoModelForSeq2SeqLM
+        model = AutoModelForSeq2SeqLM.from_pretrained(path)
+        pad = getattr(model.config, "pad_token_id", None)
+        kw.setdefault("pad_id", 0 if pad is None else pad)
+        return cls(model, **kw)
+
+    # -- request API --------------------------------------------------------
+
+    def loglikelihood(self, requests: Sequence[Tuple[Sequence[int],
+                                                     Sequence[int]]]
+                      ) -> List[Tuple[float, bool]]:
+        torch = self._torch
+        out: List[Optional[Tuple[float, bool]]] = [None] * len(requests)
+        order = sorted(range(len(requests)),
+                       key=lambda i: -(len(requests[i][0])
+                                       + len(requests[i][1])))
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            ctxs = [list(requests[i][0])[-self.max_length:] for i in idxs]
+            conts = [list(requests[i][1])[:self.max_length] for i in idxs]
+            wc = max(len(c) for c in ctxs)
+            wk = max(len(c) for c in conts)
+            enc = np.full((len(idxs), wc), self.pad_id, np.int64)
+            att = np.zeros((len(idxs), wc), np.int64)
+            lab = np.full((len(idxs), wk), self.pad_id, np.int64)
+            for j, (c, k) in enumerate(zip(ctxs, conts)):
+                enc[j, :len(c)] = c
+                att[j, :len(c)] = 1
+                lab[j, :len(k)] = k
+            with torch.no_grad():
+                logits = self.model(
+                    input_ids=torch.from_numpy(enc).to(self.device),
+                    attention_mask=torch.from_numpy(att).to(self.device),
+                    labels=torch.from_numpy(lab).to(self.device)).logits
+                logprobs = torch.log_softmax(logits.float(), dim=-1)
+            for j, i in enumerate(idxs):
+                nk = len(conts[j])
+                lp = logprobs[j, :nk]
+                tgt = torch.tensor(conts[j], dtype=torch.long,
+                                   device=lp.device)
+                tok_lp = lp.gather(-1, tgt[:, None])[:, 0]
+                greedy = bool((lp.argmax(-1) == tgt).all())
+                out[i] = (float(tok_lp.sum()), greedy)
+        return out  # type: ignore[return-value]
+
+    def loglikelihood_rolling(self, documents: Sequence[Sequence[int]]
+                              ) -> List[float]:
+        results = []
+        for doc in documents:
+            pairs = rolling_windows(doc, self.max_length - 1)
+            scores = self.loglikelihood(pairs)
+            results.append(sum(s for s, _ in scores))
+        return results
+
+    def greedy_until(self, requests, detokenize=None,
+                     max_new_tokens: int = 256) -> List[str]:
+        if detokenize is None:
+            raise ValueError("greedy_until tasks need a detokenize fn")
+        torch = self._torch
+        outs = []
+        for ctx_toks, stops in requests:
+            toks = list(ctx_toks)[-self.max_length:]
+            ids = torch.tensor([toks], dtype=torch.long, device=self.device)
+            with torch.no_grad():
+                gen = self.model.generate(input_ids=ids, do_sample=False,
+                                          max_new_tokens=max_new_tokens)
+            # generate() output for seq2seq is decoder-only tokens,
+            # starting at decoder_start_token; drop it + trailing pads
+            gen_toks = [int(t) for t in gen[0][1:] if int(t) != self.pad_id]
+            text = detokenize(gen_toks)
+            for s in stops:
                 pos = text.find(s)
                 if pos >= 0:
                     text = text[:pos]

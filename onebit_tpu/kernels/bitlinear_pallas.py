@@ -51,6 +51,13 @@ WORD_BITS = 32
 _SMALL_M = 128          # threshold for the fused-LN decode schedule
 _LANE = 128
 
+# Mosaic's default scoped-VMEM budget is 16 MiB of the chip's 128 MiB;
+# the small-M fused-LN schedule legitimately holds a full [m_pad, n_cat]
+# f32 accumulator (cross-tile LayerNorm epilogue), which crosses 16 MiB
+# at m_pad=128 x 7B MLP width.  32 MiB keeps every supported geometry
+# compiling with ample headroom for the pipeline's own buffers.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 # decode-schedule unpack variant; override with ONEBIT_UNPACK_VARIANT
 import os as _os
 DECODE_UNPACK_VARIANT = _os.environ.get("ONEBIT_UNPACK_VARIANT", "sgn")
@@ -64,6 +71,19 @@ if PLANE_GROUPS not in (1, 2, 4, 8):
     raise ValueError(
         f"ONEBIT_PLANE_GROUPS={PLANE_GROUPS} must be 1, 2, 4, or 8 "
         "(groups must divide the 8 byte-planes)")
+
+
+def _fused_small_fits(m_pad: int, n_cat: int, out_bytes: int = 2) -> bool:
+    """Scoped-VMEM gate for the fused small-M schedule: its LN epilogue
+    needs the FULL ``[m_pad, n_cat]`` f32 accumulator plus the same-shape
+    output block resident, which dominates the kernel's VMEM stack
+    (measured: Mosaic reports acc+out + ~1.2 MB at 7B gate+up m_pad=128
+    = 17.71 M).  _VMEM_PARAMS raises the scoped budget to 32 M; the gate
+    caps acc+out at 24 M (leaving headroom for the y/slab scratch) so
+    outsized geometries (m_pad=128 at >=65B MLP widths) fall back to the
+    per-segment large-M schedule, which tiles M and is competitive there
+    — m is prefill-ish, so unpack already amortizes."""
+    return m_pad * n_cat * (4 + out_bytes) <= 24 * 1024 * 1024
 
 
 def _slab_shapes(k: int, tn: int):
@@ -245,6 +265,7 @@ def _call_small_m(x2, packed, g, h, bias, eps, interpret,
             pltpu.VMEM((m_pad, k), x2.dtype),
             *_slab_shapes(k, tn),
         ],
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(*inputs)
     return out[:m]
@@ -317,6 +338,7 @@ def _call_small_m_stacked(x2, packed, g, h, bias, layer, eps, interpret,
                 *_slab_shapes(k, tn),
             ]),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(lidx, *inputs)
     return out[:m]
@@ -435,7 +457,7 @@ def bitlinear_packed_fused(x, packed, g, h, *, n_true: int,
     g2 = g.astype(x2.dtype)
     h2 = h.reshape(1, n_cat).astype(jnp.float32)
 
-    if m <= _SMALL_M:
+    if m <= _SMALL_M and _fused_small_fits(max(_round_up(m, 16), 16), n_cat):
         m_pad = max(_round_up(m, 16), 16)
         if m_pad != m:
             x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
@@ -463,6 +485,7 @@ def bitlinear_packed_fused(x, packed, g, h, *, n_true: int,
                 pltpu.VMEM((ns * m_pad, k), x2.dtype),
                 *_slab_shapes(k, tn),
             ],
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
         )(x2, g2, packed, h2)
         out = out[:m]
@@ -507,7 +530,8 @@ def bitlinear_packed_fused_stacked(x, packed, g, h, layer, *, n_true: int,
                          f"g {g.shape}, packed {packed.shape}")
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    if m > _SMALL_M:
+    if m > _SMALL_M or \
+            not _fused_small_fits(max(_round_up(m, 16), 16), n_cat):
         pick = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
                                  axis=0, keepdims=False)
         return bitlinear_packed_fused(x, pick(packed), pick(g), pick(h),
@@ -551,6 +575,7 @@ def bitlinear_packed_fused_stacked(x, packed, g, h, layer, *, n_true: int,
                 *_slab_shapes(k, tn),
             ]),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_cat), x2.dtype),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(lidx, x2, g2, packed, h2)
     out = out[:m]
@@ -622,6 +647,7 @@ def _call_large_m(x2, packed, g, h, eps, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((k, tn), jnp.int8)],
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(x2, g2, packed, h2)
     return out[:m]

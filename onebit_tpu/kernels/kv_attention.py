@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 # balances DMA size (2 MB K + 2 MB V tiles at 7B) against grid overhead
 DEFAULT_T_BLK = int(os.environ.get("ONEBIT_KV_TBLK", "512"))
 
+# Raised scoped-VMEM budget (default 16 MiB of the 128 MiB chip VMEM):
+# unlocks t_blk=1024 tiles, whose K+V+scores stack measured 18.4 M
+# (PERF.md deep-context sweep).
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 
 def _kernel(lidx_ref, lengths_ref, starts_ref, q_ref, kq_ref, ks_ref,
             vq_ref, vs_ref, out_ref, s_scr, m_scr, l_scr, acc_scr, *,
@@ -385,6 +390,7 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
         ],
         input_output_aliases={6: 1},   # k_qt input (after 4 scalars, q,
                                        # k_new) aliases the pool output
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(lidx, lengths, starts, posv, q, k_new, k_qt, k_st, v_q, v_s)
     return ctx, k_qt_new
@@ -454,6 +460,7 @@ def kv_attention_decode_kt(q, k_qt, k_st, v_q, v_s, lengths, layer, *,
                 pltpu.VMEM((nh, hd), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(lidx, lengths, starts, q, k_qt, k_st, v_q, v_s)
     return out
@@ -743,6 +750,7 @@ def kv_attention_decode_kt4(q, k_qp, k_st, v_qp, v_s, lengths, layer, *,
                 pltpu.VMEM((nh, hd), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(lidx, lengths, starts, q, k_qp, k_st, k_st, v_qp, v_s, v_s)
     return out
@@ -840,6 +848,7 @@ def kv_attention_append_kt4(q, k_new, k_qp, k_st, v_qp, v_s, lengths, layer,
         ],
         input_output_aliases={6: 1},   # k_qp input (after 4 scalars, q,
                                        # k_new) aliases the pool output
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(lidx, lengths, starts, posv, q, k_new, k_qp, k_st, k_st, v_qp, v_s,
       v_s)
@@ -916,6 +925,7 @@ def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,
                 pltpu.VMEM((nh, hd), jnp.float32),      # accumulator
             ]),
         out_shape=jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
     )(lidx, lengths, starts, q, k_q, k_s, v_q, v_s)
     return out

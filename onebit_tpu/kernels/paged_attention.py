@@ -9,30 +9,38 @@ shapes, scripts/probe_serving_step.py).  This kernel instead takes the
 pool in the engine's native layout ``[L, P, nkv, ps, hd]`` plus a traced
 ``layer`` scalar and reads exactly the pages each sequence owns.
 
-Two design points, both measured (scripts/probe_pageattn_kernel.py):
+Design (round 4 — MXU-oriented rewrite of the original VPU body, which
+materialized ppb f32-dequantized K AND V page tiles in-kernel and OOMed
+scoped VMEM at serving geometry):
 
-* **Page fetches ride the Mosaic grid pipeline**, not manual in-body
-  DMA: each of the ``ppb`` page slots per grid step is its own input
-  BlockSpec whose index map reads the scalar-prefetched page table
-  (``tbl[b, c*ppb + j]``) — Mosaic double-buffers these block fetches
-  across grid steps automatically.  A manual make_async_copy version
-  paid ~3.5 us of serial issue cost per page (1.8 ms per 7B layer).
-* **Attention is vectorized over all kv heads** on ``[nkv, ps, hd]``
-  VPU ops; a per-head loop of tiny MXU dots costs ~2*nkv serial MXU
-  pipeline latencies per step.  q arrives group-major ``[g, nkv, hd]``
-  so each GQA group is one contiguous sublane block (g=1 for MHA).
+* **Page fetches ride the Mosaic grid pipeline**: each of the ``ppb``
+  page slots per grid step is its own input BlockSpec whose index map
+  reads the scalar-prefetched page table (``tbl[b, c*ppb + j]``) —
+  Mosaic double-buffers these block fetches across grid steps.
+* **Concat-convert, then KT-style dots**: each page tile is converted
+  once into a contiguous bf16 (= q.dtype) VMEM scratch slab
+  ``[nkv, ppb*ps, hd]`` — for INT8 pages the absmax scales are folded
+  into the convert (dequant ``q·s/127.5``), so the quantized and plain
+  paths share one dot structure.  Scores and PV then run as the proven
+  per-kv-head ``dot_general`` pattern of kernels/kv_attention.py
+  (``[g, hd]·[tok, hd]ᵀ`` and ``[g, tok]·[tok, hd]``, fp32 accumulate)
+  instead of a per-page shower of tiny dots: pages_per_block is chosen
+  so one grid step scores ~256 tokens per dot.
+* Online-softmax state (m, l, acc) lives in VMEM scratch across the page
+  blocks of one sequence; the last block writes ``acc / l``.
 
-Online-softmax state (m, l, acc) lives in VMEM scratch across the page
-blocks of one sequence; the last block writes ``acc / l``.
-
-INT8 pages (QuantPagedKVCache) fold their absmax scales exactly:
-``k = k_q * k_s / 127.5`` before the score product — the same identity
-as model.bitllama._attention_quant.
+INT8 pages (QuantPagedKVCache) use the raw-absmax convention of
+engine/paged.py: ``k = k_q * k_s / 127.5``, the same identity as
+model.bitllama._attention_quant.  In interpret mode (CPU tests) q is
+fp32, so the convert-dequant is exact vs the jnp gather reference; on
+TPU the dequantized operands round to bf16 (the dense bf16 path's
+precision).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,13 +56,16 @@ def _kernel(layer_ref, len_ref, tbl_ref,           # scalar prefetch
             quant: bool, hd: int):
     per_page = 4 if quant else 2
     page_refs = refs[:per_page * ppb]
-    o_ref, m_ref, l_ref, acc_ref = refs[per_page * ppb:]
+    o_ref = refs[per_page * ppb]
+    k_scr, v_scr, s_scr, m_ref, l_ref, acc_ref = refs[per_page * ppb + 1:]
 
     b = pl.program_id(0)
     c = pl.program_id(1)
     nb = pl.num_programs(1)
     length = len_ref[b]
     scale = hd ** -0.5
+    tok = ppb * ps
+    nh = g * nkv
 
     @pl.when(c == 0)
     def _():
@@ -62,8 +73,9 @@ def _kernel(layer_ref, len_ref, tbl_ref,           # scalar prefetch
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # dequantized per-page K/V tiles [nkv, ps, hd] f32 + validity masks
-    ks, vs, valids = [], [], []
+    # concat-convert: page tiles -> contiguous [nkv, tok, hd] q.dtype
+    # slabs (scales folded in for int8 pages; elementwise, fused by
+    # Mosaic into the store — no f32 materialization survives the step)
     for j in range(ppb):
         if quant:
             kq, ksc, vq, vsc = page_refs[per_page * j:per_page * (j + 1)]
@@ -73,51 +85,60 @@ def _kernel(layer_ref, len_ref, tbl_ref,           # scalar prefetch
                 (vsc[0, 0].astype(jnp.float32) * (1.0 / _MAX_INT8))
         else:
             kref, vref = page_refs[per_page * j:per_page * (j + 1)]
-            kj = kref[0, 0].astype(jnp.float32)
-            vj = vref[0, 0].astype(jnp.float32)
-        ks.append(kj)
-        vs.append(vj)
-        pos = (c * ppb + j) * ps + \
-            jax.lax.broadcasted_iota(jnp.int32, (1, ps), 1)
-        # additive mask [1, ps] computed arithmetically: rowwise adds
-        # broadcast over sublanes; Mosaic rejects where() with scalar
-        # branches against an array predicate
-        valids.append((pos >= length).astype(jnp.float32) * _NEG)
+            kj = kref[0, 0]
+            vj = vref[0, 0]
+        k_scr[:, j * ps:(j + 1) * ps, :] = kj.astype(k_scr.dtype)
+        v_scr[:, j * ps:(j + 1) * ps, :] = vj.astype(v_scr.dtype)
 
-    for j2 in range(g):
-        q_j = q_ref[0, j2].astype(jnp.float32)            # [nkv, hd]
-        # per-page scores then concat (pages are separate refs)
-        s = jnp.concatenate(
-            [jnp.sum(q_j[:, None, :] * ks[j], axis=2) * scale + valids[j]
-             for j in range(ppb)], axis=1)                # [nkv, tb]
+    # scores: one NT dot per kv head over the whole token block
+    q = q_ref[0]                                       # [nh, hd]
+    for n in range(nkv):
+        s_n = jax.lax.dot_general(
+            q[n * g:(n + 1) * g], k_scr[n],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [g, tok]
+        s_scr[n * g:(n + 1) * g, :] = s_n * scale
 
-        rows = pl.ds(j2 * nkv, nkv)
-        m_prev = m_ref[rows, :]                           # [nkv, 1]
-        l_prev = l_ref[rows, :]
-        a_prev = acc_ref[rows, :]                         # [nkv, hd]
+    pos = c * tok + jax.lax.broadcasted_iota(jnp.int32, (nh, tok), 1)
+    s = jnp.where(pos < length, s_scr[:], jnp.float32(_NEG))
 
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                            # [nkv, tb]
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = a_prev * alpha
-        for j in range(ppb):
-            # static slice + expand_dims: a combined [:, a:b, None]
-            # getitem lowers through a gather Mosaic rejects
-            pj = jax.lax.slice_in_dim(p, j * ps, (j + 1) * ps, axis=1)
-            pv = pv + jnp.sum(jnp.expand_dims(pj, 2) * vs[j], axis=1)
+    # online softmax update (batched over all heads)
+    m_prev = m_ref[:]                                  # [nh, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)                             # [nh, tok]
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:] = m_new
 
-        m_ref[rows, :] = m_new
-        l_ref[rows, :] = l_new
-        acc_ref[rows, :] = pv
+    p16 = p.astype(v_scr.dtype)
+    for n in range(nkv):
+        pv = jax.lax.dot_general(
+            p16[n * g:(n + 1) * g], v_scr[n],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [g, hd]
+        rows = slice(n * g, (n + 1) * g)
+        acc_ref[rows, :] = acc_ref[rows, :] * alpha[rows] + pv
 
     @pl.when(c == nb - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        # max(l, tiny) guards 0/0 on a fully-masked row (inactive slot)
+        o_ref[0] = (acc_ref[:] /
+                    jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _auto_ppb(ps: int, mp: int) -> int:
+    """Pages per grid step: target ~256 tokens per score dot (big enough
+    to amortize per-dot MXU latency, small enough for VMEM — at 7B
+    serving geometry one 256-token K+V slab pair is 2 MB int8 in + 4 MB
+    bf16 scratch)."""
+    env = os.environ.get("ONEBIT_PAGED_PPB")
+    if env:
+        return max(1, min(int(env), mp))
+    return max(1, min(-(-256 // ps), mp))
 
 
 def paged_attention_flat(q, *pool, lengths, page_indices, layer,
-                         quant: bool = False, pages_per_block: int = 8,
+                         quant: bool = False, pages_per_block: int = 0,
                          interpret=None):
     """Decode attention against a flat multi-layer page pool.
 
@@ -125,6 +146,7 @@ def paged_attention_flat(q, *pool, lengths, page_indices, layer,
     (or the 4 QuantPagedKVCache leaves with scales [L, P, nkv, ps, 1]);
     lengths [B] valid-token counts (incl. the just-written token);
     page_indices [B, mp]; layer a traced int32 scalar.
+    ``pages_per_block`` 0 = auto (~256 tokens per block).
     Returns [B, nh, hd] float32.
     """
     if interpret is None:
@@ -138,8 +160,10 @@ def paged_attention_flat(q, *pool, lengths, page_indices, layer,
         L, P, nkv, ps, _ = k_pages.shape
     g = nh // nkv
     mp = page_indices.shape[1]
-    ppb = min(pages_per_block, mp)
+    ppb = pages_per_block or _auto_ppb(ps, mp)
+    ppb = min(ppb, mp)
     nb = -(-mp // ppb)
+    tok = ppb * ps
 
     kernel = functools.partial(_kernel, g=g, nkv=nkv, ps=ps, ppb=ppb,
                                quant=quant, hd=hd)
@@ -156,7 +180,7 @@ def paged_attention_flat(q, *pool, lengths, page_indices, layer,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, g, nkv, hd), lambda bb, cc, *pref: (bb, 0, 0, 0),
+        pl.BlockSpec((1, nh, hd), lambda bb, cc, *pref: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = []
@@ -170,9 +194,9 @@ def paged_attention_flat(q, *pool, lengths, page_indices, layer,
                 in_specs.append(page_spec(j, hd))
                 operands.append(arr)
 
-    # group-major q/out layout: head h = n*g + j lives at row j*nkv + n,
-    # so each group j is one contiguous [nkv, hd] sublane block in-kernel
-    q_grouped = q.reshape(b, nkv, g, hd).transpose(0, 2, 1, 3)
+    # dequantized-operand dtype: fp32 in interpret mode (tests compare
+    # exactly vs the fp32 gather reference), bf16-or-q.dtype on TPU
+    op_dtype = q.dtype
 
     out = pl.pallas_call(
         kernel,
@@ -184,17 +208,20 @@ def paged_attention_flat(q, *pool, lengths, page_indices, layer,
                                    lambda bb, cc, *pref: (bb, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
+                pltpu.VMEM((nkv, tok, hd), op_dtype),           # K slab
+                pltpu.VMEM((nkv, tok, hd), op_dtype),           # V slab
+                pltpu.VMEM((nh, tok), jnp.float32),             # scores
                 pltpu.VMEM((nh, 1), jnp.float32),               # m
                 pltpu.VMEM((nh, 1), jnp.float32),               # l
                 pltpu.VMEM((nh, hd), jnp.float32),              # acc
             ]),
         out_shape=jax.ShapeDtypeStruct((b, nh, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
       jnp.asarray(lengths, jnp.int32),
       jnp.asarray(page_indices, jnp.int32).reshape(-1),
-      q_grouped, *operands)
-    return out.reshape(b, g, nkv, hd).transpose(0, 2, 1, 3) \
-        .reshape(b, nh, hd)
+      q, *operands)
+    return out

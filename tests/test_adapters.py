@@ -86,3 +86,74 @@ def test_harness_end_to_end_with_torch_backend(tiny_torch_lm):
     res = evaluate_tasks(None, None, [task], tokenize, batch_size=2,
                          lm=TorchCausalLM(tiny_torch_lm, max_length=64))
     assert "acc" in res["piqa"] and 0.0 <= res["piqa"]["acc"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def tiny_torch_s2s():
+    from transformers import T5Config, T5ForConditionalGeneration
+    cfg = T5Config(vocab_size=97, d_model=32, d_ff=64, d_kv=8,
+                   num_layers=2, num_decoder_layers=2, num_heads=4,
+                   decoder_start_token_id=0, pad_token_id=0)
+    torch.manual_seed(0)
+    return T5ForConditionalGeneration(cfg).eval()
+
+
+def _manual_s2s_ll(model, ctx, cont):
+    """Reference AutoSeq2SeqLM semantics (huggingface.py:437-550): ctx to
+    the encoder, cont as decoder labels; sum target log-softmaxes."""
+    enc = torch.tensor([list(ctx)], dtype=torch.long)
+    lab = torch.tensor([list(cont)], dtype=torch.long)
+    with torch.no_grad():
+        logits = model(input_ids=enc, labels=lab).logits
+    lp = torch.log_softmax(logits.float(), -1)[0]
+    tot, greedy = 0.0, True
+    for k, tok in enumerate(cont):
+        tot += float(lp[k, tok])
+        greedy &= int(lp[k].argmax()) == tok
+    return tot, greedy
+
+
+def test_seq2seq_loglikelihood_matches_manual(tiny_torch_s2s):
+    from onebit_tpu.eval.adapters import TorchSeq2SeqLM
+    lm = TorchSeq2SeqLM(tiny_torch_s2s, max_length=64, batch_size=3)
+    rng = np.random.default_rng(1)
+    reqs = []
+    for _ in range(7):   # ragged final batch + ragged lengths (padding)
+        nc = int(rng.integers(2, 9))
+        nk = int(rng.integers(1, 5))
+        reqs.append((rng.integers(1, 97, nc).tolist(),
+                     rng.integers(1, 97, nk).tolist()))
+    got = lm.loglikelihood(reqs)
+    for (ctx, cont), (score, greedy) in zip(reqs, got):
+        want, wgreedy = _manual_s2s_ll(tiny_torch_s2s, ctx, cont)
+        assert score == pytest.approx(want, abs=1e-3)
+        assert greedy == wgreedy
+
+
+def test_seq2seq_rolling_and_greedy(tiny_torch_s2s):
+    from onebit_tpu.eval.adapters import TorchSeq2SeqLM
+    from onebit_tpu.eval.rolling import rolling_windows
+    lm = TorchSeq2SeqLM(tiny_torch_s2s, max_length=16)
+    doc = list(range(1, 40))
+    (got,) = lm.loglikelihood_rolling([doc])
+    want = sum(s for s, _ in lm.loglikelihood(rolling_windows(doc, 15)))
+    assert got == pytest.approx(want, abs=1e-3)
+
+    detok = lambda toks: " ".join(f"t{t}" for t in toks)
+    (out,) = lm.greedy_until([([1, 2, 3], ["NEVER-APPEARS"])],
+                             detokenize=detok, max_new_tokens=4)
+    assert len(out.split()) <= 4
+
+
+def test_seq2seq_harness_end_to_end(tiny_torch_s2s):
+    from onebit_tpu.eval.adapters import TorchSeq2SeqLM
+    from onebit_tpu.eval.tasks.base import evaluate_tasks
+    from onebit_tpu.eval.tasks.suite import PIQA
+
+    docs = [{"goal": f"goal {i}", "sol1": "yes", "sol2": "no", "label": 0}
+            for i in range(4)]
+    task = PIQA(docs)
+    tokenize = lambda s: [(ord(c) % 96) + 1 for c in s][:30]
+    res = evaluate_tasks(None, None, [task], tokenize, batch_size=2,
+                         lm=TorchSeq2SeqLM(tiny_torch_s2s, max_length=64))
+    assert "acc" in res["piqa"] and 0.0 <= res["piqa"]["acc"] <= 1.0
