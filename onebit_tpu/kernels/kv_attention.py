@@ -190,25 +190,39 @@ def _kernel_kt(lidx_ref, lengths_ref, starts_ref, q_ref, kq_ref, ks_ref,
 
 
 def _kernel_append_kt(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
-                      knew_ref, kq_ref, ks_ref, vq_ref, vs_ref, out_ref,
-                      kqout_ref, s_scr, m_scr, l_scr, acc_scr, *, nkv: int,
+                      knew_ref, ksnew_ref, vnew_ref, vsnew_ref, vsnewt_ref,
+                      kq_ref, ks_ref, vq_ref, vs_ref, out_ref,
+                      kqout_ref, ksout_ref, vqout_ref, vsout_ref,
+                      s_scr, m_scr, l_scr, acc_scr, *, nkv: int,
                       g: int, hd: int, t_blk: int, wb: int,
                       inv_scale: float):
-    """Transposed-K attention that ALSO appends this step's K column.
+    """Transposed-K attention that ALSO appends this step's K/V column
+    and both scale columns — the cache update happens entirely in-kernel
+    through input/output aliases; the caller issues ZERO XLA writes.
 
-    The one-token write into a ``[.., hd, T]`` pool as an XLA
-    dynamic_update_slice is a stride-T scatter: B·nkv·hd one-byte elements
-    each in its own 512 B HBM sector — measured ~1.2 ms/step at 7B b4
-    T2048, eating the kernel's attention win (scripts/probe_kt_step.py).
-    Here the column lands while the tile is already resident in VMEM for
-    scoring: at the grid step whose tile contains ``pos`` the kernel
-    rewrites that tile's scores for the fresh column from ``knew``
-    directly, and writes back ONE ``wb``-wide aliased sub-block
-    (nkv·hd·wb bytes, sector-aligned) instead of a strided scatter —
-    everything else of the pool is untouched through the input/output
-    alias.  K scales are NOT handled here: a scale column write is 128
-    f32 elements (sector-cheap), so the caller updates ``k_st`` before
-    the call and this kernel reads the fresh scale from its tile.
+    Why: the one-token K write into a ``[.., hd, T]`` pool as an XLA
+    dynamic_update_slice is a stride-T scatter (~1.2 ms/step at 7B b4
+    T2048, scripts/probe_kt_step.py), and per-row VECTOR-index scatters
+    for V/scales around the aliased custom call defeat XLA's in-place
+    buffer forwarding entirely — measured +6.5 ms/step of pool copies in
+    the ragged engine step (scripts/probe_ragged_kt.py: scatters alone
+    0.14 ms, scatters+kernel 17.26 vs 10.80 with the writes moved).
+
+    Mechanics per row ``b`` at its (possibly ragged) ``pos``:
+
+    * K column: at the grid step whose tile contains ``pos`` the kernel
+      recomputes that column's scores from ``knew``/``ksnew`` directly
+      and writes back ONE ``wb``-wide aliased sub-block (masked insert
+      in the 32-bit domain — Mosaic supports neither non-no-op minor-dim
+      insertion on int8 nor unaligned dynamic lane stores).
+    * K scale column: same wb-wide aliased write-back on the RAW
+      (un-``inv_scale``-d) scale tile.
+    * V row + V scale row: T is a LEADING dim of the V pools, so the
+      fresh row is one contiguous block — aliased out blocks of T-size 1
+      pinned at ``pos`` write ``vnew``/``vsnew`` straight through.
+    * PV fix-up: the V tile still holds stale bytes at ``pos``, so the
+      ``pos`` column of P is zeroed for the tile dot and its
+      contribution re-added as a rank-1 update ``p_pos · dequant(vnew)``.
     """
     b = pl.program_id(0)
     tb = pl.program_id(1)
@@ -243,28 +257,37 @@ def _kernel_append_kt(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
     def _():
         knew = knew_ref[0]                             # [nkv, hd] s8
         # sub-block write-back: copy the wb-wide slice containing pos,
-        # insert the column, store to the aliased out ref.  The insert is
-        # a masked where in the 32-bit domain: Mosaic supports neither
-        # non-no-op minor-dim insertion on int8 nor unaligned dynamic
-        # lane stores
+        # insert the column, store to the aliased out ref
         off = (col // wb) * wb
         sub32 = kq_ref[0, 0, :, :, pl.ds(off, wb)].astype(jnp.int32)
         colsel = jax.lax.broadcasted_iota(
             jnp.int32, (nkv, hd, wb), 2) == (col - off)
         ins = jnp.where(colsel, knew.astype(jnp.int32)[:, :, None], sub32)
         kqout_ref[0, 0] = ins.astype(jnp.int8)
+        # K scale column: same wb-wide insert on the raw scale tile
+        ks_sub = ks_ref[0, 0, :, pl.ds(off, wb)]       # [nkv, wb] f32 raw
+        sel2 = jax.lax.broadcasted_iota(
+            jnp.int32, (nkv, wb), 1) == (col - off)
+        ksout_ref[0, 0] = jnp.where(sel2, ksnew_ref[0], ks_sub)
+        # V row: the aliased T-size-1 block pinned at pos takes the
+        # fresh row whole
+        vqout_ref[0, 0, 0] = vnew_ref[0]
+        # V scale row: the Mosaic block rule needs an 8-row T sub-block
+        # ((1,...,1,nkv) blocks are illegal on a [..., T, nkv] array) —
+        # masked insert into the 8 rows around pos from the resident tile
+        off8 = (col // 8) * 8
+        vs_sub = vs_ref[0, 0, pl.ds(off8, 8), :]       # [8, nkv] f32 raw
+        sel8 = jax.lax.broadcasted_iota(
+            jnp.int32, (8, nkv), 0) == (col - off8)
+        vsout_ref[0, 0] = jnp.where(sel8, vsnewt_ref[0], vs_sub)
 
-    # fresh-column score fix-up: the pool tile held stale bytes at pos, so
-    # recompute that one column from knew directly (its scale column is
-    # already fresh — the caller updates k_st before the call).  All
-    # masked elementwise math — no unaligned dynamic lane load/store.
+    # fresh-column score fix-up: the pool tiles hold stale bytes at pos,
+    # so recompute that one column from knew/ksnew directly.  All masked
+    # elementwise math — no unaligned dynamic lane load/store.
     length = lengths_ref[b]
     start = starts_ref[b]
     cols = tb * t_blk + jax.lax.broadcasted_iota(jnp.int32, (nh, t_blk), 1)
-    ks_cols = tb * t_blk + jax.lax.broadcasted_iota(
-        jnp.int32, (nkv, t_blk), 1)
-    ks_pos = jnp.sum(jnp.where(ks_cols == pos, ks_t, 0.0), axis=1,
-                     keepdims=True)                    # [nkv, 1]
+    ks_pos = ksnew_ref[0] * jnp.float32(inv_scale)     # [nkv, 1]
     s_col = jnp.sum(
         q.astype(jnp.float32)
         * jnp.repeat(knew_ref[0].astype(jnp.float32), g, axis=0),
@@ -282,14 +305,25 @@ def _kernel_append_kt(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = m_new
 
-    p16 = (p * jnp.repeat(vs_t, g, axis=0)).astype(q.dtype)
+    # stale-V guard: zero the pos column for the tile dot, re-add its
+    # true contribution from vnew (p at pos is nonzero only when
+    # tb == jb AND pos is valid, so the rank-1 term vanishes elsewhere)
+    live = valid & (cols == pos)
+    p_pos = jnp.sum(jnp.where(live, p, 0.0), axis=1,
+                    keepdims=True)                     # [nh, 1]
+    p_dot = jnp.where(cols == pos, 0.0, p)
+    vnew_deq = vnew_ref[0].astype(jnp.float32) * \
+        (vsnew_ref[0] * jnp.float32(inv_scale))        # [nkv, hd]
+
+    p16 = (p_dot * jnp.repeat(vs_t, g, axis=0)).astype(q.dtype)
     for n in range(nkv):
         pv = jax.lax.dot_general(
             p16[n * g:(n + 1) * g], vt[:, n, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [g, hd]
         rows = slice(n * g, (n + 1) * g)
-        acc_scr[rows, :] = acc_scr[rows, :] * alpha[rows] + pv
+        acc_scr[rows, :] = acc_scr[rows, :] * alpha[rows] + pv + \
+            p_pos[rows] * vnew_deq[n][None, :]
 
     @pl.when(tb == n_tb - 1)
     def _():
@@ -297,26 +331,30 @@ def _kernel_append_kt(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
                       jnp.maximum(l_scr[:], 1e-30)).astype(out_ref.dtype)
 
 
-def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
-                           pos, *, starts=None,
+def kv_attention_append_kt(q, k_new, k_snew, v_new, v_snew, k_qt, k_st,
+                           v_q, v_s, lengths, layer, pos, *, starts=None,
                            inv_scale: float = 1.0,
                            t_blk: int = DEFAULT_T_BLK, wb: int = 128,
                            interpret: Optional[bool] = None):
     """Fused append+attend over the transposed-K quantized pool.
 
-    Like :func:`kv_attention_decode_kt` but additionally inserts
-    ``k_new [B, nkv, hd]`` (int8, this step's K) at column ``pos`` of
-    layer ``layer`` — the pool return value aliases the input buffer, so
-    the append costs one nkv·hd·wb write-back instead of a stride-T
-    scatter.  ``pos`` is a scalar (lockstep decode) or ``[B]`` per-row
-    positions (the continuous-batching engine's ragged decode — rows
-    admitted at different times sit at different lengths); the aliased
-    write-back block index is scalar-prefetched per row.  ``k_st`` must
-    already hold the fresh scale column at each row's ``pos``;
+    Like :func:`kv_attention_decode_kt` but additionally inserts this
+    step's quantized K/V column — ``k_new/v_new [B, nkv, hd]`` int8 with
+    raw scales ``k_snew/v_snew [B, nkv]`` f32 — at each row's ``pos`` of
+    layer ``layer``.  ALL four pool returns alias their input buffers:
+    the caller must not issue any XLA cache write (per-row vector-index
+    scatters around this call defeat XLA's in-place buffer forwarding
+    and cost multi-GB pool copies — scripts/probe_ragged_kt.py).
+
+    ``pos`` is a scalar (lockstep decode) or ``[B]`` per-row positions
+    (the continuous-batching engine's ragged decode); the aliased
+    write-back block indices are scalar-prefetched per row.
     ``lengths[b]`` must be > pos for rows that attend the new token
     (``lengths[b] == 0`` fully masks an inactive row → finite garbage,
-    never read by the engine).
-    Returns ``(ctx [B, nh, hd], k_qt')``.
+    never read by the engine; its cache writes still land at that row's
+    ``pos``, which the engine holds fixed for frozen rows, so the
+    rewrite is idempotent).
+    Returns ``(ctx [B, nh, hd], k_qt', k_st', v_q', v_s')``.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -337,7 +375,14 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
         starts = jnp.zeros((b,), jnp.int32)
     starts = jnp.asarray(starts, jnp.int32).reshape(b)
     posv = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
-    ctx, k_qt_new = pl.pallas_call(
+    # scale operands in the orientations the kernel consumes ([nkv, 1]
+    # for score/PV math, [1, nkv] for the vs-row insert) — Mosaic block
+    # rules forbid (1, nkv) blocks on a [B, nkv] array and tiny in-kernel
+    # transposes are relayouts
+    k_snew = jnp.asarray(k_snew, jnp.float32).reshape(b, nkv, 1)
+    v_snew = jnp.asarray(v_snew, jnp.float32).reshape(b, nkv, 1)
+    v_snew_t = v_snew.reshape(b, 1, nkv)
+    ctx, k_qt_new, k_st_new, v_q_new, v_s_new = pl.pallas_call(
         functools.partial(_kernel_append_kt, nkv=nkv, g=g, hd=hd,
                           t_blk=t_blk, wb=wb, inv_scale=inv_scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -348,6 +393,18 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
                              lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, 1),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, 1),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv),
                              lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, nkv, hd, t_blk),
@@ -371,11 +428,27 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
                 pl.BlockSpec((1, nh, hd),
                              lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
-                # ONE wb-wide sub-block of the pool, pinned to the row's
-                # pos//wb — revisited across tb, written once per bb
+                # ONE wb-wide sub-block of each K pool, pinned to the
+                # row's pos//wb — revisited across tb, written at tb==jb
                 pl.BlockSpec((1, 1, nkv, hd, wb),
                              lambda bb, tb, lr, ln, st, ps:
                              (lr[0], bb, 0, 0, ps[bb] // wb),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv, wb),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, ps[bb] // wb),
+                             memory_space=pltpu.VMEM),
+                # V pool: T is a leading dim, so the fresh row is one
+                # contiguous T-size-1 block pinned at the row's pos
+                pl.BlockSpec((1, 1, 1, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, ps[bb], 0, 0),
+                             memory_space=pltpu.VMEM),
+                # V scales: T is SECOND-TO-LAST here, so the legal block
+                # is an 8-row T window containing pos (masked insert)
+                pl.BlockSpec((1, 1, 8, nkv),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, ps[bb] // 8, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -387,13 +460,18 @@ def kv_attention_append_kt(q, k_new, k_qt, k_st, v_q, v_s, lengths, layer,
         out_shape=[
             jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
             jax.ShapeDtypeStruct(k_qt.shape, k_qt.dtype),
+            jax.ShapeDtypeStruct(k_st.shape, k_st.dtype),
+            jax.ShapeDtypeStruct(v_q.shape, v_q.dtype),
+            jax.ShapeDtypeStruct(v_s.shape, v_s.dtype),
         ],
-        input_output_aliases={6: 1},   # k_qt input (after 4 scalars, q,
-                                       # k_new) aliases the pool output
+        # pool inputs (after 4 scalars + q, k_new, k_snew, v_new, v_snew,
+        # v_snew_t) alias the pool outputs
+        input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
-    )(lidx, lengths, starts, posv, q, k_new, k_qt, k_st, v_q, v_s)
-    return ctx, k_qt_new
+    )(lidx, lengths, starts, posv, q, k_new, k_snew, v_new, v_snew,
+      v_snew_t, k_qt, k_st, v_q, v_s)
+    return ctx, k_qt_new, k_st_new, v_q_new, v_s_new
 
 
 def kv_attention_decode_kt(q, k_qt, k_st, v_q, v_s, lengths, layer, *,

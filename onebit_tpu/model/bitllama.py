@@ -672,33 +672,37 @@ def decode_step_flat(params, cache, input_ids, cache_index,
             k_qt, k_st, v_q, v_s = leaves
             nkq, nks = quantize_kv(k)
             nvq, nvs = quantize_kv(v)
-            k_st = jax.lax.dynamic_update_slice(
-                k_st, jnp.transpose(nks, (0, 2, 1))[None],
-                (i, 0, 0, cache_index))
-            v_q = jax.lax.dynamic_update_slice(
-                v_q, nvq[None], (i, 0, cache_index, 0, 0))
-            v_s = jax.lax.dynamic_update_slice(
-                v_s, nvs[None], (i, 0, cache_index, 0))
             if s == 1 and max_len % 128 == 0:
-                # fused append+attend: the K column lands inside the
-                # kernel via an aliased wb-wide write-back — an XLA DUS
-                # into the [.., hd, T] pool is a stride-T scatter
-                # (~1.2 ms/step at 7B b4 T2048, probe_kt_step).  FULL
-                # stacked pools + scalar-prefetched layer index — a
-                # per-layer pick() would materialize a [B,nkv,hd,T]
-                # slice copy at the custom-call boundary every layer.
-                # (max_len must fit the kernel's 128-wide T blocks; tiny
-                # caches fall through to the XLA path below.)
+                # fused append+attend: K column, both scale columns and
+                # the V row ALL land inside the kernel via aliased
+                # write-backs — an XLA DUS into the [.., hd, T] pool is
+                # a stride-T scatter (~1.2 ms/step at 7B b4 T2048,
+                # probe_kt_step), and any XLA cache write around the
+                # aliased custom call risks defeating in-place buffer
+                # forwarding (probe_ragged_kt).  FULL stacked pools +
+                # scalar-prefetched layer index — a per-layer pick()
+                # would materialize a [B,nkv,hd,T] slice copy at the
+                # custom-call boundary every layer.  (max_len must fit
+                # the kernel's 128-wide T blocks; tiny caches fall
+                # through to the XLA path below.)
                 from onebit_tpu.kernels.kv_attention import (
                     kv_attention_append_kt)
                 lengths = jnp.full((b,), cache_index + 1, jnp.int32)
-                ctx, k_qt = kv_attention_append_kt(
-                    q[:, 0], nkq[:, 0], k_qt, k_st, v_q, v_s, lengths, i,
+                ctx, k_qt, k_st, v_q, v_s = kv_attention_append_kt(
+                    q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
+                    k_qt, k_st, v_q, v_s, lengths, i,
                     cache_index, starts=key_start, inv_scale=1.0)
                 ctx = ctx[:, None]
             else:
-                # multi-token windows: DUS K write + row-major views +
+                # multi-token windows: DUS writes + row-major views +
                 # the XLA path (correctness fallback, not the hot path)
+                k_st = jax.lax.dynamic_update_slice(
+                    k_st, jnp.transpose(nks, (0, 2, 1))[None],
+                    (i, 0, 0, cache_index))
+                v_q = jax.lax.dynamic_update_slice(
+                    v_q, nvq[None], (i, 0, cache_index, 0, 0))
+                v_s = jax.lax.dynamic_update_slice(
+                    v_s, nvs[None], (i, 0, cache_index, 0))
                 k_qt = jax.lax.dynamic_update_slice(
                     k_qt, jnp.transpose(nkq, (0, 2, 3, 1))[None],
                     (i, 0, 0, 0, cache_index))

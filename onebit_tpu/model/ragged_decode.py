@@ -89,28 +89,29 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
         q, k = apply_rope(q, k, cos, sin)
 
         if kt:
-            # quantize this step's K/V; V + scales land via per-row
-            # scatters (row-major: one contiguous token each), the K
-            # column lands INSIDE the fused kernel via the aliased
-            # wb-wide write-back — an XLA scatter into the [.., hd, T]
-            # pool would be a stride-T scatter (~1.2 ms/step at 7B,
-            # PERF.md)
+            # quantize this step's K/V; the ENTIRE cache update (K column,
+            # both scale columns, the V row) lands INSIDE the fused kernel
+            # via input/output aliases.  Issuing per-row vector-index XLA
+            # scatters around the aliased custom call defeats XLA's
+            # in-place buffer forwarding — measured +6.5 ms/step of pool
+            # copies at 7B b4 T2304 (scripts/probe_ragged_kt.py)
             k_qt, k_st, v_q, v_s = leaves
             nkq, nks = quantize_kv(k)
             nvq, nvs = quantize_kv(v)
-            k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
-            v_q = v_q.at[i, rows, row_pos].set(nvq[:, 0])
-            v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
             if max_len % 128 == 0:
                 from onebit_tpu.kernels.kv_attention import (
                     kv_attention_append_kt)
-                ctx, k_qt = kv_attention_append_kt(
-                    q[:, 0], nkq[:, 0], k_qt, k_st, v_q, v_s, kt_lengths,
-                    i, row_pos, inv_scale=1.0)
+                ctx, k_qt, k_st, v_q, v_s = kv_attention_append_kt(
+                    q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
+                    k_qt, k_st, v_q, v_s, kt_lengths, i, row_pos,
+                    inv_scale=1.0)
                 ctx = ctx[:, None]
             else:
                 # cache too short for the kernel's 128-wide T blocks
-                # (tiny test shapes): strided K scatter + XLA attention
+                # (tiny test shapes): strided scatters + XLA attention
+                k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
+                v_q = v_q.at[i, rows, row_pos].set(nvq[:, 0])
+                v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
                 k_qt = k_qt.at[i, rows, :, :, row_pos].set(nkq[:, 0])
                 ctx = bitllama._attention_quant(
                     q, jnp.transpose(jax.lax.dynamic_index_in_dim(

@@ -115,8 +115,8 @@ def test_kt_variant_starts():
 
 
 def test_append_kt_inserts_and_attends():
-    """Fused append+attend == manual insert + plain kt kernel; the pool
-    output is the input with exactly the one column replaced."""
+    """Fused append+attend == manual insert + plain kt kernel; every pool
+    output is the input with exactly the one column/row replaced."""
     from onebit_tpu.kernels.kv_attention import (kv_attention_append_kt,
                                                  kv_attention_decode_kt)
     q, k_q, k_s, v_q, v_s = _mk(g=2, seed=11)
@@ -125,20 +125,32 @@ def test_append_kt_inserts_and_attends():
     rng = np.random.RandomState(12)
     pos, layer = 131, 1
     k_new = jnp.asarray(rng.randint(-127, 128, (2, 4, 128)), jnp.int8)
+    k_snew = jnp.asarray(rng.rand(2, 4) * 0.3 + 0.01, jnp.float32)
+    v_new = jnp.asarray(rng.randint(-127, 128, (2, 4, 128)), jnp.int8)
+    v_snew = jnp.asarray(rng.rand(2, 4) * 0.3 + 0.01, jnp.float32)
     lengths = jnp.asarray([pos + 1, pos + 1], jnp.int32)
 
-    ctx, k_qt_new = kv_attention_append_kt(
-        q, k_new, k_qt, k_st, v_q, v_s, lengths, jnp.int32(layer),
-        jnp.int32(pos), inv_scale=1.0, t_blk=128)
+    ctx, k_qt_new, k_st_new, v_q_new, v_s_new = kv_attention_append_kt(
+        q, k_new, k_snew, v_new, v_snew, k_qt, k_st, v_q, v_s, lengths,
+        jnp.int32(layer), jnp.int32(pos), inv_scale=1.0, t_blk=128)
     k_qt_ref = k_qt.at[layer, :, :, :, pos].set(k_new)
-    want = kv_attention_decode_kt(q, k_qt_ref, k_st, v_q, v_s, lengths,
-                                  jnp.int32(layer), inv_scale=1.0,
+    k_st_ref = k_st.at[layer, :, :, pos].set(k_snew)
+    v_q_ref = v_q.at[layer, :, pos].set(v_new)
+    v_s_ref = v_s.at[layer, :, pos].set(v_snew)
+    want = kv_attention_decode_kt(q, k_qt_ref, k_st_ref, v_q_ref, v_s_ref,
+                                  lengths, jnp.int32(layer), inv_scale=1.0,
                                   t_blk=128)
     np.testing.assert_allclose(np.asarray(ctx, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(np.asarray(k_qt_new),
                                   np.asarray(k_qt_ref))
+    np.testing.assert_array_equal(np.asarray(k_st_new),
+                                  np.asarray(k_st_ref))
+    np.testing.assert_array_equal(np.asarray(v_q_new),
+                                  np.asarray(v_q_ref))
+    np.testing.assert_array_equal(np.asarray(v_s_new),
+                                  np.asarray(v_s_ref))
 
 
 def test_decode_step_flat_kt_matches_quant():
@@ -268,24 +280,37 @@ def test_append_kt_per_row_positions():
     v_q = jnp.asarray(rng.randint(-127, 128, (L, B, T, nkv, hd)), jnp.int8)
     v_s = jnp.asarray(rng.rand(L, B, T, nkv), jnp.float32)
     k_new = jnp.asarray(rng.randint(-127, 128, (B, nkv, hd)), jnp.int8)
+    k_snew = jnp.asarray(rng.rand(B, nkv) * 0.3 + 0.01, jnp.float32)
+    v_new = jnp.asarray(rng.randint(-127, 128, (B, nkv, hd)), jnp.int8)
+    v_snew = jnp.asarray(rng.rand(B, nkv) * 0.3 + 0.01, jnp.float32)
     pos = jnp.asarray([5, 131, 300], jnp.int32)   # three different blocks
     lengths = pos + 1
     layer = 1
 
-    ctx, k_qt_new = kv_attention_append_kt(
-        q, k_new, k_qt, k_st, v_q, v_s, lengths, jnp.int32(layer), pos,
-        inv_scale=1.0, t_blk=128)
-    k_qt_ref = k_qt
+    ctx, k_qt_new, k_st_new, v_q_new, v_s_new = kv_attention_append_kt(
+        q, k_new, k_snew, v_new, v_snew, k_qt, k_st, v_q, v_s, lengths,
+        jnp.int32(layer), pos, inv_scale=1.0, t_blk=128)
+    k_qt_ref, k_st_ref, v_q_ref, v_s_ref = k_qt, k_st, v_q, v_s
     for b in range(B):
-        k_qt_ref = k_qt_ref.at[layer, b, :, :, int(pos[b])].set(k_new[b])
-    want = kv_attention_decode_kt(q, k_qt_ref, k_st, v_q, v_s, lengths,
-                                  jnp.int32(layer), inv_scale=1.0,
+        p = int(pos[b])
+        k_qt_ref = k_qt_ref.at[layer, b, :, :, p].set(k_new[b])
+        k_st_ref = k_st_ref.at[layer, b, :, p].set(k_snew[b])
+        v_q_ref = v_q_ref.at[layer, b, p].set(v_new[b])
+        v_s_ref = v_s_ref.at[layer, b, p].set(v_snew[b])
+    want = kv_attention_decode_kt(q, k_qt_ref, k_st_ref, v_q_ref, v_s_ref,
+                                  lengths, jnp.int32(layer), inv_scale=1.0,
                                   t_blk=128)
     np.testing.assert_allclose(np.asarray(ctx, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(np.asarray(k_qt_new),
                                   np.asarray(k_qt_ref))
+    np.testing.assert_array_equal(np.asarray(k_st_new),
+                                  np.asarray(k_st_ref))
+    np.testing.assert_array_equal(np.asarray(v_q_new),
+                                  np.asarray(v_q_ref))
+    np.testing.assert_array_equal(np.asarray(v_s_new),
+                                  np.asarray(v_s_ref))
 
 
 def _mk4(L=3, B=2, T=512, nkv=4, g=1, hd=128, seed=31):
@@ -426,10 +451,13 @@ def test_append_kt_inactive_row_zeros():
     v_q = jnp.asarray(rng.randint(-127, 128, (L, B, T, nkv, hd)), jnp.int8)
     v_s = jnp.asarray(rng.rand(L, B, T, nkv), jnp.float32)
     k_new = jnp.asarray(rng.randint(-127, 128, (B, nkv, hd)), jnp.int8)
+    k_snew = jnp.asarray(rng.rand(B, nkv) * 0.3 + 0.01, jnp.float32)
+    v_new = jnp.asarray(rng.randint(-127, 128, (B, nkv, hd)), jnp.int8)
+    v_snew = jnp.asarray(rng.rand(B, nkv) * 0.3 + 0.01, jnp.float32)
     pos = jnp.asarray([3, 7], jnp.int32)
     lengths = jnp.asarray([4, 0], jnp.int32)      # row 1 inactive
-    ctx, _ = kv_attention_append_kt(
-        q, k_new, k_qt, k_st, v_q, v_s, lengths, jnp.int32(0), pos,
-        inv_scale=1.0, t_blk=128)
+    ctx, _, _, _, _ = kv_attention_append_kt(
+        q, k_new, k_snew, v_new, v_snew, k_qt, k_st, v_q, v_s, lengths,
+        jnp.int32(0), pos, inv_scale=1.0, t_blk=128)
     out = np.asarray(ctx, np.float32)
     assert np.isfinite(out).all()
