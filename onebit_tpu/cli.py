@@ -391,11 +391,13 @@ def cmd_serve(args):
         raise SystemExit("--kv-quant fp8 requires --paged (dense "
                          "quantized serving uses the int8 transposed-K "
                          "fused kernel; fp8 pools are paged-only)")
-    if not args.paged and args.kv_quant and args.tp > 1:
-        raise SystemExit("--kv-quant without --paged is single-device "
-                         "(no TP variant of the fused append+attend "
-                         "kernel yet); add --paged for TP quantized "
-                         "serving")
+    if not args.paged and args.kv_quant == "int4" and args.tp > 1:
+        raise SystemExit("--kv-quant int4 is single-device (the TP KT "
+                         "cores cover int8); use --kv-quant int8 with "
+                         "--tp")
+    if args.paged and args.kv_quant == "int4":
+        raise SystemExit("--kv-quant int4 is dense-engine only (no int4 "
+                         "paged pools); drop --paged")
     params = loaded["params"]
     if args.fuse_decode:
         from onebit_tpu.model.bitllama import fuse_for_decode
@@ -633,11 +635,15 @@ def build_parser():
                     help="fuse qkv/gate+up projections for decode")
     sv.add_argument("--paged", action="store_true",
                     help="paged KV cache (block tables + page pool)")
-    sv.add_argument("--kv-quant", choices=["int8", "fp8"], default=None,
+    sv.add_argument("--kv-quant", choices=["int8", "fp8", "int4"],
+                    default=None,
                     help="quantized KV cache: with --paged, int8/fp8 "
                          "pages; without, the dense int8 transposed-K "
                          "cache served by the fused append+attend "
-                         "Pallas kernel (deep-context hot path)")
+                         "Pallas kernel (deep-context hot path).  int4: "
+                         "nibble-packed dense pools — 2x resident "
+                         "context in the same bytes at ~0.91x the int8 "
+                         "decode rate (single-device, non-paged)")
     sv.add_argument("--page-size", type=int, default=16)
     sv.add_argument("--prefix-cache", action="store_true",
                     help="share full prompt pages across requests "

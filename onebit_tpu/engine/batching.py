@@ -105,13 +105,21 @@ class ContinuousBatchingEngine:
                     "quantized_kv='fp8' requires paged=True (the dense "
                     "quantized engine uses the int8 transposed-K fused "
                     "kernel; fp8 pools exist only in the paged family)")
-            if tp_mesh is not None:
+            if quantized_kv == "int4" and tp_mesh is not None:
                 raise ValueError(
-                    "tp_mesh + dense quantized_kv is not supported yet: "
-                    "the TP backend shards KV heads over the model axis "
-                    "but has no sharded variant of the fused append+"
-                    "attend kernel — use paged=True with quantized_kv "
-                    "for TP serving, or drop quantized_kv")
+                    "tp_mesh + quantized_kv='int4' is not supported: the "
+                    "TP backend's KT cores cover the int8 pools — use "
+                    "quantized_kv=True (int8) for TP serving, or drop "
+                    "tp_mesh for the int4 capacity option")
+            if quantized_kv == "int4" and draft_params is not None:
+                raise ValueError(
+                    "quantized_kv='int4' + speculative decoding is not "
+                    "supported (no int4 verify-window path; use int8)")
+            if quantized_kv == "int4" and prefill_chunk_size:
+                raise ValueError(
+                    "quantized_kv='int4' + prefill_chunk_size is not "
+                    "supported (no int4 chunk-append path; use the "
+                    "default bucketed prefill, or int8)")
         self.block_steps = max(block_steps, 1)
         # fixed-shape chunked prefill (dense and paged caches)
         self.prefill_chunk_size = prefill_chunk_size
@@ -206,10 +214,22 @@ class ContinuousBatchingEngine:
             # step runs the fused append+attend Pallas kernel with per-row
             # positions (kernels/kv_attention) — the deep-context serving
             # hot path (PERF.md "Deep-context decode"); preconditions
-            # validated at the top of __init__
-            from onebit_tpu.model.kv_cache import init_quant_kv_cache_kt
+            # validated at the top of __init__.  'int4' selects the
+            # nibble-packed pools: 2x resident context in the same bytes
+            # at ~0.91x the int8 decode rate (PERF.md "int4 KV pools").
             self.prefix_cache = False
-            self.cache = init_quant_kv_cache_kt(config, max_batch, max_len)
+            if quantized_kv == "int4":
+                from onebit_tpu.model.kv_cache import (
+                    init_quant_kv_cache_kt4)
+                self.cache = init_quant_kv_cache_kt4(config, max_batch,
+                                                     max_len)
+            elif self._tp is not None:
+                self.cache = self._tp.init_kt_cache(config, max_batch,
+                                                    max_len)
+            else:
+                from onebit_tpu.model.kv_cache import init_quant_kv_cache_kt
+                self.cache = init_quant_kv_cache_kt(config, max_batch,
+                                                    max_len)
         elif self._tp is not None:
             self.prefix_cache = False
             self.cache = self._tp.init_cache(config, max_batch, max_len,

@@ -50,6 +50,7 @@ from onebit_tpu.engine.sampler import SamplingConfig, sample_token
 from onebit_tpu.model import bitllama
 from onebit_tpu.model.bitllama import KVCache
 from onebit_tpu.model.config import BitLlamaConfig
+from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
 from onebit_tpu.model.rope import apply_rope, rope_cos_sin
 from onebit_tpu.model.tp_decode import (
     _col_parallel_flat,
@@ -62,6 +63,18 @@ from onebit_tpu.parallel.mesh import MODEL_AXIS
 # head-sharded stacked cache: [L, B, T, nkv/mp, hd]
 TP_CACHE_SPEC = KVCache(k=P(None, None, None, MODEL_AXIS, None),
                         v=P(None, None, None, MODEL_AXIS, None))
+
+# head-sharded transposed-K int8 pools (the dense quantized engine's
+# deep-context cache): the fused append+attend kernel is per-kv-head —
+# scores, scales and write-backs never mix heads (kernels/kv_attention.py
+# loops kv heads with head-local scale rows) — so an nkv/mp shard runs
+# the SAME kernel unchanged inside shard_map; only the o-proj psum
+# crosses shards, exactly as in the bf16 dense TP path
+TP_KT_CACHE_SPEC = QuantKVCacheKT(
+    k_qt=P(None, None, MODEL_AXIS, None, None),   # [L, B, nkv/mp, hd, T]
+    k_st=P(None, None, MODEL_AXIS, None),         # [L, B, nkv/mp, T]
+    v_q=P(None, None, None, MODEL_AXIS, None),    # [L, B, T, nkv/mp, hd]
+    v_s=P(None, None, None, MODEL_AXIS))          # [L, B, T, nkv/mp]
 
 
 def tp_proj(params, config: BitLlamaConfig, impl: str, compute_dtype,
@@ -152,6 +165,181 @@ def _dense_core(proj, cache: KVCache, tokens, slot_rows, positions, mask,
     return proj.final(x), KVCache(k=nk, v=nv)
 
 
+def _kt_step_core(proj, cache: QuantKVCacheKT, input_ids, row_pos, active,
+                  config: BitLlamaConfig, compute_dtype):
+    """One ragged decode token over the head-sharded KT pool.
+
+    Mirrors ``model.ragged_decode.ragged_decode_step``'s KT branch on the
+    LOCAL shard: the fused append+attend Pallas kernel
+    (``kernels.kv_attention.kv_attention_append_kt``) runs per-kv-head, so
+    the nkv/mp shard feeds it unchanged — the entire cache update stays
+    in-kernel via aliases and no collective touches the pool.  Returns
+    (final-normed hidden [B, 1, d], new cache)."""
+    from onebit_tpu.kernels.kv_attention import kv_attention_append_kt
+    b, s = input_ids.shape
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
+    max_len = cache.max_len
+    x = proj.embed(input_ids)
+    cos, sin = rope_cos_sin(row_pos[:, None], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+    kt_lengths = jnp.where(active, row_pos + 1, 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+    mask = (kj <= row_pos[:, None, None, None]) & \
+        active[:, None, None, None]
+    rows = jnp.arange(b)
+
+    def body(i, carry):
+        x, leaves = carry
+        residual = x
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        k_qt, k_st, v_q, v_s = leaves
+        nkq, nks = quantize_kv(k)
+        nvq, nvs = quantize_kv(v)
+        if max_len % 128 == 0:
+            ctx, k_qt, k_st, v_q, v_s = kv_attention_append_kt(
+                q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
+                k_qt, k_st, v_q, v_s, kt_lengths, i, row_pos,
+                inv_scale=1.0)
+            ctx = ctx[:, None]
+        else:
+            # tiny-cache fallback (same rule as the single-device step)
+            k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
+            v_q = v_q.at[i, rows, row_pos].set(nvq[:, 0])
+            v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
+            k_qt = k_qt.at[i, rows, :, :, row_pos].set(nkq[:, 0])
+            ctx = bitllama._attention_quant(
+                q, jnp.transpose(jax.lax.dynamic_index_in_dim(
+                    k_qt, i, 0, keepdims=False), (0, 3, 1, 2)),
+                jnp.transpose(jax.lax.dynamic_index_in_dim(
+                    k_st, i, 0, keepdims=False), (0, 2, 1)),
+                jax.lax.dynamic_index_in_dim(v_q, i, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(v_s, i, 0, keepdims=False),
+                mask, num_kv_groups=nh // nkv)
+        leaves = (k_qt, k_st, v_q, v_s)
+        attn = proj.o(ctx.reshape(b, s, nh * hd), i)
+        x = residual + attn
+        residual = x
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
+        return (residual + mlp, leaves)
+
+    x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, tuple(cache)))
+    return proj.final(x), QuantKVCacheKT(*leaves)
+
+
+def _kt_window_core(proj, cache: QuantKVCacheKT, tokens, slot_rows,
+                    positions, mask, config: BitLlamaConfig, compute_dtype):
+    """[R, S] window written at per-row ``positions`` into KT pool slots
+    ``slot_rows``, attending the rows' full int8 pools via the
+    scale-folded XLA path — the chunk-append / speculative-verify body
+    (``model.ragged_decode.ragged_verify_window`` KT semantics on the
+    local shard; correctness path, not the per-token hot loop)."""
+    r, s = tokens.shape
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
+    max_len = cache.max_len
+    x = proj.embed(tokens)
+    cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta,
+                            config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+
+    def pick(a, i):
+        return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+
+    def body(i, carry):
+        x, leaves = carry
+        k_qt, k_st, v_q, v_s = leaves
+        residual = x
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
+        q = q.reshape(r, s, nh, hd)
+        k = k.reshape(r, s, nkv, hd)
+        v = v.reshape(r, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        nkq, nks = quantize_kv(k)
+        nvq, nvs = quantize_kv(v)
+        k_qt = k_qt.at[i, slot_rows[:, None], :, :, positions].set(nkq)
+        k_st = k_st.at[i, slot_rows[:, None], :, positions].set(nks)
+        v_q = v_q.at[i, slot_rows[:, None], positions].set(nvq)
+        v_s = v_s.at[i, slot_rows[:, None], positions].set(nvs)
+        leaves = (k_qt, k_st, v_q, v_s)
+        ctx = bitllama._attention_quant(
+            q, jnp.transpose(pick(k_qt, i)[slot_rows], (0, 3, 1, 2)),
+            jnp.transpose(pick(k_st, i)[slot_rows], (0, 2, 1)),
+            pick(v_q, i)[slot_rows], pick(v_s, i)[slot_rows], mask,
+            num_kv_groups=nh // nkv)
+        attn = proj.o(ctx.reshape(r, s, nh * hd), i)
+        x = residual + attn
+        residual = x
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
+        return (residual + mlp, leaves)
+
+    x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, tuple(cache)))
+    return proj.final(x), QuantKVCacheKT(*leaves)
+
+
+def _kt_prefill_core(proj, cache: QuantKVCacheKT, ids, lengths, rows,
+                     config: BitLlamaConfig, compute_dtype):
+    """Batched-admission prefill into KT pool slots: prompt K/V quantized
+    at insertion, attention over the fresh full-precision K/V only (same
+    convention as ``model.ragged_decode.prefill_rows``, so the first
+    sampled token matches the dense engine exactly)."""
+    r, s_pad = ids.shape
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
+    max_len = cache.max_len
+    x = proj.embed(ids)
+    cos, sin = rope_cos_sin(jnp.arange(s_pad)[None, :], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+    attn_m = jnp.arange(s_pad)[None, :] < lengths[:, None]
+    mask = bitllama._causal_mask(s_pad, s_pad, 0) & attn_m[:, None, None, :]
+
+    def body(i, carry):
+        x, leaves = carry
+        k_qt, k_st, v_q, v_s = leaves
+        residual = x
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
+        q = q.reshape(r, s_pad, nh, hd)
+        k = k.reshape(r, s_pad, nkv, hd)
+        v = v.reshape(r, s_pad, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        nkq, nks = quantize_kv(k)
+        nvq, nvs = quantize_kv(v)
+        k_qt = k_qt.at[i, rows, :, :, :s_pad].set(
+            jnp.transpose(nkq, (0, 2, 3, 1)))
+        k_st = k_st.at[i, rows, :, :s_pad].set(
+            jnp.transpose(nks, (0, 2, 1)))
+        v_q = v_q.at[i, rows, :s_pad].set(nvq)
+        v_s = v_s.at[i, rows, :s_pad].set(nvs)
+        leaves = (k_qt, k_st, v_q, v_s)
+        ctx = bitllama._attention(q, k, v, mask, num_kv_groups=nh // nkv)
+        attn = proj.o(ctx.reshape(r, s_pad, nh * hd), i)
+        x = residual + attn
+        residual = x
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
+        return (residual + mlp, leaves)
+
+    x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, tuple(cache)))
+    return proj.final(x), QuantKVCacheKT(*leaves)
+
+
 def _gathered_logits(x, params, compute_dtype):
     """Vocab-sharded lm_head: local partial logits + tiled all-gather."""
     logits_l = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
@@ -215,7 +403,14 @@ class TPServing:
                                     compute_dtype=compute_dtype, mp=mp)
 
         # -- dense bodies ----------------------------------------------------
+        # each body branches on the cache TYPE at trace time: a bf16
+        # ``KVCache`` routes through ``_dense_core``, a ``QuantKVCacheKT``
+        # through the ``_kt_*`` cores (TP × dense quantized-KV — the
+        # deep-context fused kernel in the 13B TP serving configuration)
         def step_hidden(params, cache, input_ids, row_pos, active):
+            if isinstance(cache, QuantKVCacheKT):
+                return _kt_step_core(proj_of(params), cache, input_ids,
+                                     row_pos, active, config, compute_dtype)
             b, s = input_ids.shape
             kj = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, 1, cache.max_len), 3)
@@ -239,14 +434,19 @@ class TPServing:
 
         def prefill_body(params, cache, ids, lengths, rows):
             r, s_pad = ids.shape
-            attn = jnp.arange(s_pad)[None, :] < lengths[:, None]
-            mask = bitllama._causal_mask(s_pad, s_pad, 0) & \
-                attn[:, None, None, :]
-            positions = jnp.broadcast_to(jnp.arange(s_pad)[None, :],
-                                         (r, s_pad))
-            x, cache = _dense_core(
-                proj_of(params), cache, ids, rows, positions, mask, config,
-                compute_dtype, attend_cache=False)
+            if isinstance(cache, QuantKVCacheKT):
+                x, cache = _kt_prefill_core(proj_of(params), cache, ids,
+                                            lengths, rows, config,
+                                            compute_dtype)
+            else:
+                attn = jnp.arange(s_pad)[None, :] < lengths[:, None]
+                mask = bitllama._causal_mask(s_pad, s_pad, 0) & \
+                    attn[:, None, None, :]
+                positions = jnp.broadcast_to(jnp.arange(s_pad)[None, :],
+                                             (r, s_pad))
+                x, cache = _dense_core(
+                    proj_of(params), cache, ids, rows, positions, mask,
+                    config, compute_dtype, attend_cache=False)
             last = jnp.take_along_axis(
                 x, jnp.maximum(lengths - 1, 0)[:, None, None]
                 .astype(jnp.int32), axis=1)[:, 0]
@@ -264,9 +464,15 @@ class TPServing:
             kj = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, c, cache.max_len), 3)
             mask = kj <= (start + qi)
-            x, cache = _dense_core(
-                proj_of(params), cache, ids[None, :], row[None], positions,
-                mask, config, compute_dtype, attend_cache=True)
+            if isinstance(cache, QuantKVCacheKT):
+                x, cache = _kt_window_core(
+                    proj_of(params), cache, ids[None, :], row[None],
+                    positions, mask, config, compute_dtype)
+            else:
+                x, cache = _dense_core(
+                    proj_of(params), cache, ids[None, :], row[None],
+                    positions, mask, config, compute_dtype,
+                    attend_cache=True)
             last = jnp.take_along_axis(
                 x, (length - 1)[None, None, None].astype(jnp.int32),
                 axis=1)[0, 0]
@@ -300,31 +506,42 @@ class TPServing:
 
         smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
         rep = P()
-        self.step = jax.jit(
-            smap(step_body,
-                 in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep),
-                 out_specs=(rep, TP_CACHE_SPEC)),
-            donate_argnums=(1,))
-        self.greedy_step = jax.jit(
-            smap(greedy_step_body,
-                 in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep),
-                 out_specs=(rep, TP_CACHE_SPEC)),
-            donate_argnums=(1,))
-        self.prefill_rows = jax.jit(
-            smap(prefill_body,
-                 in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep),
-                 out_specs=(rep, TP_CACHE_SPEC)),
-            donate_argnums=(1,))
-        self.chunk_append = jax.jit(
-            smap(chunk_body,
-                 in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep, rep),
-                 out_specs=(rep, TP_CACHE_SPEC)),
-            donate_argnums=(1,))
-        self.block = jax.jit(
-            smap(block_body,
-                 in_specs=(specs, TP_CACHE_SPEC, rep, rep, rep, rep, rep),
-                 out_specs=(rep, rep, TP_CACHE_SPEC, rep)),
-            donate_argnums=(1,))
+        # per-cache-type dispatchers (same shape as the paged family): the
+        # bf16 KVCache and the int8 QuantKVCacheKT need different shard
+        # specs, so each program jits one variant per cache type on first
+        # use; ``.lower`` is exposed for warmup-time AOT compilation
+        self._dense_specs = {KVCache: TP_CACHE_SPEC,
+                             QuantKVCacheKT: TP_KT_CACHE_SPEC}
+
+        def dense_dispatcher(body, out_specs_of, n_rep_in,
+                             donate=(1,)):
+            compiled = {}
+
+            def get(cache):
+                kind = type(cache)
+                if kind not in compiled:
+                    cspec = self._dense_specs[kind]
+                    compiled[kind] = jax.jit(
+                        smap(body,
+                             in_specs=(specs, cspec) + (rep,) * n_rep_in,
+                             out_specs=out_specs_of(cspec)),
+                        donate_argnums=donate)
+                return compiled[kind]
+
+            def call(params, cache, *args):
+                return get(cache)(params, cache, *args)
+            call.lower = lambda params, cache, *args: \
+                get(cache).lower(params, cache, *args)
+            return call
+
+        self._dense_dispatcher = dense_dispatcher
+        step_out = lambda cspec: (rep, cspec)                 # noqa: E731
+        block_out = lambda cspec: (rep, rep, cspec, rep)      # noqa: E731
+        self.step = dense_dispatcher(step_body, step_out, 3)
+        self.greedy_step = dense_dispatcher(greedy_step_body, step_out, 3)
+        self.prefill_rows = dense_dispatcher(prefill_body, step_out, 3)
+        self.chunk_append = dense_dispatcher(chunk_body, step_out, 4)
+        self.block = dense_dispatcher(block_body, block_out, 5)
 
         if paged:
             self._build_paged(specs, sampling, block_steps, smap, proj_of)
@@ -408,20 +625,42 @@ class TPServing:
                 jnp.int32, (1, 1, 1, t_cache.max_len), 3)
             mask = (kj <= positions[:, None, :, None]) & \
                 active[:, None, None, None]
-            x, t_cache = _dense_core(
-                proj_of(t_params), t_cache, window, jnp.arange(b),
-                positions, mask, config, compute_dtype, attend_cache=True)
+            if isinstance(t_cache, QuantKVCacheKT):
+                # verify window over the head-sharded int8 pools (TP ×
+                # speculative × quantized-KV — ragged_verify_window's KT
+                # semantics on the local shard)
+                x, t_cache = _kt_window_core(
+                    proj_of(t_params), t_cache, window, jnp.arange(b),
+                    positions, mask, config, compute_dtype)
+            else:
+                x, t_cache = _dense_core(
+                    proj_of(t_params), t_cache, window, jnp.arange(b),
+                    positions, mask, config, compute_dtype,
+                    attend_cache=True)
             out = accept(t_params, x, props, next_token, row_pos, active,
                          budget)
             return (*out, t_cache, d_cache)
 
-        self.spec_round = jax.jit(
-            smap(spec_body,
-                 in_specs=(specs, TP_CACHE_SPEC, rep_tree, d_cache_spec,
-                           rep, rep, rep, rep),
-                 out_specs=(rep, rep, rep, rep, TP_CACHE_SPEC,
-                            d_cache_spec)),
-            donate_argnums=(1, 3))
+        spec_compiled = {}
+
+        def spec_get(cache):
+            kind = type(cache)
+            if kind not in spec_compiled:
+                cspec = self._dense_specs[kind]
+                spec_compiled[kind] = jax.jit(
+                    smap(spec_body,
+                         in_specs=(specs, cspec, rep_tree, d_cache_spec,
+                                   rep, rep, rep, rep),
+                         out_specs=(rep, rep, rep, rep, cspec,
+                                    d_cache_spec)),
+                    donate_argnums=(1, 3))
+            return spec_compiled[kind]
+
+        def spec_call(params, cache, *args):
+            return spec_get(cache)(params, cache, *args)
+        spec_call.lower = lambda params, cache, *args: \
+            spec_get(cache).lower(params, cache, *args)
+        self.spec_round = spec_call
 
         if paged:
             from onebit_tpu.engine.paged import _window_core
@@ -580,6 +819,16 @@ class TPServing:
         return jax.tree.map(
             lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
             cache, TP_CACHE_SPEC)
+
+    def init_kt_cache(self, config: BitLlamaConfig, batch: int,
+                      max_len: int) -> QuantKVCacheKT:
+        """Head-sharded transposed-K int8 pool placed on the mesh (the
+        TP dense quantized engine's cache)."""
+        from onebit_tpu.model.kv_cache import init_quant_kv_cache_kt
+        cache = init_quant_kv_cache_kt(config, batch, max_len)
+        return jax.tree.map(
+            lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
+            cache, TP_KT_CACHE_SPEC)
 
     def init_paged_cache(self, config: BitLlamaConfig, num_pages: int,
                          page_size: int = 16, dtype=jnp.bfloat16,

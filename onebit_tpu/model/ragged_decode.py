@@ -56,8 +56,12 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
 
-    from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
+    from onebit_tpu.model.kv_cache import (QuantKVCacheKT, QuantKVCacheKT4,
+                                           pack_int4_halfplane, quantize_kv,
+                                           quantize_kv4,
+                                           unpack_int4_halfplane)
     kt = isinstance(cache, QuantKVCacheKT)
+    kt4 = isinstance(cache, QuantKVCacheKT4)
 
     x = params["embed_tokens"][input_ids].astype(compute_dtype)
     cos, sin = rope_cos_sin(row_pos[:, None], config.head_dim,
@@ -88,7 +92,62 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
         v = v.reshape(b, 1, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
 
-        if kt:
+        if kt4:
+            # INT4 nibble-packed pools at per-row positions — the engine's
+            # capacity option (2x resident context in the same pool bytes
+            # at ~0.91x the int8 decode rate, PERF.md "int4 KV pools").
+            # Scale columns and the V nibble land as per-row XLA scatters
+            # (none of these buffers is kernel-aliased — only k_qp is);
+            # the fused kernel merges the K nibble in-kernel and attends.
+            k_qp, k_st, v_qp, v_s = leaves
+            t_half = max_len // 2
+            nkq, nks = quantize_kv4(k)
+            nvq, nvs = quantize_kv4(v)
+            k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
+            v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
+            if max_len % 256 == 0:
+                # V nibble RMW at each row's byte column (gather + merge
+                # + scatter of one [nkv, hd] byte row per batch row)
+                cp = row_pos % t_half
+                hi_plane = (row_pos >= t_half)[:, None, None]
+                old = v_qp[i, rows, cp].astype(jnp.int32)
+                n4 = nvq[:, 0].astype(jnp.int32) & 0xF
+                merged = jnp.where(hi_plane,
+                                   (old & 0x0F) | (n4 << 4),
+                                   (old & 0xF0) | n4)
+                v_qp = v_qp.at[i, rows, cp].set(merged.astype(jnp.int8))
+                from onebit_tpu.kernels.kv_attention import (
+                    kv_attention_append_kt4)
+                ctx, k_qp = kv_attention_append_kt4(
+                    q[:, 0], nkq[:, 0], k_qp, k_st, v_qp, v_s, kt_lengths,
+                    i, row_pos, inv_scale=1.0)
+                ctx = ctx[:, None]
+            else:
+                # tiny-cache fallback: unpack the layer's pools, insert at
+                # per-row positions, repack (correctness path)
+                k_qt_i = unpack_int4_halfplane(
+                    jax.lax.dynamic_index_in_dim(k_qp, i, 0,
+                                                 keepdims=False), axis=3)
+                k_qt_i = k_qt_i.at[rows, :, :, row_pos].set(nkq[:, 0])
+                k_qp = jax.lax.dynamic_update_slice(
+                    k_qp, pack_int4_halfplane(k_qt_i, axis=3)[None],
+                    (i, 0, 0, 0, 0))
+                v_i = unpack_int4_halfplane(
+                    jax.lax.dynamic_index_in_dim(v_qp, i, 0,
+                                                 keepdims=False), axis=1)
+                v_i = v_i.at[rows, row_pos].set(nvq[:, 0])
+                v_qp = jax.lax.dynamic_update_slice(
+                    v_qp, pack_int4_halfplane(v_i, axis=1)[None],
+                    (i, 0, 0, 0, 0))
+                ctx = bitllama._attention_quant(
+                    q, jnp.transpose(k_qt_i, (0, 3, 1, 2)),
+                    jnp.transpose(jax.lax.dynamic_index_in_dim(
+                        k_st, i, 0, keepdims=False), (0, 2, 1)),
+                    v_i,
+                    jax.lax.dynamic_index_in_dim(v_s, i, 0, keepdims=False),
+                    mask, num_kv_groups=config.num_kv_groups)
+            leaves = (k_qp, k_st, v_qp, v_s)
+        elif kt:
             # quantize this step's K/V; the ENTIRE cache update (K column,
             # both scale columns, the V row) lands INSIDE the fused kernel
             # via input/output aliases.  Issuing per-row vector-index XLA
@@ -243,8 +302,10 @@ def prefill_rows(params, cache: KVCache, ids, lengths, rows,
     max_len = cache.max_len
     nh, nkv, hd = (config.num_attention_heads, config.num_key_value_heads,
                    config.head_dim)
-    from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
+    from onebit_tpu.model.kv_cache import (QuantKVCacheKT, QuantKVCacheKT4,
+                                           quantize_kv, quantize_kv4)
     kt = isinstance(cache, QuantKVCacheKT)
+    kt4 = isinstance(cache, QuantKVCacheKT4)
     x = params["embed_tokens"][ids].astype(compute_dtype)
     cos, sin = rope_cos_sin(jnp.arange(s_pad)[None, :], config.head_dim,
                             config.rope_theta, config.rope_scaling,
@@ -268,7 +329,43 @@ def prefill_rows(params, cache: KVCache, ids, lengths, rows,
         k = k.reshape(r, s_pad, nkv, hd)
         v = v.reshape(r, s_pad, nkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        if kt:
+        if kt4:
+            # INT4 pools: prompt K/V quantized to nibbles at insertion.
+            # Positions p < T/2 land in byte p's LOW nibble, p >= T/2 in
+            # byte (p - T/2)'s HIGH nibble (half-plane layout); the merge
+            # preserves the partner nibble (stale bytes from a previous
+            # occupant of the slot are masked by length in attention).
+            # Attention within the prefill itself stays full precision —
+            # same convention as the int8 branch below.
+            k_qp, k_st, v_qp, v_s = leaves
+            t_half = max_len // 2
+            nkq, nks = quantize_kv4(k)
+            nvq, nvs = quantize_kv4(v)
+            k_st = k_st.at[i, rows, :, :s_pad].set(
+                jnp.transpose(nks, (0, 2, 1)))
+            v_s = v_s.at[i, rows, :s_pad].set(nvs)
+            nkq_t = jnp.transpose(nkq, (0, 2, 3, 1))  # [R, nkv, hd, s_pad]
+            lo_n = min(s_pad, t_half)
+            old = k_qp[i, rows, :, :, :lo_n].astype(jnp.int32)
+            new_lo = nkq_t[..., :lo_n].astype(jnp.int32) & 0xF
+            k_qp = k_qp.at[i, rows, :, :, :lo_n].set(
+                ((old & 0xF0) | new_lo).astype(jnp.int8))
+            old = v_qp[i, rows, :lo_n].astype(jnp.int32)
+            new_lo = nvq[:, :lo_n].astype(jnp.int32) & 0xF
+            v_qp = v_qp.at[i, rows, :lo_n].set(
+                ((old & 0xF0) | new_lo).astype(jnp.int8))
+            if s_pad > t_half:
+                hi_n = s_pad - t_half
+                old = k_qp[i, rows, :, :, :hi_n].astype(jnp.int32)
+                new_hi = (nkq_t[..., t_half:].astype(jnp.int32) & 0xF) << 4
+                k_qp = k_qp.at[i, rows, :, :, :hi_n].set(
+                    ((old & 0x0F) | new_hi).astype(jnp.int8))
+                old = v_qp[i, rows, :hi_n].astype(jnp.int32)
+                new_hi = (nvq[:, t_half:].astype(jnp.int32) & 0xF) << 4
+                v_qp = v_qp.at[i, rows, :hi_n].set(
+                    ((old & 0x0F) | new_hi).astype(jnp.int8))
+            leaves = (k_qp, k_st, v_qp, v_s)
+        elif kt:
             k_qt, k_st, v_q, v_s = leaves
             nkq, nks = quantize_kv(k)
             nvq, nvs = quantize_kv(v)

@@ -144,3 +144,61 @@ def test_tp_spec_rejects_non_greedy():
             sampling=SamplingConfig(greedy=False, temperature=1.0),
             draft_params=params, draft_config=config,
             tp_mesh=create_mesh((1, 2)))
+
+
+# -- TP x dense quantized-KV (round 5: the last engine-matrix exclusion) ----
+
+
+def test_tp_engine_quant_kv_matches_single_device():
+    """TP dense quantized-KV engine == single-device quantized engine,
+    token-exact (VERDICT r4 item 2).  max_len=32 routes decode through
+    the XLA fallback inside the shard_map body — the sharding proof; the
+    kernel-path cell below covers the fused kernel."""
+    config, params = _mk()
+    from onebit_tpu.model.kv_cache import QuantKVCacheKT
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   quantized_kv=True)
+    want = _run(ref, PROMPTS)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   quantized_kv=True,
+                                   tp_mesh=create_mesh((1, 2)))
+    assert isinstance(eng.cache, QuantKVCacheKT)
+    got = _run(eng, PROMPTS)
+    assert got == want
+
+
+def test_tp_engine_quant_kv_kernel_path():
+    """max_len=128: the fused append+attend kernel runs (interpret mode)
+    INSIDE the shard_map body on nkv/mp local heads — still token-exact
+    vs the single-device quantized engine, and block_steps composes."""
+    config, params = _mk()
+    ref = ContinuousBatchingEngine(params, config, max_batch=2,
+                                   max_len=128, compute_dtype=jnp.float32,
+                                   quantized_kv=True)
+    want = _run(ref, PROMPTS[:2], n_new=4)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2,
+                                   max_len=128, compute_dtype=jnp.float32,
+                                   quantized_kv=True, block_steps=2,
+                                   tp_mesh=create_mesh((1, 2)))
+    got = _run(eng, PROMPTS[:2], n_new=4)
+    assert got == want
+
+
+def test_tp_engine_quant_kv_speculative_matches():
+    """TP x speculative x dense quantized-KV: the verify window runs over
+    the head-sharded int8 pools — greedy output still token-exact vs the
+    plain single-device quantized engine."""
+    config, params = _mk()
+    ref = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   quantized_kv=True)
+    want = _run(ref, PROMPTS)
+    eng = ContinuousBatchingEngine(params, config, max_batch=2, max_len=32,
+                                   compute_dtype=jnp.float32,
+                                   quantized_kv=True,
+                                   draft_params=params, draft_config=config,
+                                   n_draft=3, tp_mesh=create_mesh((1, 2)))
+    got = _run(eng, PROMPTS)
+    assert got == want
