@@ -186,11 +186,69 @@ def cmd_train(args):
            kd_cfg=kd_cfg, train_cfg=train_cfg, run_cfg=run_cfg)
 
 
+def _engine_consistency_check(loaded, configs, *, max_len: int = 256,
+                              n_new: int = 6):
+    """Greedy cross-check of the serving-engine paths against flat decode
+    (VERDICT r4 item 7: the real-checkpoint gate must exercise the
+    quantized-KV dense engine and the paged engine, not just the flat
+    scoring path).  The bf16 dense engine must reproduce ``generate``
+    token-for-token; the quantized configurations (int8 KT, int4 KT,
+    paged int8) must match its FIRST sampled token exactly (prefill
+    attends full precision in every engine) and emit only in-vocab
+    tokens.  Returns {"ok": 1/0, "<config>": 1/0, ...} so an --expect
+    file can pin ``engine_check.ok``."""
+    import numpy as np
+
+    from onebit_tpu.engine.batching import ContinuousBatchingEngine
+    from onebit_tpu.engine.generate import generate
+    from onebit_tpu.engine.sampler import SamplingConfig
+
+    params, config = loaded["params"], loaded["config"]
+    rng = np.random.default_rng(0)
+    hi = min(config.vocab_size, 1000)
+    prompts = [rng.integers(1, hi, n).tolist() for n in (4, 7, 3)]
+    greedy = SamplingConfig(greedy=True)
+    want = generate(params, config, prompts, max_new_tokens=n_new,
+                    sampling=greedy)
+    kw = {
+        "dense": {},
+        "kvq": dict(quantized_kv=True),
+        "int4": dict(quantized_kv="int4"),
+        "paged": dict(paged=True, quantized_kv=True, page_size=16),
+    }
+    out = {}
+    for name in configs:
+        eng = ContinuousBatchingEngine(
+            params, config, max_batch=2, max_len=max_len, sampling=greedy,
+            **kw[name])
+        uids = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
+        got = eng.run()
+        got = [got[u] for u in uids]
+        if name == "dense":
+            good = got == want
+        else:
+            good = all(
+                g and g[0] == w[0]
+                and all(0 <= t < config.vocab_size for t in g)
+                for g, w in zip(got, want))
+        out[name] = float(good)
+        print(f"engine check [{name}]: "
+              f"{'OK' if good else 'MISMATCH'}")
+    out["ok"] = min(out.values()) if out else 0.0
+    return out
+
+
 def cmd_eval(args):
     import numpy as np
 
     loaded = _load_any_ckpt(args.ckpt)
     results = {}
+
+    if args.check_engines:
+        configs = [c.strip() for c in args.check_engines.split(",")
+                   if c.strip()] if args.check_engines != "all" else \
+            ["dense", "kvq", "int4", "paged"]
+        results["engine_check"] = _engine_consistency_check(loaded, configs)
 
     if args.tokens:
         from onebit_tpu.eval.ppl import perplexity
@@ -599,6 +657,12 @@ def build_parser():
                    "columns computed over clean docs only")
     e.add_argument("--expect", help="pinned expected-numbers JSON; exits "
                    "nonzero when any metric misses its tolerance")
+    e.add_argument("--check-engines", nargs="?", const="all", default=None,
+                   help="greedy cross-check of the serving engines against "
+                   "flat decode before scoring: 'all' (dense, int8-KT, "
+                   "int4-KT, paged-int8) or a comma list; adds "
+                   "engine_check.* to the results so --expect can pin "
+                   "engine_check.ok")
     _add_dist_args(e)
     e.set_defaults(fn=cmd_eval)
 

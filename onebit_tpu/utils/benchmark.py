@@ -24,18 +24,26 @@ import jax
 import jax.numpy as jnp
 
 
-def _make_scan(fn: Callable, args, perturb_arg: int, iters: int):
-    def body(acc, _):
-        a0 = args[perturb_arg]
-        # tiny data dependency on the carry: not constant-foldable, value
-        # impact below float precision
-        perturbed = (a0 + (acc * 1e-30).astype(a0.dtype)).astype(a0.dtype)
-        out = fn(*args[:perturb_arg], perturbed, *args[perturb_arg + 1:])
-        first = jax.tree.leaves(out)[0]
-        return jnp.sum(first.astype(jnp.float32)), None
+def _make_scan(fn: Callable, perturb_arg: int, iters: int):
+    # operands enter as jit ARGUMENTS, never closure captures: captured
+    # device arrays are baked into the HLO as constants — for GB-scale
+    # pools that means shipping the literals through the tunnel compile
+    # (measured: a 2.16 GB-constant program wedges the remote compiler;
+    # same hazard bench_fn_with_state documents for params)
+    def run(*args):
+        def body(acc, _):
+            a0 = args[perturb_arg]
+            # tiny data dependency on the carry: not constant-foldable,
+            # value impact below float precision
+            perturbed = (a0 + (acc * 1e-30).astype(a0.dtype)).astype(a0.dtype)
+            out = fn(*args[:perturb_arg], perturbed,
+                     *args[perturb_arg + 1:])
+            first = jax.tree.leaves(out)[0]
+            return jnp.sum(first.astype(jnp.float32)), None
 
-    return jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0), None,
-                                        length=iters)[0])
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+
+    return jax.jit(run)
 
 
 def bench_op(fn: Callable, *args, iters_lo: int = 8, iters_hi: int = 64,
@@ -44,22 +52,22 @@ def bench_op(fn: Callable, *args, iters_lo: int = 8, iters_hi: int = 64,
     if iters is not None:  # back-compat single-count mode
         iters_lo, iters_hi = 0, iters
     args = list(args)
-    run_hi = _make_scan(fn, args, perturb_arg, iters_hi)
-    run_lo = (_make_scan(fn, args, perturb_arg, iters_lo)
+    run_hi = _make_scan(fn, perturb_arg, iters_hi)
+    run_lo = (_make_scan(fn, perturb_arg, iters_lo)
               if iters_lo else None)
-    float(run_hi())  # compile + warm
+    float(run_hi(*args))  # compile + warm
     if run_lo is not None:
-        float(run_lo())
+        float(run_lo(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(run_hi())  # host fetch = true completion barrier
+        float(run_hi(*args))  # host fetch = true completion barrier
         t_hi = time.perf_counter() - t0
         if run_lo is None:
             ts.append(t_hi / iters_hi)
             continue
         t0 = time.perf_counter()
-        float(run_lo())
+        float(run_lo(*args))
         t_lo = time.perf_counter() - t0
         ts.append((t_hi - t_lo) / (iters_hi - iters_lo))
     return max(statistics.median(ts), 1e-9)

@@ -233,3 +233,28 @@ def test_cli_serve_kv_quant_dense(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(sys, "stdin", io.StringIO("5\n"))
     with _pytest.raises(SystemExit, match="fp8"):
         main(["serve", "--ckpt", packed_dir, "--kv-quant", "fp8"])
+
+
+def test_cli_eval_check_engines_gate(tmp_path, capsys):
+    """--check-engines composes with --expect (VERDICT r4 item 7): the
+    pinned-numbers gate also drives the serving paths — bf16 dense engine
+    token-exact vs flat decode, int8-KT / int4-KT / paged-int8 first-token
+    exact — so the real-checkpoint trap covers the round-4/5 engines."""
+    config = BitLlamaConfig.named("tiny")
+    ckpt = str(tmp_path / "m")
+    save_native(ckpt, config, init_params(config, jax.random.PRNGKey(1),
+                                          mode="packed"))
+    tokens_path = str(tmp_path / "t.npy")
+    np.save(tokens_path, np.random.default_rng(0).integers(
+        0, config.vocab_size, (80,)).astype(np.int32))
+    expect = tmp_path / "expect.json"
+    expect.write_text(json.dumps(
+        {"engine_check.ok": {"value": 1.0, "atol": 0.0}}))
+    main(["eval", "--ckpt", ckpt, "--tokens", tokens_path,
+          "--seqlen", "16", "--batch-size", "2",
+          "--check-engines", "--expect", str(expect)])
+    out = capsys.readouterr().out
+    assert "engine check [dense]: OK" in out
+    assert "engine check [int4]: OK" in out
+    assert "engine check [paged]: OK" in out
+    assert "engine_check.ok: got 1.0000" in out and "PASS" in out
