@@ -17,6 +17,7 @@ def tiny():
     return config, params
 
 
+@pytest.mark.slow
 def test_continuous_matches_lockstep(tiny):
     """Continuous-batching greedy output == lockstep generate() output."""
     config, params = tiny

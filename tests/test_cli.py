@@ -58,6 +58,7 @@ def test_cli_full_pipeline(tmp_path, capsys):
     assert len(toks.split(",")) >= 1
 
 
+@pytest.mark.slow
 def test_cli_train_config_file(tmp_path, capsys):
     """train --config file.json supplies arguments (reference yaml/json
     argument files, core.py:50-77)."""

@@ -70,6 +70,7 @@ def test_split_and_batches():
                                   batches[0]["labels"])
 
 
+@pytest.mark.slow
 def test_run_kd_smoke(tmp_path):
     """Two KD steps end-to-end through the driver, with resume."""
     import jax
@@ -156,6 +157,7 @@ def test_sft_train_step_no_teacher():
         float(metrics["student_loss"]))
 
 
+@pytest.mark.slow
 def test_run_sft_and_predictions(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -56,6 +56,7 @@ def _run_both(config, params, cache_a, cache_b, impl, steps=4, prefill=6):
                                    rtol=2e-5, atol=2e-5, err_msg=f"step {t}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 def test_flat_matches_scan(tiny_packed, impl):
     config, params = tiny_packed
@@ -64,6 +65,7 @@ def test_flat_matches_scan(tiny_packed, impl):
     _run_both(config, params, a, b, impl)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 def test_flat_matches_scan_fused(tiny_mha_fused, impl):
     config, params = tiny_mha_fused
@@ -72,6 +74,7 @@ def test_flat_matches_scan_fused(tiny_mha_fused, impl):
     _run_both(config, params, a, b, impl)
 
 
+@pytest.mark.slow
 def test_flat_matches_scan_quant_cache(tiny_packed):
     config, params = tiny_packed
     a = init_quant_kv_cache(config, 2, max_len=16)

@@ -68,6 +68,7 @@ def test_latentize_packed_slice(student):
     np.testing.assert_allclose(np.abs(np.asarray(w.latent)), 0.01, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_distill_smoke(student, tmp_path):
     """A few KD steps against the 1-bit student: finite loss, projections
     train, shared/frozen leaves don't."""

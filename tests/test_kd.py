@@ -1,6 +1,7 @@
 """KD loss parity vs torch (the reference's loss definitions, kd.py:34-111)
 and a sharded end-to-end train-step smoke test."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,6 +117,7 @@ def test_trainable_mask_structure():
     assert any(flat_m) and not all(flat_m)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch():
     """grad_accum_steps=2 over batch 4 == single step over batch 4
     (same loss gradient; KL batchmean normalizes per micro-batch so we

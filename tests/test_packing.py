@@ -1,3 +1,4 @@
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,6 +107,7 @@ def test_unpack_dtypes():
         np.testing.assert_array_equal(back, s)
 
 
+@pytest.mark.slow
 def test_fuzz_roundtrips():
     """Property fuzz: pack/unpack identities across random shapes for all
     three layouts (canonical int32, bitplane, reference int8)."""

@@ -121,6 +121,7 @@ def test_tp_engine_speculative_matches():
     assert got == want
 
 
+@pytest.mark.slow
 def test_tp_engine_speculative_paged_matches():
     """TP x paged x speculative: the full stack in one engine."""
     config, params = _mk()

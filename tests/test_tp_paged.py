@@ -116,6 +116,7 @@ def test_tp_paged_warmup(tiny):
 # implemented" exclusion, lifted — target on pages, draft dense
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_spec_paged_matches_dense(tiny, want):
     config, params = tiny
     draft_config = BitLlamaConfig.named("tiny", num_hidden_layers=1)
