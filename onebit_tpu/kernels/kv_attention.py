@@ -636,18 +636,35 @@ def _kernel_kt4(lidx_ref, lengths_ref, starts_ref, q_ref, kqp_ref, ksa_ref,
 
 
 def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
-                       knew_ref, kqp_ref, ksa_ref, ksb_ref, vqp_ref, vsa_ref,
-                       vsb_ref, out_ref, kqpout_ref, s_scr, m_scr, l_scr,
+                       knew_ref, ksnew_ref, vnew_ref, vsnew_ref, vsnewt_ref,
+                       kqp_ref, kst_ref, vqp_ref, vs_ref,
+                       out_ref, kqpout_ref, kstout_ref, vqpout_ref,
+                       vsout_ref, s_scr, m_scr, l_scr,
                        acc_scr, *, nkv: int, g: int, hd: int, t_blk: int,
                        t_half: int, wb: int, inv_scale: float):
     """INT4 append+attend: ``_kernel_append_kt`` over nibble-packed pools.
 
+    FULLY fused (round 5): the K nibble, the K scale column, the V nibble
+    row (read-modify-write preserving the partner plane's nibble) and the
+    V scale row ALL land in-kernel through aliased write-backs — XLA
+    scatters around the aliased call defeat in-place buffer forwarding
+    and cost pool copies (the int8 lesson, scripts/probe_ragged_kt.py;
+    re-measured for int4 at engine level: 0.61x the int8 rate with the
+    V/scale writes outside vs ~0.9x fused).
+
+    Scale operands arrive PLANE-SPLIT as zero-copy reshapes —
+    ``kst [L, B, nkv, 2, T/2]`` and ``vs [L, B, 2, T/2, nkv]`` — so each
+    array is passed ONCE (both plane tiles through one BlockSpec) and can
+    be cleanly aliased; passing the same buffer twice with plane-offset
+    specs would force XLA to copy the second (read) operand of the
+    donated buffer.
+
     The fresh K column at ``pos`` targets byte column ``c = pos % (T/2)``
-    nibble ``pos // (T/2)``; the merge preserves the byte's OTHER nibble
-    (the other plane's live column) via masked byte math in the 32-bit
-    domain, then writes back one wb-wide aliased sub-block as in the int8
-    variant.  Scores for the whole stale tile are fixed up at ``pos`` by
-    recomputing that column from ``knew`` directly.
+    nibble ``pos // (T/2)``; merges preserve the byte's OTHER nibble via
+    masked byte math in the 32-bit domain.  Scores AND the PV product are
+    fixed up at ``pos``: the pool tiles hold stale bytes there, so that
+    column's score is recomputed from ``knew``/``ksnew`` directly and its
+    PV contribution is re-added as a rank-1 update from ``vnew``.
     """
     b = pl.program_id(0)
     tb = pl.program_id(1)
@@ -663,8 +680,9 @@ def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
 
     q = q_ref[0]
     k_lo, k_hi = _unpack_nibbles(kqp_ref[0, 0].astype(jnp.int32))
-    ksa = ksa_ref[0, 0] * jnp.float32(inv_scale)
-    ksb = ksb_ref[0, 0] * jnp.float32(inv_scale)
+    kst = kst_ref[0, 0]                               # [nkv, 2, tbp] raw
+    ksa = kst[:, 0, :] * jnp.float32(inv_scale)
+    ksb = kst[:, 1, :] * jnp.float32(inv_scale)
 
     for n in range(nkv):
         qn = q[n * g:(n + 1) * g]
@@ -685,6 +703,7 @@ def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
 
     @pl.when(tb == jb)
     def _():
+        # K nibble: wb-wide aliased sub-block, masked byte merge
         knew4 = knew_ref[0].astype(jnp.int32) & 0xF    # [nkv, hd]
         off = (col_in_tile // wb) * wb
         sub32 = kqp_ref[0, 0, :, :, pl.ds(off, wb)].astype(jnp.int32)
@@ -695,19 +714,44 @@ def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
         merged_hi = (sub32 & 0x0F) | (knew4[:, :, None] << 4)
         merged = jnp.where(hi_plane, merged_hi, merged_lo)
         kqpout_ref[0, 0] = jnp.where(bytesel, merged, sub32).astype(jnp.int8)
+        # K scale column: wb-window of the CURRENT plane's raw scale tile
+        # (wb | tbp | t_half keeps the window inside one plane tile, and
+        # the out block pinned at (plane, c//wb) lands on the same
+        # columns)
+        ksa_w = kst_ref[0, 0, :, 0, pl.ds(off, wb)]    # raw (un-scaled)
+        ksb_w = kst_ref[0, 0, :, 1, pl.ds(off, wb)]
+        sub_ks = jnp.where(hi_plane, ksb_w, ksa_w)
+        sel2 = jax.lax.broadcasted_iota(
+            jnp.int32, (nkv, wb), 1) == (col_in_tile - off)
+        kstout_ref[0, 0, :, 0] = jnp.where(sel2, ksnew_ref[0], sub_ks)
+        # V nibble row RMW: the old byte row is extracted from the
+        # resident tile by a masked reduce (no unaligned dynamic sublane
+        # load), merged, and written through the T/2-size-1 aliased block
+        rowsel = jax.lax.broadcasted_iota(
+            jnp.int32, (tbp, nkv, hd), 0) == col_in_tile
+        old32 = jnp.sum(jnp.where(rowsel, vqp_ref[0, 0].astype(jnp.int32),
+                                  0), axis=0)          # [nkv, hd]
+        n4v = vnew_ref[0].astype(jnp.int32) & 0xF
+        merged_v = jnp.where(hi_plane, (old32 & 0x0F) | (n4v << 4),
+                             (old32 & 0xF0) | n4v)
+        vqpout_ref[0, 0, 0] = merged_v.astype(jnp.int8)
+        # V scale row: 8-row window of the current plane's raw tile
+        off8 = (col_in_tile // 8) * 8
+        vsa_w = vs_ref[0, 0, 0, pl.ds(off8, 8), :]
+        vsb_w = vs_ref[0, 0, 1, pl.ds(off8, 8), :]
+        sub_vs = jnp.where(hi_plane, vsb_w, vsa_w)
+        sel8 = jax.lax.broadcasted_iota(
+            jnp.int32, (8, nkv), 0) == (col_in_tile - off8)
+        vsout_ref[0, 0, 0] = jnp.where(sel8, vsnewt_ref[0], sub_vs)
 
     length = lengths_ref[b]
     start = starts_ref[b]
     ii = jax.lax.broadcasted_iota(jnp.int32, (nh, t_blk), 1)
     cols = jnp.where(ii < tbp, tb * tbp + ii,
                      t_half + tb * tbp + (ii - tbp))
-    iik = jax.lax.broadcasted_iota(jnp.int32, (nkv, tbp), 1)
-    cols_a = tb * tbp + iik
-    cols_b = t_half + tb * tbp + iik
-    ks_pos = (jnp.sum(jnp.where(cols_a == pos, ksa, 0.0), axis=1,
-                      keepdims=True)
-              + jnp.sum(jnp.where(cols_b == pos, ksb, 0.0), axis=1,
-                        keepdims=True))                # [nkv, 1]
+    # fresh-column score fix-up straight from knew/ksnew (the pool holds
+    # stale bytes AND a stale scale at pos now)
+    ks_pos = ksnew_ref[0] * jnp.float32(inv_scale)     # [nkv, 1]
     s_col = jnp.sum(
         q.astype(jnp.float32)
         * jnp.repeat(knew_ref[0].astype(jnp.float32), g, axis=0),
@@ -725,11 +769,20 @@ def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scr[:] = m_new
 
+    # stale-V guard: zero the pos column for the tile dots, re-add its
+    # true contribution from vnew/vsnew as a rank-1 update
+    live = valid & (cols == pos)
+    p_pos = jnp.sum(jnp.where(live, p, 0.0), axis=1,
+                    keepdims=True)                     # [nh, 1]
+    p_dot = jnp.where(cols == pos, 0.0, p)
+    vnew_deq = vnew_ref[0].astype(jnp.float32) * \
+        (vsnew_ref[0] * jnp.float32(inv_scale))        # [nkv, hd]
+
     v_lo, v_hi = _unpack_nibbles(vqp_ref[0, 0].astype(jnp.int32))
-    vsa = vsa_ref[0, 0].T * jnp.float32(inv_scale)
-    vsb = vsb_ref[0, 0].T * jnp.float32(inv_scale)
-    pa = (p[:, :tbp] * jnp.repeat(vsa, g, axis=0)).astype(q.dtype)
-    pb = (p[:, tbp:] * jnp.repeat(vsb, g, axis=0)).astype(q.dtype)
+    vsa = vs_ref[0, 0, 0].T * jnp.float32(inv_scale)
+    vsb = vs_ref[0, 0, 1].T * jnp.float32(inv_scale)
+    pa = (p_dot[:, :tbp] * jnp.repeat(vsa, g, axis=0)).astype(q.dtype)
+    pb = (p_dot[:, tbp:] * jnp.repeat(vsb, g, axis=0)).astype(q.dtype)
     for n in range(nkv):
         rows = slice(n * g, (n + 1) * g)
         pva = jax.lax.dot_general(
@@ -740,7 +793,8 @@ def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
             pb[rows], v_hi[:, n, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc_scr[rows, :] = acc_scr[rows, :] * alpha[rows] + pva + pvb
+        acc_scr[rows, :] = acc_scr[rows, :] * alpha[rows] + pva + pvb + \
+            p_pos[rows] * vnew_deq[n][None, :]
 
     @pl.when(tb == n_tb - 1)
     def _():
@@ -834,18 +888,23 @@ def kv_attention_decode_kt4(q, k_qp, k_st, v_qp, v_s, lengths, layer, *,
     return out
 
 
-def kv_attention_append_kt4(q, k_new, k_qp, k_st, v_qp, v_s, lengths, layer,
+def kv_attention_append_kt4(q, k_new, k_snew, v_new, v_snew, k_qp, k_st,
+                            v_qp, v_s, lengths, layer,
                             pos, *, starts=None, inv_scale: float = 1.0,
                             t_blk: int = 2 * DEFAULT_T_BLK, wb: int = 128,
                             interpret: Optional[bool] = None):
-    """INT4 fused append+attend over the nibble-packed KT pool.
+    """INT4 FULLY-fused append+attend over the nibble-packed KT pool.
 
-    Like :func:`kv_attention_append_kt` but ``k_new [B, nkv, hd]`` holds
-    int4-valued int8 (``quantize_kv4`` output, in [-7, 7]) and the
-    write-back merges the nibble into byte column ``pos % (T/2)``
-    preserving the other plane's nibble.  ``k_st`` must already hold the
-    fresh scale at each row's ``pos``.  Returns ``(ctx, k_qp')`` with the
-    pool aliased.
+    Like :func:`kv_attention_append_kt` but for int4: ``k_new/v_new
+    [B, nkv, hd]`` hold int4-valued int8 (``quantize_kv4`` output, in
+    [-7, 7]) with raw scales ``k_snew/v_snew [B, nkv]`` f32, and EVERY
+    cache write — both nibble merges at byte column ``pos % (T/2)``
+    (partner nibble preserved) and both scale columns — lands in-kernel
+    through aliased write-backs.  The caller must issue ZERO XLA cache
+    writes: per-row vector-index scatters around the aliased call defeat
+    XLA's in-place buffer forwarding (measured at engine level: 0.61x
+    the int8 rate with outside writes vs the fused form).
+    Returns ``(ctx, k_qp', k_st', v_qp', v_s')`` with all pools aliased.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -865,7 +924,14 @@ def kv_attention_append_kt4(q, k_new, k_qp, k_st, v_qp, v_s, lengths, layer,
         starts = jnp.zeros((b,), jnp.int32)
     starts = jnp.asarray(starts, jnp.int32).reshape(b)
     posv = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,))
-    ctx, k_qp_new = pl.pallas_call(
+    k_snew = jnp.asarray(k_snew, jnp.float32).reshape(b, nkv, 1)
+    v_snew = jnp.asarray(v_snew, jnp.float32).reshape(b, nkv, 1)
+    v_snew_t = v_snew.reshape(b, 1, nkv)
+    # plane-split zero-copy views so each scale array is ONE operand
+    L, bsz = k_st.shape[0], k_st.shape[1]
+    kst2 = k_st.reshape(L, bsz, nkv, 2, t_half)
+    vs2 = v_s.reshape(L, bsz, 2, t_half, nkv)
+    ctx, k_qp_new, kst2_new, v_qp_new, vs2_new = pl.pallas_call(
         functools.partial(_kernel_append_kt4, nkv=nkv, g=g, hd=hd,
                           t_blk=t_blk, t_half=t_half, wb=wb,
                           inv_scale=inv_scale),
@@ -879,29 +945,35 @@ def kv_attention_append_kt4(q, k_new, k_qp, k_st, v_qp, v_s, lengths, layer,
                 pl.BlockSpec((1, nkv, hd),
                              lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, 1),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, 1),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nkv),
+                             lambda bb, tb, lr, ln, st, ps: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, nkv, hd, tbp),
                              lambda bb, tb, lr, ln, st, ps:
                              (lr[0], bb, 0, 0, tb),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, nkv, tbp),
+                # both K scale plane tiles through ONE operand
+                pl.BlockSpec((1, 1, nkv, 2, tbp),
                              lambda bb, tb, lr, ln, st, ps:
-                             (lr[0], bb, 0, tb),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, nkv, tbp),
-                             lambda bb, tb, lr, ln, st, ps:
-                             (lr[0], bb, 0, tb + t_half // tbp),
+                             (lr[0], bb, 0, 0, tb),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, tbp, nkv, hd),
                              lambda bb, tb, lr, ln, st, ps:
                              (lr[0], bb, tb, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tbp, nkv),
+                # both V scale plane tiles through ONE operand
+                pl.BlockSpec((1, 1, 2, tbp, nkv),
                              lambda bb, tb, lr, ln, st, ps:
-                             (lr[0], bb, tb, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tbp, nkv),
-                             lambda bb, tb, lr, ln, st, ps:
-                             (lr[0], bb, tb + t_half // tbp, 0),
+                             (lr[0], bb, 0, tb, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -913,6 +985,23 @@ def kv_attention_append_kt4(q, k_new, k_qp, k_st, v_qp, v_s, lengths, layer,
                              lambda bb, tb, lr, ln, st, ps:
                              (lr[0], bb, 0, 0, (ps[bb] % t_half) // wb),
                              memory_space=pltpu.VMEM),
+                # K scale column: wb-window at (plane, byte col // wb)
+                pl.BlockSpec((1, 1, nkv, 1, wb),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, 0, ps[bb] // t_half,
+                              (ps[bb] % t_half) // wb),
+                             memory_space=pltpu.VMEM),
+                # V nibble row: T/2-size-1 block pinned at the byte col
+                pl.BlockSpec((1, 1, 1, nkv, hd),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, ps[bb] % t_half, 0, 0),
+                             memory_space=pltpu.VMEM),
+                # V scale row: 8-row window at (plane, byte col // 8)
+                pl.BlockSpec((1, 1, 1, 8, nkv),
+                             lambda bb, tb, lr, ln, st, ps:
+                             (lr[0], bb, ps[bb] // t_half,
+                              (ps[bb] % t_half) // 8, 0),
+                             memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((nh, t_blk), jnp.float32),
@@ -923,14 +1012,19 @@ def kv_attention_append_kt4(q, k_new, k_qp, k_st, v_qp, v_s, lengths, layer,
         out_shape=[
             jax.ShapeDtypeStruct((b, nh, hd), q.dtype),
             jax.ShapeDtypeStruct(k_qp.shape, k_qp.dtype),
+            jax.ShapeDtypeStruct(kst2.shape, kst2.dtype),
+            jax.ShapeDtypeStruct(v_qp.shape, v_qp.dtype),
+            jax.ShapeDtypeStruct(vs2.shape, vs2.dtype),
         ],
-        input_output_aliases={6: 1},   # k_qp input (after 4 scalars, q,
-                                       # k_new) aliases the pool output
+        # pool inputs (after 4 scalars + q, k_new, k_snew, v_new, v_snew,
+        # v_snew_t) alias the pool outputs
+        input_output_aliases={10: 1, 11: 2, 12: 3, 13: 4},
         compiler_params=_VMEM_PARAMS,
         interpret=interpret,
-    )(lidx, lengths, starts, posv, q, k_new, k_qp, k_st, k_st, v_qp, v_s,
-      v_s)
-    return ctx, k_qp_new
+    )(lidx, lengths, starts, posv, q, k_new, k_snew, v_new, v_snew,
+      v_snew_t, k_qp, kst2, v_qp, vs2)
+    return (ctx, k_qp_new, kst2_new.reshape(k_st.shape), v_qp_new,
+            vs2_new.reshape(v_s.shape))
 
 
 def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,

@@ -610,40 +610,30 @@ def decode_step_flat(params, cache, input_ids, cache_index,
 
         if kt4:
             # INT4 nibble-packed transposed-K cache: halves KV HBM bytes
-            # again vs int8 (the remaining deep-context lever, PERF.md);
-            # the fused kernel unpacks half-plane nibbles in VMEM
+            # again vs int8 (capacity option, PERF.md); the FULLY-fused
+            # kernel lands every cache write (both nibble merges + both
+            # scale columns) in-kernel via aliases — XLA writes around
+            # the aliased call defeat in-place buffer forwarding
             k_qp, k_st, v_qp, v_s = leaves
-            t_half = max_len // 2
             nkq, nks = quantize_kv4(k)
             nvq, nvs = quantize_kv4(v)
-            k_st = jax.lax.dynamic_update_slice(
-                k_st, jnp.transpose(nks, (0, 2, 1))[None],
-                (i, 0, 0, cache_index))
-            v_s = jax.lax.dynamic_update_slice(
-                v_s, nvs[None], (i, 0, cache_index, 0))
             if s == 1 and max_len % 256 == 0:
-                # V nibble RMW: one [b, nkv, hd] byte row (16 KB at 7B b4)
-                cp = jax.lax.rem(cache_index, t_half)
-                hi_plane = cache_index >= t_half
-                old = jax.lax.dynamic_slice(
-                    v_qp, (i, 0, cp, 0, 0),
-                    (1, b, 1, nkv, hd)).astype(jnp.int32)
-                n4 = (nvq[:, 0].astype(jnp.int32) & 0xF)[None, :, None]
-                merged = jnp.where(hi_plane,
-                                   (old & 0x0F) | (n4 << 4),
-                                   (old & 0xF0) | n4)
-                v_qp = jax.lax.dynamic_update_slice(
-                    v_qp, merged.astype(jnp.int8), (i, 0, cp, 0, 0))
                 lengths = jnp.full((b,), cache_index + 1, jnp.int32)
                 from onebit_tpu.kernels.kv_attention import (
                     kv_attention_append_kt4)
-                ctx, k_qp = kv_attention_append_kt4(
-                    q[:, 0], nkq[:, 0], k_qp, k_st, v_qp, v_s, lengths, i,
+                ctx, k_qp, k_st, v_qp, v_s = kv_attention_append_kt4(
+                    q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
+                    k_qp, k_st, v_qp, v_s, lengths, i,
                     cache_index, starts=key_start, inv_scale=1.0)
                 ctx = ctx[:, None]
             else:
                 # multi-token / tiny-cache fallback: unpack the layer's
                 # pools, insert, repack (correctness path, not hot)
+                k_st = jax.lax.dynamic_update_slice(
+                    k_st, jnp.transpose(nks, (0, 2, 1))[None],
+                    (i, 0, 0, cache_index))
+                v_s = jax.lax.dynamic_update_slice(
+                    v_s, nvs[None], (i, 0, cache_index, 0))
                 k_qt_i = unpack_int4_halfplane(pick(k_qp, i), axis=3)
                 k_qt_i = jax.lax.dynamic_update_slice(
                     k_qt_i, jnp.transpose(nkq, (0, 2, 3, 1)),

@@ -94,37 +94,28 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
 
         if kt4:
             # INT4 nibble-packed pools at per-row positions — the engine's
-            # capacity option (2x resident context in the same pool bytes
-            # at ~0.91x the int8 decode rate, PERF.md "int4 KV pools").
-            # Scale columns and the V nibble land as per-row XLA scatters
-            # (none of these buffers is kernel-aliased — only k_qp is);
-            # the fused kernel merges the K nibble in-kernel and attends.
+            # capacity option (2x resident context in the same pool
+            # bytes).  The FULLY-fused kernel lands every cache write
+            # (both nibble merges + both scale columns) in-kernel via
+            # aliases: per-row XLA scatters around the aliased call
+            # defeat in-place buffer forwarding — measured 0.61x the int8
+            # engine rate with outside writes (round-5 batch-B run).
             k_qp, k_st, v_qp, v_s = leaves
-            t_half = max_len // 2
             nkq, nks = quantize_kv4(k)
             nvq, nvs = quantize_kv4(v)
-            k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
-            v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
             if max_len % 256 == 0:
-                # V nibble RMW at each row's byte column (gather + merge
-                # + scatter of one [nkv, hd] byte row per batch row)
-                cp = row_pos % t_half
-                hi_plane = (row_pos >= t_half)[:, None, None]
-                old = v_qp[i, rows, cp].astype(jnp.int32)
-                n4 = nvq[:, 0].astype(jnp.int32) & 0xF
-                merged = jnp.where(hi_plane,
-                                   (old & 0x0F) | (n4 << 4),
-                                   (old & 0xF0) | n4)
-                v_qp = v_qp.at[i, rows, cp].set(merged.astype(jnp.int8))
                 from onebit_tpu.kernels.kv_attention import (
                     kv_attention_append_kt4)
-                ctx, k_qp = kv_attention_append_kt4(
-                    q[:, 0], nkq[:, 0], k_qp, k_st, v_qp, v_s, kt_lengths,
+                ctx, k_qp, k_st, v_qp, v_s = kv_attention_append_kt4(
+                    q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
+                    k_qp, k_st, v_qp, v_s, kt_lengths,
                     i, row_pos, inv_scale=1.0)
                 ctx = ctx[:, None]
             else:
                 # tiny-cache fallback: unpack the layer's pools, insert at
                 # per-row positions, repack (correctness path)
+                k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
+                v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
                 k_qt_i = unpack_int4_halfplane(
                     jax.lax.dynamic_index_in_dim(k_qp, i, 0,
                                                  keepdims=False), axis=3)

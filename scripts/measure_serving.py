@@ -63,9 +63,11 @@ def main():
     n_draft = int(os.environ.get("ONEBIT_SERVE_NDRAFT", "4"))
     page = int(os.environ.get("ONEBIT_SERVE_PAGE", "16"))
     max_len = int(os.environ.get("ONEBIT_SERVE_MAXLEN", "256"))
-    # dense quantized-KV engine (int8 transposed-K fused kernel) — the
-    # deep-context serving configuration (no paging)
-    kvq = os.environ.get("ONEBIT_SERVE_KVQ", "0") == "1"
+    # dense quantized-KV engine — the deep-context serving configuration
+    # (no paging).  "1"/"int8" = transposed-K int8 fused kernel;
+    # "int4" = nibble-packed pools (the 2x-capacity option)
+    kvq_env = os.environ.get("ONEBIT_SERVE_KVQ", "0")
+    kvq = {"0": False, "1": True, "int8": True, "int4": "int4"}[kvq_env]
     prompt_len = int(os.environ.get("ONEBIT_SERVE_PROMPT", "16"))
 
     config = BitLlamaConfig.named(size)

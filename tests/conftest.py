@@ -39,6 +39,20 @@ import pytest  # noqa: E402
 DEFAULT_TEST_TIMEOUT = 600.0  # seconds
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-program caches between test modules.
+
+    The full suite compiles many hundreds of XLA:CPU programs (shard_map
+    engine matrices, interpret-mode kernels) in ONE process; past ~400
+    tests the accumulated executables segfault the CPU client inside
+    ``backend_compile_and_load`` (reproduced twice at the same locus,
+    round 5).  Module-scoped fixtures keep their own jit references alive
+    across the clear; everything else recompiles on demand."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_call(item):
     marker = item.get_closest_marker("timeout")

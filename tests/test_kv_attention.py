@@ -379,10 +379,11 @@ def test_kt4_starts_and_roundtrip():
 
 @pytest.mark.parametrize("positions", [[5, 131, 300], [250, 259, 450]])
 def test_append_kt4_per_row_positions(positions):
-    """INT4 fused append+attend: per-row positions across BOTH nibble
-    planes (pos < T/2 → low nibble, pos ≥ T/2 → high) — ctx matches the
-    decode kernel on a manually-written pool, write-back touches exactly
-    one nibble."""
+    """INT4 FULLY-fused append+attend: per-row positions across BOTH
+    nibble planes (pos < T/2 → low nibble, pos ≥ T/2 → high) — ctx
+    matches the decode kernel on manually-written pools, and ALL FOUR
+    in-kernel write-backs (K nibble, K scale, V nibble, V scale) touch
+    exactly the target column/row."""
     from onebit_tpu.kernels.kv_attention import (kv_attention_append_kt4,
                                                  kv_attention_decode_kt4)
     from onebit_tpu.model.kv_cache import (pack_int4_halfplane,
@@ -391,18 +392,28 @@ def test_append_kt4_per_row_positions(positions):
     q, k_q, k_s, v_q, v_s, k_qp, k_st, v_qp = _mk4(B=3, g=2, seed=41)
     layer = 1
     k_new = jnp.asarray(rng.randint(-7, 8, (3, 4, 128)), jnp.int8)
+    v_new = jnp.asarray(rng.randint(-7, 8, (3, 4, 128)), jnp.int8)
+    k_snew = jnp.asarray(rng.rand(3, 4) * 0.3 + 0.01, jnp.float32)
+    v_snew = jnp.asarray(rng.rand(3, 4) * 0.3 + 0.01, jnp.float32)
     pos = jnp.asarray(positions, jnp.int32)
     lengths = pos + 1
 
-    ctx, k_qp_new = kv_attention_append_kt4(
-        q, k_new, k_qp, k_st, v_qp, v_s, lengths, jnp.int32(layer), pos,
-        inv_scale=1.0, t_blk=256)
-    # reference pool: insert into the unpacked layout, repack
+    ctx, k_qp_new, k_st_new, v_qp_new, v_s_new = kv_attention_append_kt4(
+        q, k_new, k_snew, v_new, v_snew, k_qp, k_st, v_qp, v_s, lengths,
+        jnp.int32(layer), pos, inv_scale=1.0, t_blk=256)
+    # reference pools: insert into the unpacked layouts, repack
     k_qt_ref = jnp.moveaxis(k_q, 2, 4)
+    v_q_ref, k_st_ref, v_s_ref = v_q, k_st, v_s
     for b in range(3):
-        k_qt_ref = k_qt_ref.at[layer, b, :, :, int(pos[b])].set(k_new[b])
+        p = int(pos[b])
+        k_qt_ref = k_qt_ref.at[layer, b, :, :, p].set(k_new[b])
+        v_q_ref = v_q_ref.at[layer, b, p].set(v_new[b])
+        k_st_ref = k_st_ref.at[layer, b, :, p].set(k_snew[b])
+        v_s_ref = v_s_ref.at[layer, b, p].set(v_snew[b])
     k_qp_ref = pack_int4_halfplane(k_qt_ref, axis=4)
-    want = kv_attention_decode_kt4(q, k_qp_ref, k_st, v_qp, v_s, lengths,
+    v_qp_ref = pack_int4_halfplane(v_q_ref, axis=2)
+    want = kv_attention_decode_kt4(q, k_qp_ref, k_st_ref, v_qp_ref,
+                                   v_s_ref, lengths,
                                    jnp.int32(layer), inv_scale=1.0,
                                    t_blk=256)
     np.testing.assert_allclose(np.asarray(ctx, np.float32),
@@ -410,10 +421,19 @@ def test_append_kt4_per_row_positions(positions):
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(np.asarray(k_qp_new),
                                   np.asarray(k_qp_ref))
-    # and the unpacked view confirms only the target columns changed
-    unp = unpack_int4_halfplane(k_qp_new, axis=4)
+    np.testing.assert_array_equal(np.asarray(v_qp_new),
+                                  np.asarray(v_qp_ref))
+    np.testing.assert_allclose(np.asarray(k_st_new),
+                               np.asarray(k_st_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_s_new),
+                               np.asarray(v_s_ref), rtol=1e-6)
+    # and the unpacked views confirm only the target columns changed
     np.testing.assert_array_equal(
-        np.asarray(unp), np.asarray(k_qt_ref))
+        np.asarray(unpack_int4_halfplane(k_qp_new, axis=4)),
+        np.asarray(k_qt_ref))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4_halfplane(v_qp_new, axis=2)),
+        np.asarray(v_q_ref))
 
 
 def test_append_kt4_inactive_row_finite():
@@ -428,10 +448,14 @@ def test_append_kt4_inactive_row_finite():
     v_q = jnp.asarray(rng.randint(-7, 8, (L, B, T, nkv, hd)), jnp.int8)
     v_s = jnp.asarray(rng.rand(L, B, T, nkv), jnp.float32)
     k_new = jnp.asarray(rng.randint(-7, 8, (B, nkv, hd)), jnp.int8)
+    v_new = jnp.asarray(rng.randint(-7, 8, (B, nkv, hd)), jnp.int8)
+    k_snew = jnp.asarray(rng.rand(B, nkv), jnp.float32)
+    v_snew = jnp.asarray(rng.rand(B, nkv), jnp.float32)
     pos = jnp.asarray([3, 7], jnp.int32)
     lengths = jnp.asarray([4, 0], jnp.int32)
-    ctx, _ = kv_attention_append_kt4(
-        q, k_new, pack_int4_halfplane(k_qt, axis=4), k_st,
+    ctx, *_ = kv_attention_append_kt4(
+        q, k_new, k_snew, v_new, v_snew,
+        pack_int4_halfplane(k_qt, axis=4), k_st,
         pack_int4_halfplane(v_q, axis=2), v_s, lengths, jnp.int32(0), pos,
         inv_scale=1.0, t_blk=256)
     assert np.isfinite(np.asarray(ctx, np.float32)).all()
