@@ -39,11 +39,36 @@ def _bench_decode(config, params, impl: str, batch: int, max_len: int,
 
     cache = init_kv_cache(config, batch, max_len, dtype=jnp.bfloat16)
     ids = jnp.zeros((batch, 1), jnp.int32)
-    # pallas serving path: the flat fori-loop step (scalar-prefetch stacked
-    # kernels, in-place one-token cache writes) — measured ~2x the
-    # scan-over-layers step at 7B (PERF.md).  The xla baseline keeps the
-    # scan step: it stands in for the reference's strategy as-is.
-    step_fn = decode_step_flat if impl == "pallas" else decode_step
+    # pallas serving path: the engine's ragged per-row decode step —
+    # the program the continuous-batching engine actually dispatches
+    # per token (model/ragged_decode.ragged_decode_step), measured
+    # FASTER than the lockstep flat step at identical shapes (7.62 vs
+    # 8.22 ms at 7B b8, round-5 probe_serving_step).  The xla baseline
+    # keeps the scan step: it stands in for the reference's strategy
+    # as-is.  ONEBIT_BENCH_STEP=flat restores the historical lockstep
+    # step for continuity comparisons.
+    which = os.environ.get("ONEBIT_BENCH_STEP",
+                           "ragged" if impl == "pallas" else "scan")
+    if impl != "pallas":
+        which = "scan"
+    if which == "ragged":
+        from onebit_tpu.model.ragged_decode import ragged_decode_step
+        active = jnp.ones((batch,), bool)
+
+        def step(p, state):
+            cache, idx = state
+            pos = jnp.full((batch,), idx, jnp.int32)
+            logits, cache = ragged_decode_step(
+                p, cache, ids, pos, active, config, impl=impl,
+                compute_dtype=jnp.bfloat16)
+            return cache, idx + 1
+
+        sec_per_step = bench_fn_with_state(
+            step, (cache, jnp.int32(0)), iters_lo=0, iters_hi=scan_iters,
+            reps=3, const=params)
+        return batch / sec_per_step
+
+    step_fn = decode_step_flat if which == "flat" else decode_step
 
     def step(p, state):
         cache, idx = state

@@ -718,12 +718,17 @@ def _kernel_append_kt4(lidx_ref, lengths_ref, starts_ref, pos_ref, q_ref,
         # (wb | tbp | t_half keeps the window inside one plane tile, and
         # the out block pinned at (plane, c//wb) lands on the same
         # columns)
+        # the out block spans BOTH planes (Mosaic's block rule forbids a
+        # size-1 second-to-last block on the size-2 plane axis): insert
+        # into the live plane, copy the other plane's window through
         ksa_w = kst_ref[0, 0, :, 0, pl.ds(off, wb)]    # raw (un-scaled)
         ksb_w = kst_ref[0, 0, :, 1, pl.ds(off, wb)]
-        sub_ks = jnp.where(hi_plane, ksb_w, ksa_w)
         sel2 = jax.lax.broadcasted_iota(
             jnp.int32, (nkv, wb), 1) == (col_in_tile - off)
-        kstout_ref[0, 0, :, 0] = jnp.where(sel2, ksnew_ref[0], sub_ks)
+        kstout_ref[0, 0, :, 0] = jnp.where(sel2 & ~hi_plane,
+                                           ksnew_ref[0], ksa_w)
+        kstout_ref[0, 0, :, 1] = jnp.where(sel2 & hi_plane,
+                                           ksnew_ref[0], ksb_w)
         # V nibble row RMW: the old byte row is extracted from the
         # resident tile by a masked reduce (no unaligned dynamic sublane
         # load), merged, and written through the T/2-size-1 aliased block
@@ -985,10 +990,11 @@ def kv_attention_append_kt4(q, k_new, k_snew, v_new, v_snew, k_qp, k_st,
                              lambda bb, tb, lr, ln, st, ps:
                              (lr[0], bb, 0, 0, (ps[bb] % t_half) // wb),
                              memory_space=pltpu.VMEM),
-                # K scale column: wb-window at (plane, byte col // wb)
-                pl.BlockSpec((1, 1, nkv, 1, wb),
+                # K scale column: wb-window spanning BOTH planes at
+                # byte col // wb (in-kernel plane mask picks the live one)
+                pl.BlockSpec((1, 1, nkv, 2, wb),
                              lambda bb, tb, lr, ln, st, ps:
-                             (lr[0], bb, 0, ps[bb] // t_half,
+                             (lr[0], bb, 0, 0,
                               (ps[bb] % t_half) // wb),
                              memory_space=pltpu.VMEM),
                 # V nibble row: T/2-size-1 block pinned at the byte col
