@@ -923,6 +923,44 @@ def kv_attention_append_kt4(q, k_new, k_snew, v_new, v_snew, k_qp, k_st,
     if tbp % wb:
         raise ValueError(f"wb={wb} must divide packed block {tbp}")
 
+    # plane-split zero-copy views so each scale array is ONE operand
+    L, bsz = k_st.shape[0], k_st.shape[1]
+    kst2 = k_st.reshape(L, bsz, nkv, 2, t_half)
+    vs2 = v_s.reshape(L, bsz, 2, t_half, nkv)
+    ctx, k_qp_new, kst2_new, v_qp_new, vs2_new = \
+        kv_attention_append_kt4_planar(
+            q, k_new, k_snew, v_new, v_snew, k_qp, kst2, v_qp, vs2,
+            lengths, layer, pos, starts=starts, inv_scale=inv_scale,
+            t_blk=t_blk, wb=wb, interpret=interpret)
+    return (ctx, k_qp_new, kst2_new.reshape(k_st.shape), v_qp_new,
+            vs2_new.reshape(v_s.shape))
+
+
+def kv_attention_append_kt4_planar(q, k_new, k_snew, v_new, v_snew, k_qp,
+                                   kst2, v_qp, vs2, lengths, layer, pos, *,
+                                   starts=None, inv_scale: float = 1.0,
+                                   t_blk: int = 2 * DEFAULT_T_BLK,
+                                   wb: int = 128,
+                                   interpret: Optional[bool] = None):
+    """:func:`kv_attention_append_kt4` taking/returning the PLANE-SPLIT
+    scale pools directly — ``kst2 [L, B, nkv, 2, T/2]``,
+    ``vs2 [L, B, 2, T/2, nkv]``.  The hot decode loops carry the planar
+    form so no reshape sits between the aliased call and the loop carry
+    (a per-layer reshape around an aliased custom call can defeat XLA's
+    in-place buffer forwarding → full scale-pool copies every layer)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, nh, hd = q.shape
+    nkv = k_qp.shape[2]
+    t_half = kst2.shape[4]
+    t = 2 * t_half
+    g = nh // nkv
+    t_blk, t_half = _kt4_blocks(t, t_blk)
+    tbp = t_blk // 2
+    n_tb = t_half // tbp
+    if tbp % wb:
+        raise ValueError(f"wb={wb} must divide packed block {tbp}")
+
     lidx = jnp.asarray(layer, jnp.int32).reshape(1)
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
     if starts is None:
@@ -932,10 +970,6 @@ def kv_attention_append_kt4(q, k_new, k_snew, v_new, v_snew, k_qp, k_st,
     k_snew = jnp.asarray(k_snew, jnp.float32).reshape(b, nkv, 1)
     v_snew = jnp.asarray(v_snew, jnp.float32).reshape(b, nkv, 1)
     v_snew_t = v_snew.reshape(b, 1, nkv)
-    # plane-split zero-copy views so each scale array is ONE operand
-    L, bsz = k_st.shape[0], k_st.shape[1]
-    kst2 = k_st.reshape(L, bsz, nkv, 2, t_half)
-    vs2 = v_s.reshape(L, bsz, 2, t_half, nkv)
     ctx, k_qp_new, kst2_new, v_qp_new, vs2_new = pl.pallas_call(
         functools.partial(_kernel_append_kt4, nkv=nkv, g=g, hd=hd,
                           t_blk=t_blk, t_half=t_half, wb=wb,
@@ -1029,8 +1063,7 @@ def kv_attention_append_kt4(q, k_new, k_snew, v_new, v_snew, k_qp, k_st,
         interpret=interpret,
     )(lidx, lengths, starts, posv, q, k_new, k_snew, v_new, v_snew,
       v_snew_t, k_qp, kst2, v_qp, vs2)
-    return (ctx, k_qp_new, kst2_new.reshape(k_st.shape), v_qp_new,
-            vs2_new.reshape(v_s.shape))
+    return ctx, k_qp_new, kst2_new, v_qp_new, vs2_new
 
 
 def kv_attention_decode(q, k_q, k_s, v_q, v_s, lengths, layer, *,

@@ -618,13 +618,16 @@ def decode_step_flat(params, cache, input_ids, cache_index,
             nkq, nks = quantize_kv4(k)
             nvq, nvs = quantize_kv4(v)
             if s == 1 and max_len % 256 == 0:
+                # planar leaves (k_st/v_s plane-split) carried through
+                # the loop — see ragged_decode_step's kt4 branch
                 lengths = jnp.full((b,), cache_index + 1, jnp.int32)
                 from onebit_tpu.kernels.kv_attention import (
-                    kv_attention_append_kt4)
-                ctx, k_qp, k_st, v_qp, v_s = kv_attention_append_kt4(
-                    q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
-                    k_qp, k_st, v_qp, v_s, lengths, i,
-                    cache_index, starts=key_start, inv_scale=1.0)
+                    kv_attention_append_kt4_planar)
+                ctx, k_qp, k_st, v_qp, v_s = \
+                    kv_attention_append_kt4_planar(
+                        q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0],
+                        nvs[:, 0], k_qp, k_st, v_qp, v_s, lengths, i,
+                        cache_index, starts=key_start, inv_scale=1.0)
                 ctx = ctx[:, None]
             else:
                 # multi-token / tiny-cache fallback: unpack the layer's
@@ -741,8 +744,22 @@ def decode_step_flat(params, cache, input_ids, cache_index,
                             impl)
         return (residual + mlp, leaves)
 
+    leaves0 = tuple(cache)
+    kt4_kernel = kt4 and s == 1 and max_len % 256 == 0
+    if kt4_kernel:
+        # plane-split the scale pools once at the program boundary (the
+        # loop carries the planar form — see the kt4 branch above)
+        k_qp0, k_st0, v_qp0, v_s0 = leaves0
+        lyr, bsz = k_st0.shape[0], k_st0.shape[1]
+        th = max_len // 2
+        leaves0 = (k_qp0, k_st0.reshape(lyr, bsz, nkv, 2, th), v_qp0,
+                   v_s0.reshape(lyr, bsz, 2, th, nkv))
     x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
-                                  (x, tuple(cache)))
+                                  (x, leaves0))
+    if kt4_kernel:
+        k_qp1, kst2, v_qp1, vs2 = leaves
+        leaves = (k_qp1, kst2.reshape(lyr, bsz, nkv, max_len), v_qp1,
+                  vs2.reshape(lyr, bsz, max_len, nkv))
     x = rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)

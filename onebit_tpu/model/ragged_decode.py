@@ -104,9 +104,13 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
             nkq, nks = quantize_kv4(k)
             nvq, nvs = quantize_kv4(v)
             if max_len % 256 == 0:
+                # PLANAR leaves carried through the loop (k_st/v_s in the
+                # plane-split layouts): a per-layer reshape between the
+                # aliased call and the loop carry defeats in-place buffer
+                # forwarding → full scale-pool copies every layer
                 from onebit_tpu.kernels.kv_attention import (
-                    kv_attention_append_kt4)
-                ctx, k_qp, k_st, v_qp, v_s = kv_attention_append_kt4(
+                    kv_attention_append_kt4_planar)
+                ctx, k_qp, k_st, v_qp, v_s = kv_attention_append_kt4_planar(
                     q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
                     k_qp, k_st, v_qp, v_s, kt_lengths,
                     i, row_pos, inv_scale=1.0)
@@ -200,8 +204,22 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
                             impl)
         return (residual + mlp, leaves)
 
+    leaves0 = tuple(cache)
+    kt4_kernel = kt4 and max_len % 256 == 0
+    if kt4_kernel:
+        # plane-split the scale pools ONCE at the program boundary (the
+        # loop carries the planar form; see the kt4 branch above)
+        k_qp0, k_st0, v_qp0, v_s0 = leaves0
+        lyr, bsz = k_st0.shape[0], k_st0.shape[1]
+        th = max_len // 2
+        leaves0 = (k_qp0, k_st0.reshape(lyr, bsz, nkv, 2, th), v_qp0,
+                   v_s0.reshape(lyr, bsz, 2, th, nkv))
     x, leaves = jax.lax.fori_loop(
-        0, config.num_hidden_layers, body, (x, tuple(cache)))
+        0, config.num_hidden_layers, body, (x, leaves0))
+    if kt4_kernel:
+        k_qp1, kst2, v_qp1, vs2 = leaves
+        leaves = (k_qp1, kst2.reshape(lyr, bsz, nkv, max_len), v_qp1,
+                  vs2.reshape(lyr, bsz, max_len, nkv))
     x = bitllama.rms_norm(x, params["final_norm"], config.rms_norm_eps)
     logits = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
                         preferred_element_type=jnp.float32)
