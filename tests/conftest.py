@@ -39,18 +39,27 @@ import pytest  # noqa: E402
 DEFAULT_TEST_TIMEOUT = 600.0  # seconds
 
 
+_MODULES_PER_CLEAR = 4
+_module_clear_count = {"n": 0}
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
-    """Drop compiled-program caches between test modules.
+    """Drop compiled-program caches every few test modules.
 
     The full suite compiles many hundreds of XLA:CPU programs (shard_map
     engine matrices, interpret-mode kernels) in ONE process; past ~400
     tests the accumulated executables segfault the CPU client inside
     ``backend_compile_and_load`` (reproduced twice at the same locus,
-    round 5).  Module-scoped fixtures keep their own jit references alive
-    across the clear; everything else recompiles on demand."""
+    round 5).  Clearing every module fixes the crash but forfeits the
+    cross-module jit cache (~+1.5 min suite time), so the clear runs
+    every 4th module — accumulation stays bounded well under the crash
+    threshold while most cache reuse survives.  Module-scoped fixtures
+    keep their own jit references alive across the clear."""
     yield
-    jax.clear_caches()
+    _module_clear_count["n"] += 1
+    if _module_clear_count["n"] % _MODULES_PER_CLEAR == 0:
+        jax.clear_caches()
 
 
 @pytest.hookimpl(hookwrapper=True)

@@ -34,6 +34,7 @@ def test_continuous_matches_lockstep(tiny):
         assert out[uid] == w, (uid, out[uid], w)
 
 
+@pytest.mark.slow
 def test_more_requests_than_slots(tiny):
     """Requests beyond the slot pool are admitted as slots free up."""
     config, params = tiny

@@ -82,6 +82,7 @@ def test_flat_matches_scan_quant_cache(tiny_packed):
     _run_both(config, params, a, b, "pallas")
 
 
+@pytest.mark.slow
 def test_flat_key_start_positions(tiny_packed):
     """Left-padded rows: key_start/positions handling matches the scan path."""
     config, params = tiny_packed

@@ -84,6 +84,7 @@ def test_kernel_quant_matches_reference():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_paged_decode_step_kernel_path_matches_jnp(monkeypatch):
     """paged_decode_step with the forced kernel path (interpret on CPU)
     produces the jnp path's logits — integration through the flat layer

@@ -210,6 +210,7 @@ def test_sampled_spec_accepts_all_when_draft_is_target(tiny):
     assert (np.asarray(new_pos) == np.asarray(pos) + n_emit).all()
 
 
+@pytest.mark.slow
 def test_sampled_spec_marginal_distribution(tiny):
     """The FIRST token a sampled spec round emits follows the target's
     warped sampling distribution exactly (rejection-sampling guarantee),
