@@ -449,10 +449,6 @@ def cmd_serve(args):
         raise SystemExit("--kv-quant fp8 requires --paged (dense "
                          "quantized serving uses the int8 transposed-K "
                          "fused kernel; fp8 pools are paged-only)")
-    if not args.paged and args.kv_quant == "int4" and args.tp > 1:
-        raise SystemExit("--kv-quant int4 is single-device (the TP KT "
-                         "cores cover int8); use --kv-quant int8 with "
-                         "--tp")
     if args.paged and args.kv_quant == "int4":
         raise SystemExit("--kv-quant int4 is dense-engine only (no int4 "
                          "paged pools); drop --paged")
@@ -706,8 +702,8 @@ def build_parser():
                          "cache served by the fused append+attend "
                          "Pallas kernel (deep-context hot path).  int4: "
                          "nibble-packed dense pools — 2x resident "
-                         "context in the same bytes at ~0.91x the int8 "
-                         "decode rate (single-device, non-paged)")
+                         "context in the same bytes at ~0.89x the int8 "
+                         "decode rate (non-paged; composes with --tp)")
     sv.add_argument("--page-size", type=int, default=16)
     sv.add_argument("--prefix-cache", action="store_true",
                     help="share full prompt pages across requests "

@@ -105,12 +105,6 @@ class ContinuousBatchingEngine:
                     "quantized_kv='fp8' requires paged=True (the dense "
                     "quantized engine uses the int8 transposed-K fused "
                     "kernel; fp8 pools exist only in the paged family)")
-            if quantized_kv == "int4" and tp_mesh is not None:
-                raise ValueError(
-                    "tp_mesh + quantized_kv='int4' is not supported: the "
-                    "TP backend's KT cores cover the int8 pools — use "
-                    "quantized_kv=True (int8) for TP serving, or drop "
-                    "tp_mesh for the int4 capacity option")
             if quantized_kv == "int4" and draft_params is not None:
                 raise ValueError(
                     "quantized_kv='int4' + speculative decoding is not "
@@ -219,10 +213,14 @@ class ContinuousBatchingEngine:
             # at ~0.91x the int8 decode rate (PERF.md "int4 KV pools").
             self.prefix_cache = False
             if quantized_kv == "int4":
-                from onebit_tpu.model.kv_cache import (
-                    init_quant_kv_cache_kt4)
-                self.cache = init_quant_kv_cache_kt4(config, max_batch,
-                                                     max_len)
+                if self._tp is not None:
+                    self.cache = self._tp.init_kt4_cache(config, max_batch,
+                                                         max_len)
+                else:
+                    from onebit_tpu.model.kv_cache import (
+                        init_quant_kv_cache_kt4)
+                    self.cache = init_quant_kv_cache_kt4(config, max_batch,
+                                                         max_len)
             elif self._tp is not None:
                 self.cache = self._tp.init_kt_cache(config, max_batch,
                                                     max_len)

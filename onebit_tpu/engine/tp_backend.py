@@ -50,7 +50,8 @@ from onebit_tpu.engine.sampler import SamplingConfig, sample_token
 from onebit_tpu.model import bitllama
 from onebit_tpu.model.bitllama import KVCache
 from onebit_tpu.model.config import BitLlamaConfig
-from onebit_tpu.model.kv_cache import QuantKVCacheKT, quantize_kv
+from onebit_tpu.model.kv_cache import (QuantKVCacheKT, QuantKVCacheKT4,
+                                       quantize_kv, quantize_kv4)
 from onebit_tpu.model.rope import apply_rope, rope_cos_sin
 from onebit_tpu.model.tp_decode import (
     _col_parallel_flat,
@@ -74,6 +75,14 @@ TP_KT_CACHE_SPEC = QuantKVCacheKT(
     k_qt=P(None, None, MODEL_AXIS, None, None),   # [L, B, nkv/mp, hd, T]
     k_st=P(None, None, MODEL_AXIS, None),         # [L, B, nkv/mp, T]
     v_q=P(None, None, None, MODEL_AXIS, None),    # [L, B, T, nkv/mp, hd]
+    v_s=P(None, None, None, MODEL_AXIS))          # [L, B, T, nkv/mp]
+
+# the int4 nibble-packed pools shard identically (the kt4 kernel is
+# per-kv-head too — same head-locality argument as TP_KT_CACHE_SPEC)
+TP_KT4_CACHE_SPEC = QuantKVCacheKT4(
+    k_qp=P(None, None, MODEL_AXIS, None, None),   # [L, B, nkv/mp, hd, T/2]
+    k_st=P(None, None, MODEL_AXIS, None),         # [L, B, nkv/mp, T]
+    v_qp=P(None, None, None, MODEL_AXIS, None),   # [L, B, T/2, nkv/mp, hd]
     v_s=P(None, None, None, MODEL_AXIS))          # [L, B, T, nkv/mp]
 
 
@@ -340,6 +349,169 @@ def _kt_prefill_core(proj, cache: QuantKVCacheKT, ids, lengths, rows,
     return proj.final(x), QuantKVCacheKT(*leaves)
 
 
+def _kt4_step_core(proj, cache: QuantKVCacheKT4, input_ids, row_pos, active,
+                   config: BitLlamaConfig, compute_dtype):
+    """One ragged decode token over the head-sharded INT4 pools: the
+    fully-fused planar kt4 kernel on the local nkv/mp shard (same
+    head-locality as :func:`_kt_step_core`; scale pools carried
+    plane-split through the loop — see ragged_decode's kt4 branch)."""
+    from onebit_tpu.kernels.kv_attention import (
+        kv_attention_append_kt4_planar)
+    from onebit_tpu.model.kv_cache import (pack_int4_halfplane,
+                                           unpack_int4_halfplane)
+    b, s = input_ids.shape
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
+    max_len = cache.max_len
+    x = proj.embed(input_ids)
+    cos, sin = rope_cos_sin(row_pos[:, None], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+    kt_lengths = jnp.where(active, row_pos + 1, 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, max_len), 3)
+    mask = (kj <= row_pos[:, None, None, None]) & \
+        active[:, None, None, None]
+    rows = jnp.arange(b)
+    kernel_path = max_len % 256 == 0
+
+    def body(i, carry):
+        x, leaves = carry
+        residual = x
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nkv, hd)
+        v = v.reshape(b, s, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        k_qp, k_st, v_qp, v_s = leaves
+        nkq, nks = quantize_kv4(k)
+        nvq, nvs = quantize_kv4(v)
+        if kernel_path:
+            ctx, k_qp, k_st, v_qp, v_s = kv_attention_append_kt4_planar(
+                q[:, 0], nkq[:, 0], nks[:, 0], nvq[:, 0], nvs[:, 0],
+                k_qp, k_st, v_qp, v_s, kt_lengths, i, row_pos,
+                inv_scale=1.0)
+            ctx = ctx[:, None]
+        else:
+            # tiny-cache fallback (unpack/insert/repack, standard scale
+            # layouts — same rule as the single-device kt4 step)
+            k_st = k_st.at[i, rows, :, row_pos].set(nks[:, 0])
+            v_s = v_s.at[i, rows, row_pos].set(nvs[:, 0])
+            k_qt_i = unpack_int4_halfplane(
+                jax.lax.dynamic_index_in_dim(k_qp, i, 0, keepdims=False),
+                axis=3)
+            k_qt_i = k_qt_i.at[rows, :, :, row_pos].set(nkq[:, 0])
+            k_qp = jax.lax.dynamic_update_slice(
+                k_qp, pack_int4_halfplane(k_qt_i, axis=3)[None],
+                (i, 0, 0, 0, 0))
+            v_i = unpack_int4_halfplane(
+                jax.lax.dynamic_index_in_dim(v_qp, i, 0, keepdims=False),
+                axis=1)
+            v_i = v_i.at[rows, row_pos].set(nvq[:, 0])
+            v_qp = jax.lax.dynamic_update_slice(
+                v_qp, pack_int4_halfplane(v_i, axis=1)[None],
+                (i, 0, 0, 0, 0))
+            ctx = bitllama._attention_quant(
+                q, jnp.transpose(k_qt_i, (0, 3, 1, 2)),
+                jnp.transpose(jax.lax.dynamic_index_in_dim(
+                    k_st, i, 0, keepdims=False), (0, 2, 1)),
+                v_i,
+                jax.lax.dynamic_index_in_dim(v_s, i, 0, keepdims=False),
+                mask, num_kv_groups=nh // nkv)
+        leaves = (k_qp, k_st, v_qp, v_s)
+        attn = proj.o(ctx.reshape(b, s, nh * hd), i)
+        x = residual + attn
+        residual = x
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
+        return (residual + mlp, leaves)
+
+    leaves0 = tuple(cache)
+    if kernel_path:
+        # plane-split the LOCAL scale shards once at the program boundary
+        k_qp0, k_st0, v_qp0, v_s0 = leaves0
+        lyr, bsz = k_st0.shape[0], k_st0.shape[1]
+        th = max_len // 2
+        leaves0 = (k_qp0, k_st0.reshape(lyr, bsz, nkv, 2, th), v_qp0,
+                   v_s0.reshape(lyr, bsz, 2, th, nkv))
+    x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, leaves0))
+    if kernel_path:
+        k_qp1, kst2, v_qp1, vs2 = leaves
+        leaves = (k_qp1, kst2.reshape(lyr, bsz, nkv, max_len), v_qp1,
+                  vs2.reshape(lyr, bsz, max_len, nkv))
+    return proj.final(x), QuantKVCacheKT4(*leaves)
+
+
+def _kt4_prefill_core(proj, cache: QuantKVCacheKT4, ids, lengths, rows,
+                      config: BitLlamaConfig, compute_dtype):
+    """Batched-admission prefill into INT4 pool slots: half-plane packed
+    bulk insertion with partner-nibble-preserving merges, attention over
+    the fresh full-precision K/V (mirrors prefill_rows' kt4 branch on the
+    local shard)."""
+    r, s_pad = ids.shape
+    nh, nkv, hd = proj.nh, proj.nkv, config.head_dim
+    max_len = cache.max_len
+    t_half = max_len // 2
+    x = proj.embed(ids)
+    cos, sin = rope_cos_sin(jnp.arange(s_pad)[None, :], config.head_dim,
+                            config.rope_theta, config.rope_scaling,
+                            config.max_position_embeddings, seq_len=max_len,
+                            dtype=compute_dtype)
+    attn_m = jnp.arange(s_pad)[None, :] < lengths[:, None]
+    mask = bitllama._causal_mask(s_pad, s_pad, 0) & attn_m[:, None, None, :]
+
+    def body(i, carry):
+        x, leaves = carry
+        k_qp, k_st, v_qp, v_s = leaves
+        residual = x
+        hx = proj.ln(x, "input_layernorm", i)
+        q, k, v = proj.qkv(hx, i)
+        q = q.reshape(r, s_pad, nh, hd)
+        k = k.reshape(r, s_pad, nkv, hd)
+        v = v.reshape(r, s_pad, nkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        nkq, nks = quantize_kv4(k)
+        nvq, nvs = quantize_kv4(v)
+        k_st = k_st.at[i, rows, :, :s_pad].set(
+            jnp.transpose(nks, (0, 2, 1)))
+        v_s = v_s.at[i, rows, :s_pad].set(nvs)
+        nkq_t = jnp.transpose(nkq, (0, 2, 3, 1))   # [R, nkv, hd, s_pad]
+        lo_n = min(s_pad, t_half)
+        old = k_qp[i, rows, :, :, :lo_n].astype(jnp.int32)
+        new_lo = nkq_t[..., :lo_n].astype(jnp.int32) & 0xF
+        k_qp = k_qp.at[i, rows, :, :, :lo_n].set(
+            ((old & 0xF0) | new_lo).astype(jnp.int8))
+        old = v_qp[i, rows, :lo_n].astype(jnp.int32)
+        new_lo = nvq[:, :lo_n].astype(jnp.int32) & 0xF
+        v_qp = v_qp.at[i, rows, :lo_n].set(
+            ((old & 0xF0) | new_lo).astype(jnp.int8))
+        if s_pad > t_half:
+            hi_n = s_pad - t_half
+            old = k_qp[i, rows, :, :, :hi_n].astype(jnp.int32)
+            new_hi = (nkq_t[..., t_half:].astype(jnp.int32) & 0xF) << 4
+            k_qp = k_qp.at[i, rows, :, :, :hi_n].set(
+                ((old & 0x0F) | new_hi).astype(jnp.int8))
+            old = v_qp[i, rows, :hi_n].astype(jnp.int32)
+            new_hi = (nvq[:, t_half:].astype(jnp.int32) & 0xF) << 4
+            v_qp = v_qp.at[i, rows, :hi_n].set(
+                ((old & 0x0F) | new_hi).astype(jnp.int8))
+        leaves = (k_qp, k_st, v_qp, v_s)
+        ctx = bitllama._attention(q, k, v, mask, num_kv_groups=nh // nkv)
+        attn = proj.o(ctx.reshape(r, s_pad, nh * hd), i)
+        x = residual + attn
+        residual = x
+        hx = proj.ln(x, "post_attention_layernorm", i)
+        gate, up = proj.gateup(hx, i)
+        mlp = proj.down(jax.nn.silu(gate) * up, i)
+        return (residual + mlp, leaves)
+
+    x, leaves = jax.lax.fori_loop(0, config.num_hidden_layers, body,
+                                  (x, tuple(cache)))
+    return proj.final(x), QuantKVCacheKT4(*leaves)
+
+
 def _gathered_logits(x, params, compute_dtype):
     """Vocab-sharded lm_head: local partial logits + tiled all-gather."""
     logits_l = jnp.matmul(x, params["lm_head"].astype(compute_dtype).T,
@@ -408,6 +580,10 @@ class TPServing:
         # through the ``_kt_*`` cores (TP × dense quantized-KV — the
         # deep-context fused kernel in the 13B TP serving configuration)
         def step_hidden(params, cache, input_ids, row_pos, active):
+            if isinstance(cache, QuantKVCacheKT4):
+                return _kt4_step_core(proj_of(params), cache, input_ids,
+                                      row_pos, active, config,
+                                      compute_dtype)
             if isinstance(cache, QuantKVCacheKT):
                 return _kt_step_core(proj_of(params), cache, input_ids,
                                      row_pos, active, config, compute_dtype)
@@ -434,7 +610,11 @@ class TPServing:
 
         def prefill_body(params, cache, ids, lengths, rows):
             r, s_pad = ids.shape
-            if isinstance(cache, QuantKVCacheKT):
+            if isinstance(cache, QuantKVCacheKT4):
+                x, cache = _kt4_prefill_core(proj_of(params), cache, ids,
+                                             lengths, rows, config,
+                                             compute_dtype)
+            elif isinstance(cache, QuantKVCacheKT):
                 x, cache = _kt_prefill_core(proj_of(params), cache, ids,
                                             lengths, rows, config,
                                             compute_dtype)
@@ -511,7 +691,8 @@ class TPServing:
         # specs, so each program jits one variant per cache type on first
         # use; ``.lower`` is exposed for warmup-time AOT compilation
         self._dense_specs = {KVCache: TP_CACHE_SPEC,
-                             QuantKVCacheKT: TP_KT_CACHE_SPEC}
+                             QuantKVCacheKT: TP_KT_CACHE_SPEC,
+                             QuantKVCacheKT4: TP_KT4_CACHE_SPEC}
 
         def dense_dispatcher(body, out_specs_of, n_rep_in,
                              donate=(1,)):
@@ -829,6 +1010,15 @@ class TPServing:
         return jax.tree.map(
             lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
             cache, TP_KT_CACHE_SPEC)
+
+    def init_kt4_cache(self, config: BitLlamaConfig, batch: int,
+                       max_len: int) -> QuantKVCacheKT4:
+        """Head-sharded int4 nibble-packed pools placed on the mesh."""
+        from onebit_tpu.model.kv_cache import init_quant_kv_cache_kt4
+        cache = init_quant_kv_cache_kt4(config, batch, max_len)
+        return jax.tree.map(
+            lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
+            cache, TP_KT4_CACHE_SPEC)
 
     def init_paged_cache(self, config: BitLlamaConfig, num_pages: int,
                          page_size: int = 16, dtype=jnp.bfloat16,

@@ -214,13 +214,8 @@ def test_quant_dense_engine_validation(tiny):
     config, params = tiny
     with pytest.raises(ValueError, match="fp8"):
         ContinuousBatchingEngine(params, config, quantized_kv="fp8")
-    # int4 is single-device, non-chunked, non-speculative (engine flag
-    # preconditions; the int8 KT path covers TP since round 5)
-    from onebit_tpu.parallel.mesh import create_mesh
-    mesh = create_mesh((1, 2))
-    with pytest.raises(ValueError, match="int4"):
-        ContinuousBatchingEngine(params, config, quantized_kv="int4",
-                                 tp_mesh=mesh)
+    # int4 is non-chunked and non-speculative (engine flag preconditions;
+    # TP x int4 IS supported since round 5 — tests/test_tp_engine.py)
     with pytest.raises(ValueError, match="int4"):
         ContinuousBatchingEngine(params, config, quantized_kv="int4",
                                  prefill_chunk_size=4)

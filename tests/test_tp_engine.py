@@ -203,3 +203,25 @@ def test_tp_engine_quant_kv_speculative_matches():
                                    n_draft=3, tp_mesh=create_mesh((1, 2)))
     got = _run(eng, PROMPTS)
     assert got == want
+
+
+def test_tp_engine_int4_matches_single_device():
+    """TP x int4 (round 5 tail): the nibble-packed pools head-sharded
+    over the model axis — token-exact vs the single-device int4 engine
+    on both the fallback (max_len 64) and fused-kernel (256) paths."""
+    config, params = _mk()
+    from onebit_tpu.model.kv_cache import QuantKVCacheKT4
+    for max_len in (64, 256):
+        ref = ContinuousBatchingEngine(params, config, max_batch=2,
+                                       max_len=max_len,
+                                       compute_dtype=jnp.float32,
+                                       quantized_kv="int4")
+        want = _run(ref, PROMPTS[:2], n_new=4)
+        eng = ContinuousBatchingEngine(params, config, max_batch=2,
+                                       max_len=max_len,
+                                       compute_dtype=jnp.float32,
+                                       quantized_kv="int4",
+                                       tp_mesh=create_mesh((1, 2)))
+        assert isinstance(eng.cache, QuantKVCacheKT4)
+        got = _run(eng, PROMPTS[:2], n_new=4)
+        assert got == want, max_len
