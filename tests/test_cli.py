@@ -236,6 +236,7 @@ def test_cli_serve_kv_quant_dense(tmp_path, capsys, monkeypatch):
         main(["serve", "--ckpt", packed_dir, "--kv-quant", "fp8"])
 
 
+@pytest.mark.slow
 def test_cli_eval_check_engines_gate(tmp_path, capsys):
     """--check-engines composes with --expect (VERDICT r4 item 7): the
     pinned-numbers gate also drives the serving paths — bf16 dense engine

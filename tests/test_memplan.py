@@ -98,6 +98,7 @@ def test_opt_state_is_sharded():
         assert m.sharding == latent.sharding, (m.sharding, latent.sharding)
 
 
+@pytest.mark.slow
 def test_cli_dry_compile():
     from onebit_tpu.cli import main
     # tiny geometry is not a named CLI model; use the config.json route

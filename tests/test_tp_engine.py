@@ -205,6 +205,7 @@ def test_tp_engine_quant_kv_speculative_matches():
     assert got == want
 
 
+@pytest.mark.slow
 def test_tp_engine_int4_matches_single_device():
     """TP x int4 (round 5 tail): the nibble-packed pools head-sharded
     over the model axis — token-exact vs the single-device int4 engine

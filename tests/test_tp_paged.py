@@ -83,6 +83,7 @@ def test_tp_paged_block_matches(tiny, want):
     assert _run(eng) == want
 
 
+@pytest.mark.slow
 def test_tp_paged_quantized_kv_runs(tiny):
     # int8 pages change numerics (not token-exact vs bf16/f32 by design):
     # assert the TP-quantized engine completes and matches the
