@@ -475,7 +475,8 @@ def cmd_serve(args):
         page_size=args.page_size, prefix_cache=args.prefix_cache,
         prefill_chunk_size=args.prefill_chunk,
         draft_params=draft_params, draft_config=draft_config,
-        n_draft=args.n_draft, tp_mesh=tp_mesh)
+        n_draft=args.n_draft, tp_mesh=tp_mesh,
+        pipeline_blocks=args.pipeline_blocks)
 
     if args.http is not None:
         import time
@@ -691,6 +692,11 @@ def build_parser():
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--block-steps", type=int, default=1,
                     help="decode tokens per device program")
+    sv.add_argument("--pipeline-blocks", action="store_true",
+                    help="depth-2 block pipelining: dispatch block N+1 "
+                         "from block N's device finals, fetch N's tokens "
+                         "while N+1 runs (dense/quantized single-device "
+                         "block path; token-identical output)")
     sv.add_argument("--fuse-decode", action="store_true",
                     help="fuse qkv/gate+up projections for decode")
     sv.add_argument("--paged", action="store_true",

@@ -87,7 +87,8 @@ class ContinuousBatchingEngine:
                  draft_params=None,
                  draft_config: Optional[BitLlamaConfig] = None,
                  n_draft: int = 4,
-                 tp_mesh=None):
+                 tp_mesh=None,
+                 pipeline_blocks: bool = False):
         self.params = params
         self.config = config
         self.max_batch = max_batch
@@ -115,6 +116,24 @@ class ContinuousBatchingEngine:
                     "supported (no int4 chunk-append path; use the "
                     "default bucketed prefill, or int8)")
         self.block_steps = max(block_steps, 1)
+        # depth-2 block pipelining: dispatch block N+1 straight from block
+        # N's DEVICE finals (token/pos/done/budget stay on device), then
+        # fetch N's tokens while N+1 executes — the per-block host RTT
+        # (30-60 ms on tunneled runtimes) overlaps device compute instead
+        # of serializing with it.  The host's scheduler view lags one
+        # block, so the engine only chains while the waiting queue is
+        # empty (admission flushes the pipeline first), and one
+        # all-frozen trailing block runs per drain phase (valid=False
+        # throughout — emitted as a no-op).  Greedy output is
+        # token-identical to the unpipelined engine.
+        self.pipeline_blocks = bool(pipeline_blocks) and self.block_steps > 1
+        if self.pipeline_blocks and (paged or tp_mesh is not None
+                                     or draft_params is not None):
+            raise ValueError(
+                "pipeline_blocks covers the single-device dense/"
+                "quantized-KV block path (paged/TP/speculative block "
+                "programs do not return device finals)")
+        self._pending = None   # (toks_dev, valid_dev, finals) in flight
         # fixed-shape chunked prefill (dense and paged caches)
         self.prefill_chunk_size = prefill_chunk_size
         # greedy speculative decoding (engine/speculative.py): a draft
@@ -475,7 +494,18 @@ class ContinuousBatchingEngine:
                 **kw).compile()
 
     def has_work(self) -> bool:
-        return bool(self.waiting) or any(s is not None for s in self.slots)
+        return bool(self.waiting) or any(s is not None for s in self.slots) \
+            or self._pending is not None
+
+    def _flush_pending(self) -> None:
+        """Emit the in-flight pipelined block's outputs (forces a device
+        sync on that block only)."""
+        import numpy as np
+        if self._pending is None:
+            return
+        toks, valid, _ = self._pending
+        self._pending = None
+        self._emit_block(np.asarray(toks), np.asarray(valid))
 
     def run(self) -> Dict[int, List[int]]:
         """Drive until all requests complete; returns uid → generated."""
@@ -491,6 +521,10 @@ class ContinuousBatchingEngine:
         self._decode()
 
     def _admit(self) -> None:
+        if self._pending is not None and self.waiting:
+            # admission needs an accurate host scheduler view: land the
+            # in-flight block before touching slots
+            self._flush_pending()
         admitted = []   # (slot, last-prompt logits) — sampled in batch
         planned = []    # dense non-chunked admissions, prefilled batched
         round_keys = set()   # first-page digests of DEFERRED admissions
@@ -791,6 +825,7 @@ class ContinuousBatchingEngine:
     def _decode(self) -> None:
         active = np.asarray([s is not None for s in self.slots])
         if not active.any():
+            self._flush_pending()
             return
         if self.draft_params is not None:
             self._decode_spec(active)
@@ -949,21 +984,80 @@ class ContinuousBatchingEngine:
                 compute_dtype=self.compute_dtype)
         else:
             from onebit_tpu.model.ragged_decode import ragged_decode_block
-            toks, valid, self.cache, self.key = _donated(
-                ragged_decode_block, _BLOCK_STATICS)(
+            blockfn = _donated(ragged_decode_block, _BLOCK_STATICS)
+            kw = dict(config=self.config, sampling=self.sampling,
+                      n_steps=self.block_steps, impl=self.impl,
+                      compute_dtype=self.compute_dtype)
+            if self.pipeline_blocks:
+                prev = self._pending
+                if prev is None:
+                    out = blockfn(self.params, self.cache,
+                                  jnp.asarray(self.next_token),
+                                  jnp.asarray(self.row_pos),
+                                  jnp.asarray(active),
+                                  jnp.asarray(budget), self.key, **kw)
+                else:
+                    # chain from the in-flight block's DEVICE finals —
+                    # no host fetch sits between the two dispatches
+                    tok_f, pos_f, done_f, budget_f = prev[2]
+                    out = blockfn(self.params, self.cache, tok_f, pos_f,
+                                  ~done_f, budget_f, self.key, **kw)
+                toks, valid, self.cache, self.key, finals = out
+                self._pending = None
+                if prev is not None:
+                    # fetch + bookkeeping of block N overlaps block N+1's
+                    # device execution
+                    self._emit_block(np.asarray(prev[0]),
+                                     np.asarray(prev[1]))
+                self._pending = (toks, valid, finals)
+                return
+            toks, valid, self.cache, self.key, _ = blockfn(
                 self.params, self.cache, jnp.asarray(self.next_token),
                 jnp.asarray(self.row_pos), jnp.asarray(active),
-                jnp.asarray(budget), self.key, self.config,
-                sampling=self.sampling, n_steps=self.block_steps,
-                impl=self.impl, compute_dtype=self.compute_dtype)
+                jnp.asarray(budget), self.key, **kw)
         toks = np.asarray(toks)    # [n_steps, B]
         valid = np.asarray(valid)  # [n_steps, B] bool
-        for step in range(toks.shape[0]):
-            for slot in range(self.max_batch):
-                if self.slots[slot] is None or not valid[step, slot]:
-                    continue
-                self.row_pos[slot] += 1
-                self._emit(slot, int(toks[step, slot]))
+        self._emit_block(toks, valid)
+
+    def _emit_block(self, toks, valid) -> None:
+        """Vectorized bookkeeping for a decode block's outputs.
+
+        The per-token ``_emit`` loop costs ~100 ms of host time per
+        512-token block (measured: dense b16 serving at 13.2 ms/step vs
+        a 9.3 ms device step) — list appends, meter ticks and EOS checks
+        one token at a time.  Per-slot slicing amortizes it; rows with a
+        streaming ``on_token`` callback keep the per-token path (the
+        callback contract is per token)."""
+        import time
+        now = time.perf_counter()
+        emitted = 0
+        for slot in range(self.max_batch):
+            req = self.slots[slot]
+            if req is None:
+                continue
+            col_valid = valid[:, slot]
+            n = int(col_valid.sum())
+            if n == 0:
+                continue
+            if req.on_token is not None:
+                # streaming path: per-token semantics preserved
+                for tok in toks[:, slot][col_valid]:
+                    if self.slots[slot] is None:
+                        break
+                    self.row_pos[slot] += 1
+                    self._emit(slot, int(tok))
+                continue
+            seq = [int(t) for t in toks[:, slot][col_valid]]
+            if not req.generated:
+                req.t_first_token = now
+            req.generated.extend(seq)
+            self.row_pos[slot] += n
+            self.next_token[slot] = seq[-1]
+            self.total_tokens += n
+            emitted += n
+            self._maybe_finish(slot, seq[-1])
+        if emitted:
+            self.meter.tick(emitted)
 
     def _emit(self, slot: int, tok: int) -> None:
         """Record one generated token: bookkeeping, streaming callback,

@@ -437,8 +437,12 @@ def ragged_decode_block(params, cache, next_token, row_pos, active, budget,
     the identity branch rewrite the multi-GB cache carry every step (a
     measured ~10 ms/step of pure copies at 7B serving shapes), which costs
     far more than the masked compute it saves.
-    Returns (tokens [n_steps, B], valid [n_steps, B] bool, cache, key);
-    ``valid[s, b]`` marks real tokens (False after a row finished).
+    Returns (tokens [n_steps, B], valid [n_steps, B] bool, cache, key,
+    finals); ``valid[s, b]`` marks real tokens (False after a row
+    finished).  ``finals = (tok, pos, done, budget)`` is the block's
+    final per-row state as DEVICE arrays — the engine's pipelined mode
+    chains the next block directly from them (``next_token=tok,
+    row_pos=pos, active=~done, budget=budget``) with no host round trip.
     """
     from onebit_tpu.engine.sampler import sample_token
 
@@ -460,9 +464,9 @@ def ragged_decode_block(params, cache, next_token, row_pos, active, budget,
 
     done0 = ~active
     carry0 = (cache, next_token, row_pos, done0, budget, key)
-    (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
-        body, carry0, None, length=n_steps)
-    return toks, valid, cache, key
+    (cache, tok_f, pos_f, done_f, budget_f, key), (toks, valid) = \
+        jax.lax.scan(body, carry0, None, length=n_steps)
+    return toks, valid, cache, key, (tok_f, pos_f, done_f, budget_f)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "impl",

@@ -69,6 +69,7 @@ def main():
     kvq_env = os.environ.get("ONEBIT_SERVE_KVQ", "0")
     kvq = {"0": False, "1": True, "int8": True, "int4": "int4"}[kvq_env]
     prompt_len = int(os.environ.get("ONEBIT_SERVE_PROMPT", "16"))
+    pipeline = os.environ.get("ONEBIT_SERVE_PIPELINE", "0") == "1"
 
     config = BitLlamaConfig.named(size)
     params = host_random_packed_params(config)
@@ -90,7 +91,7 @@ def main():
             sampling=SamplingConfig(greedy=True), impl="pallas",
             compute_dtype=jnp.bfloat16, paged=paged,
             quantized_kv=(paged or kvq), page_size=page,
-            block_steps=block)
+            block_steps=block, pipeline_blocks=pipeline)
 
     print(f"# warmup round (compiles prefill + decode block)",
           file=sys.stderr, flush=True)

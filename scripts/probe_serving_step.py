@@ -84,7 +84,7 @@ def main():
 
         def block(p, state):
             cache, pos = state
-            _, _, cache, _ = ragged_decode_block(
+            _, _, cache, _, _ = ragged_decode_block(
                 p, cache, tok, pos, active, budget, key, config,
                 sampling=sampling, n_steps=n_steps, impl="pallas")
             return cache, pos + n_steps

@@ -229,3 +229,46 @@ def test_engine_with_fused_decode_params(tiny):
         got = eng.run()
         outs[name] = [got[u] for u in uids]
     assert outs["packed"] == outs["fused"]
+
+
+def test_pipelined_blocks_match_unpipelined():
+    """pipeline_blocks=True (depth-2 chaining from device finals) is
+    token-identical to the plain block engine — including EOS mid-block,
+    staggered admission (the pipeline flushes before admission), and the
+    quantized-KV cache."""
+    from onebit_tpu.model.bitllama import pack_model_params
+    config = BitLlamaConfig.named("tiny")
+    params = pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent"))
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10], [3, 1, 4, 1, 5]]
+    for kvq in (False, True):
+        ref = ContinuousBatchingEngine(params, config, max_batch=2,
+                                       max_len=64, block_steps=4,
+                                       compute_dtype=jnp.float32,
+                                       quantized_kv=kvq)
+        uids = [ref.add_request(list(p), max_new_tokens=9)
+                for p in prompts]
+        out = ref.run()
+        want = [out[u] for u in uids]
+        pipe = ContinuousBatchingEngine(params, config, max_batch=2,
+                                        max_len=64, block_steps=4,
+                                        compute_dtype=jnp.float32,
+                                        quantized_kv=kvq,
+                                        pipeline_blocks=True)
+        uids = [pipe.add_request(list(p), max_new_tokens=9)
+                for p in prompts]
+        out = pipe.run()
+        got = [out[u] for u in uids]
+        assert got == want, kvq
+        assert pipe._pending is None
+        assert pipe.total_tokens == ref.total_tokens
+
+
+def test_pipelined_blocks_validation():
+    from onebit_tpu.model.bitllama import pack_model_params
+    config = BitLlamaConfig.named("tiny")
+    params = pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent"))
+    with pytest.raises(ValueError, match="pipeline_blocks"):
+        ContinuousBatchingEngine(params, config, block_steps=4,
+                                 paged=True, pipeline_blocks=True)
