@@ -146,9 +146,12 @@ class ContinuousBatchingEngine:
         # tensor-parallel serving (engine/tp_backend.py): shard_map TP
         # variants of the serving programs over tp_mesh's ``model`` axis —
         # same scheduler, mp-fold sharded weights/KV heads.  Covers the
-        # dense bucketed path AND the full paged family (paged pools,
-        # quantized KV, prefix caching, chunked prefill); speculative
-        # decoding is the one remaining exclusion.
+        # dense bucketed path, the full paged family (paged pools,
+        # quantized KV, prefix caching, chunked prefill), greedy
+        # speculative, and the dense quantized-KV caches (int8 KT and
+        # int4 nibble-packed) — the remaining exclusions are non-greedy
+        # spec (validated below) and int4 x {spec, chunked} (validated
+        # above).
         self._tp = None
         if tp_mesh is not None:
             if draft_params is not None and not self.sampling.greedy:
