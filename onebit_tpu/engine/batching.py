@@ -127,12 +127,12 @@ class ContinuousBatchingEngine:
         # throughout — emitted as a no-op).  Greedy output is
         # token-identical to the unpipelined engine.
         self.pipeline_blocks = bool(pipeline_blocks) and self.block_steps > 1
-        if self.pipeline_blocks and (paged or tp_mesh is not None
-                                     or draft_params is not None):
+        if self.pipeline_blocks and draft_params is not None:
             raise ValueError(
-                "pipeline_blocks covers the single-device dense/"
-                "quantized-KV block path (paged/TP/speculative block "
-                "programs do not return device finals)")
+                "pipeline_blocks + speculative decoding are mutually "
+                "exclusive (a spec round's acceptance decision needs the "
+                "host every round — its RTT is already amortized over "
+                "n_draft+1 tokens)")
         self._pending = None   # (toks_dev, valid_dev, finals) in flight
         # fixed-shape chunked prefill (dense and paged caches)
         self.prefill_chunk_size = prefill_chunk_size
@@ -965,80 +965,75 @@ class ContinuousBatchingEngine:
         budget = np.asarray(
             [r.max_new_tokens - len(r.generated) if r is not None else 0
              for r in self.slots], np.int32)
-        if self._tp is not None and self.paged:
-            toks, valid, self.cache, self.key = self._tp.paged_block(
-                self.params, self.cache, jnp.asarray(self.next_token),
-                jnp.asarray(self.row_pos), jnp.asarray(self.page_tables),
-                jnp.asarray(active), jnp.asarray(budget), self.key)
-        elif self._tp is not None:
-            toks, valid, self.cache, self.key = self._tp.block(
-                self.params, self.cache, jnp.asarray(self.next_token),
-                jnp.asarray(self.row_pos), jnp.asarray(active),
-                jnp.asarray(budget), self.key)
-        elif self.paged:
-            from onebit_tpu.engine.paged import paged_decode_block
-            toks, valid, self.cache, self.key = _donated(
-                paged_decode_block, _BLOCK_STATICS)(
-                self.params, self.cache, jnp.asarray(self.next_token),
-                jnp.asarray(self.row_pos), jnp.asarray(self.page_tables),
-                jnp.asarray(active), jnp.asarray(budget), self.key,
-                self.config, sampling=self.sampling,
-                n_steps=self.block_steps, impl=self.impl,
-                compute_dtype=self.compute_dtype)
-        else:
-            from onebit_tpu.model.ragged_decode import ragged_decode_block
-            blockfn = _donated(ragged_decode_block, _BLOCK_STATICS)
+        # unified block dispatch: every backend returns
+        # (toks, valid, cache, key, finals) — finals are the block's
+        # final per-row (tok, pos, done, budget) DEVICE arrays
+        tables = jnp.asarray(self.page_tables) if self.paged else None
+
+        def dispatch(tok, pos, act, bud, key):
+            if self._tp is not None and self.paged:
+                return self._tp.paged_block(self.params, self.cache, tok,
+                                            pos, tables, act, bud, key)
+            if self._tp is not None:
+                return self._tp.block(self.params, self.cache, tok, pos,
+                                      act, bud, key)
             kw = dict(config=self.config, sampling=self.sampling,
                       n_steps=self.block_steps, impl=self.impl,
                       compute_dtype=self.compute_dtype)
-            if self.pipeline_blocks:
-                # "certainly more work" test on the (lagging) host view:
-                # a row whose host-known remaining budget exceeds one
-                # block cannot finish inside the in-flight block, so the
-                # next dispatch is guaranteed useful.  Without this guard
-                # every drain phase pays one all-frozen trailing block —
-                # measured to ERASE the pipelining win on short runs
-                # (dense b16 blk32: 1019 vs 1232 tok/s unpipelined).
-                more = any(
-                    r is not None
-                    and r.max_new_tokens - len(r.generated)
-                    > self.block_steps
-                    for r in self.slots)
-                prev = self._pending
-                if prev is not None:
-                    if not more:
-                        # the tail may end inside prev: land it and let
-                        # the next loop iteration finish unpipelined
-                        self._flush_pending()
-                        return
-                    # chain from the in-flight block's DEVICE finals —
-                    # no host fetch sits between the two dispatches
-                    tok_f, pos_f, done_f, budget_f = prev[2]
-                    out = blockfn(self.params, self.cache, tok_f, pos_f,
-                                  ~done_f, budget_f, self.key, **kw)
-                else:
-                    out = blockfn(self.params, self.cache,
-                                  jnp.asarray(self.next_token),
-                                  jnp.asarray(self.row_pos),
-                                  jnp.asarray(active),
-                                  jnp.asarray(budget), self.key, **kw)
-                toks, valid, self.cache, self.key, finals = out
-                self._pending = None
-                if prev is not None:
-                    # fetch + bookkeeping of block N overlaps block N+1's
-                    # device execution
-                    self._emit_block(np.asarray(prev[0]),
-                                     np.asarray(prev[1]))
-                if more:
-                    self._pending = (toks, valid, finals)
-                else:
-                    # final block of the drain: nothing left to overlap
-                    self._emit_block(np.asarray(toks), np.asarray(valid))
-                return
-            toks, valid, self.cache, self.key, _ = blockfn(
-                self.params, self.cache, jnp.asarray(self.next_token),
-                jnp.asarray(self.row_pos), jnp.asarray(active),
-                jnp.asarray(budget), self.key, **kw)
+            if self.paged:
+                from onebit_tpu.engine.paged import paged_decode_block
+                return _donated(paged_decode_block, _BLOCK_STATICS)(
+                    self.params, self.cache, tok, pos, tables, act, bud,
+                    key, **kw)
+            from onebit_tpu.model.ragged_decode import ragged_decode_block
+            return _donated(ragged_decode_block, _BLOCK_STATICS)(
+                self.params, self.cache, tok, pos, act, bud, key, **kw)
+
+        if self.pipeline_blocks:
+            # "certainly more work" test on the (lagging) host view: a
+            # row whose host-known remaining budget exceeds one block
+            # cannot finish inside the in-flight block, so the next
+            # dispatch is guaranteed useful.  Without this guard every
+            # drain phase pays one all-frozen trailing block — measured
+            # to ERASE the pipelining win on short runs (dense b16
+            # blk32: 1019 vs 1232 tok/s unpipelined).
+            more = any(
+                r is not None
+                and r.max_new_tokens - len(r.generated) > self.block_steps
+                for r in self.slots)
+            prev = self._pending
+            if prev is not None:
+                if not more:
+                    # the tail may end inside prev: land it and let the
+                    # next loop iteration finish unpipelined
+                    self._flush_pending()
+                    return
+                # chain from the in-flight block's DEVICE finals — no
+                # host fetch sits between the two dispatches.  (tables
+                # above were snapshotted BEFORE prev's bookkeeping runs,
+                # so released rows' pages are still consistently frozen.)
+                tok_f, pos_f, done_f, budget_f = prev[2]
+                out = dispatch(tok_f, pos_f, ~done_f, budget_f, self.key)
+            else:
+                out = dispatch(jnp.asarray(self.next_token),
+                               jnp.asarray(self.row_pos),
+                               jnp.asarray(active), jnp.asarray(budget),
+                               self.key)
+            toks, valid, self.cache, self.key, finals = out
+            self._pending = None
+            if prev is not None:
+                # fetch + bookkeeping of block N overlaps block N+1's
+                # device execution
+                self._emit_block(np.asarray(prev[0]), np.asarray(prev[1]))
+            if more:
+                self._pending = (toks, valid, finals)
+            else:
+                # final block of the drain: nothing left to overlap
+                self._emit_block(np.asarray(toks), np.asarray(valid))
+            return
+        toks, valid, self.cache, self.key, _ = dispatch(
+            jnp.asarray(self.next_token), jnp.asarray(self.row_pos),
+            jnp.asarray(active), jnp.asarray(budget), self.key)
         toks = np.asarray(toks)    # [n_steps, B]
         valid = np.asarray(valid)  # [n_steps, B] bool
         self._emit_block(toks, valid)

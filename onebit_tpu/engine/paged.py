@@ -583,7 +583,10 @@ def paged_decode_block(params, cache, next_token, lengths, page_indices,
     including why frozen rows run the model rather than skipping behind a
     ``cond``).  Overflow writes past a row's pages clamp onto the reserved
     null page 0 by construction.  Returns (tokens [n_steps, B],
-    valid [n_steps, B], cache, key)."""
+    valid [n_steps, B], cache, key, finals) — ``finals = (tok, lens,
+    done, budget)`` device arrays for the engine's pipelined chaining
+    (page tables only change at admission, which flushes the pipeline,
+    so ``page_indices`` stays valid across chained blocks)."""
     from onebit_tpu.engine.sampler import sample_token
 
     eos = jnp.int32(config.eos_token_id)
@@ -603,9 +606,9 @@ def paged_decode_block(params, cache, next_token, lengths, page_indices,
         return (cache, nxt, lens, done, budget, key), (nxt, valid)
 
     carry0 = (cache, next_token, lengths, ~active, budget, key)
-    (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
-        body, carry0, None, length=n_steps)
-    return toks, valid, cache, key
+    (cache, tok_f, lens_f, done_f, budget_f, key), (toks, valid) = \
+        jax.lax.scan(body, carry0, None, length=n_steps)
+    return toks, valid, cache, key, (tok_f, lens_f, done_f, budget_f)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "impl",

@@ -680,9 +680,10 @@ class TPServing:
                 return (cache, nxt, pos, done, budget, key), (nxt, valid)
 
             carry0 = (cache, next_token, row_pos, ~active, budget, key)
-            (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
-                body, carry0, None, length=block_steps)
-            return toks, valid, cache, key
+            (cache, tok_f, pos_f, done_f, budget_f, key), (toks, valid) = \
+                jax.lax.scan(body, carry0, None, length=block_steps)
+            return toks, valid, cache, key, (tok_f, pos_f, done_f,
+                                             budget_f)
 
         smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
         rep = P()
@@ -717,7 +718,8 @@ class TPServing:
 
         self._dense_dispatcher = dense_dispatcher
         step_out = lambda cspec: (rep, cspec)                 # noqa: E731
-        block_out = lambda cspec: (rep, rep, cspec, rep)      # noqa: E731
+        block_out = lambda cspec: (rep, rep, cspec, rep,      # noqa: E731
+                                   (rep, rep, rep, rep))
         self.step = dense_dispatcher(step_body, step_out, 3)
         self.greedy_step = dense_dispatcher(greedy_step_body, step_out, 3)
         self.prefill_rows = dense_dispatcher(prefill_body, step_out, 3)
@@ -954,9 +956,10 @@ class TPServing:
                 return (cache, nxt, lens, done, budget, key), (nxt, valid)
 
             carry0 = (cache, next_token, lengths, ~active, budget, key)
-            (cache, _, _, _, _, key), (toks, valid) = jax.lax.scan(
-                body, carry0, None, length=block_steps)
-            return toks, valid, cache, key
+            (cache, tok_f, lens_f, done_f, budget_f, key), (toks, valid) = \
+                jax.lax.scan(body, carry0, None, length=block_steps)
+            return toks, valid, cache, key, (tok_f, lens_f, done_f,
+                                             budget_f)
 
         rep = P()
 
@@ -985,7 +988,8 @@ class TPServing:
             return call
 
         step_out = lambda cspec: (rep, cspec)                 # noqa: E731
-        block_out = lambda cspec: (rep, rep, cspec, rep)      # noqa: E731
+        block_out = lambda cspec: (rep, rep, cspec, rep,      # noqa: E731
+                                   (rep, rep, rep, rep))
         self.paged_step = dispatcher(pstep_body, step_out, 3)
         self.paged_greedy_step = dispatcher(pgreedy_body, step_out, 3)
         self.paged_prefill_rows = dispatcher(pprefill_body, step_out, 3)

@@ -264,6 +264,37 @@ def test_pipelined_blocks_match_unpipelined():
         assert pipe.total_tokens == ref.total_tokens
 
 
+def test_pipelined_blocks_paged_and_tp_match():
+    """pipeline_blocks covers the paged and TP block paths too (every
+    block program returns device finals) — token-identical."""
+    from onebit_tpu.model.bitllama import pack_model_params
+    from onebit_tpu.parallel.mesh import create_mesh
+    config = BitLlamaConfig.named("tiny")
+    params = pack_model_params(
+        init_params(config, jax.random.PRNGKey(0), mode="latent"))
+    prompts = [[1, 2, 3], [4, 5, 6, 7, 8], [9, 10]]
+    for extra in (dict(paged=True, page_size=8),
+                  dict(tp_mesh=create_mesh((1, 2)))):
+        ref = ContinuousBatchingEngine(params, config, max_batch=2,
+                                       max_len=32, block_steps=4,
+                                       compute_dtype=jnp.float32,
+                                       **extra)
+        uids = [ref.add_request(list(p), max_new_tokens=9)
+                for p in prompts]
+        out = ref.run()
+        want = [out[u] for u in uids]
+        pipe = ContinuousBatchingEngine(params, config, max_batch=2,
+                                        max_len=32, block_steps=4,
+                                        compute_dtype=jnp.float32,
+                                        pipeline_blocks=True, **extra)
+        uids = [pipe.add_request(list(p), max_new_tokens=9)
+                for p in prompts]
+        out = pipe.run()
+        got = [out[u] for u in uids]
+        assert got == want, extra
+        assert pipe._pending is None
+
+
 def test_pipelined_blocks_validation():
     from onebit_tpu.model.bitllama import pack_model_params
     config = BitLlamaConfig.named("tiny")
@@ -271,4 +302,5 @@ def test_pipelined_blocks_validation():
         init_params(config, jax.random.PRNGKey(0), mode="latent"))
     with pytest.raises(ValueError, match="pipeline_blocks"):
         ContinuousBatchingEngine(params, config, block_steps=4,
-                                 paged=True, pipeline_blocks=True)
+                                 draft_params=params, draft_config=config,
+                                 pipeline_blocks=True)
