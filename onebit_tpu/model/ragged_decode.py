@@ -76,6 +76,21 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
     # the fused kernel takes the same semantics as per-row lengths
     kt_lengths = jnp.where(active, row_pos + 1, 0)
 
+    # length-aware window ladder for the dense branch (see attn_at below):
+    # power-of-two widths from 128 to max_len, picked per step by the
+    # live maximum position
+    _attn_widths = []
+    w = 128
+    while w < max_len:
+        _attn_widths.append(w)
+        w *= 2
+    _attn_widths.append(max_len)
+    if max_len < 128:
+        _attn_widths = [max_len]
+    need = jnp.max(jnp.where(active, row_pos, 0)) + 1
+    width_idx = jnp.sum(
+        (jnp.asarray(_attn_widths, jnp.int32) < need).astype(jnp.int32))
+
     rows = jnp.arange(b)
     layers = params["layers"]
 
@@ -183,11 +198,35 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
                 k[:, 0].astype(k_all.dtype))
             v_all = v_all.at[i, rows, row_pos].set(
                 v[:, 0].astype(v_all.dtype))
-            ck = jax.lax.dynamic_index_in_dim(k_all, i, 0, keepdims=False)
-            cv = jax.lax.dynamic_index_in_dim(v_all, i, 0, keepdims=False)
-            ctx = bitllama._attention(q, ck.astype(q.dtype),
-                                      cv.astype(q.dtype), mask,
-                                      num_kv_groups=config.num_kv_groups)
+
+            # length-aware attention window (round 5): a fixed-shape read
+            # of the FULL max_len cache costs its HBM roofline every step
+            # (1.31 ms of the 7.6 ms b8/256 step — probe_step_parts.py)
+            # even when every row sits near position 0.  lax.switch picks
+            # the smallest power-of-two window covering max(row_pos)+1;
+            # positions beyond a row's length are exactly masked either
+            # way, and trailing exact-zero softmax terms don't perturb fp
+            # sums, so every width is bit-identical to the full read.
+            def attn_at(w):
+                def f(_):
+                    ck = jax.lax.dynamic_slice(
+                        k_all, (i, 0, 0, 0, 0),
+                        (1, b, w, nkv, hd))[0]
+                    cv = jax.lax.dynamic_slice(
+                        v_all, (i, 0, 0, 0, 0),
+                        (1, b, w, nkv, hd))[0]
+                    return bitllama._attention(
+                        q, ck.astype(q.dtype), cv.astype(q.dtype),
+                        mask[..., :w],
+                        num_kv_groups=config.num_kv_groups)
+                return f
+
+            if len(_attn_widths) == 1:
+                ctx = attn_at(_attn_widths[0])(None)
+            else:
+                ctx = jax.lax.switch(width_idx,
+                                     [attn_at(w) for w in _attn_widths],
+                                     None)
             leaves = (k_all, v_all)
 
         attn_out = _project_flat(ctx.reshape(b, 1, nh * hd), layers,

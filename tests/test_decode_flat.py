@@ -102,3 +102,38 @@ def test_flat_key_start_positions(tiny_packed):
                              positions=pos, key_start=ks)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ragged_window_ladder_matches_flat():
+    """The length-aware attention window (lax.switch over power-of-two
+    widths) is numerically equivalent to the full-cache read (the fp
+    reduction tree regroups with width, ~1e-6): ragged_decode_step at
+    max_len 256 (multi-width ladder) matches decode_step_flat across
+    positions that cross a width boundary (127 -> 128)."""
+    import numpy as np
+
+    from onebit_tpu.model.bitllama import (decode_step_flat, init_kv_cache,
+                                           init_params)
+    from onebit_tpu.model.config import BitLlamaConfig
+    from onebit_tpu.model.ragged_decode import ragged_decode_step
+
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    b, max_len = 2, 256
+    cache_r = init_kv_cache(config, b, max_len, dtype=jnp.float32)
+    cache_f = init_kv_cache(config, b, max_len, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    active = jnp.ones(b, bool)
+    toks = jnp.asarray(rng.randint(1, config.vocab_size, (b, 1)), jnp.int32)
+    for step, pos0 in enumerate([0, 126, 127, 128, 200]):
+        pos = jnp.full((b,), pos0, jnp.int32)
+        lr, cache_r = ragged_decode_step(
+            params, cache_r, toks, pos, active, config,
+            compute_dtype=jnp.float32)
+        lf, cache_f = decode_step_flat(
+            params, cache_f, toks, jnp.int32(pos0), config,
+            compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"pos {pos0}")
+        toks = jnp.argmax(lf[:, -1:], -1).astype(jnp.int32)
