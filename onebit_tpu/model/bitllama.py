@@ -594,6 +594,21 @@ def decode_step_flat(params, cache, input_ids, cache_index,
     kt4 = isinstance(cache, QuantKVCacheKT4)
     layers = params["layers"]
 
+    # length-aware window ladder for the dense branch (mirrors
+    # ragged_decode_step): power-of-two read widths from 128 to max_len,
+    # picked by the live maximum position
+    _attn_widths = []
+    _w = 128
+    while _w < max_len:
+        _attn_widths.append(_w)
+        _w *= 2
+    _attn_widths.append(max_len)
+    if max_len < 128:
+        _attn_widths = [max_len]
+    _need = jnp.max(positions) + 1
+    _width_idx = jnp.sum(
+        (jnp.asarray(_attn_widths, jnp.int32) < _need).astype(jnp.int32))
+
     def pick(a, i):
         return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
 
@@ -728,9 +743,30 @@ def decode_step_flat(params, cache, input_ids, cache_index,
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v[None].astype(v_all.dtype), (i, 0, cache_index, 0, 0))
             leaves = (k_all, v_all)
-            ctx = _attention(q, pick(k_all, i).astype(q.dtype),
-                             pick(v_all, i).astype(q.dtype), mask,
-                             num_kv_groups=config.num_kv_groups)
+            if len(_attn_widths) > 1:
+                # length-aware attention window (see ragged_decode_step):
+                # read the smallest power-of-two cache window covering
+                # the live positions instead of the full max_len
+                def attn_at(w):
+                    def f(_):
+                        ck = jax.lax.dynamic_slice(
+                            k_all, (i, 0, 0, 0, 0),
+                            (1, b, w, nkv, hd))[0]
+                        cv = jax.lax.dynamic_slice(
+                            v_all, (i, 0, 0, 0, 0),
+                            (1, b, w, nkv, hd))[0]
+                        return _attention(
+                            q, ck.astype(q.dtype), cv.astype(q.dtype),
+                            mask[..., :w],
+                            num_kv_groups=config.num_kv_groups)
+                    return f
+
+                ctx = jax.lax.switch(
+                    _width_idx, [attn_at(w) for w in _attn_widths], None)
+            else:
+                ctx = _attention(q, pick(k_all, i).astype(q.dtype),
+                                 pick(v_all, i).astype(q.dtype), mask,
+                                 num_kv_groups=config.num_kv_groups)
 
         attn_out = _project_flat(ctx.reshape(b, s, nh * hd), layers,
                                  "o_proj", i, impl)
