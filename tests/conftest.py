@@ -39,7 +39,7 @@ import pytest  # noqa: E402
 DEFAULT_TEST_TIMEOUT = 600.0  # seconds
 
 
-_MODULES_PER_CLEAR = 4
+_MODULES_PER_CLEAR = 6
 _module_clear_count = {"n": 0}
 
 
@@ -53,7 +53,7 @@ def _clear_jax_caches_per_module():
     ``backend_compile_and_load`` (reproduced twice at the same locus,
     round 5).  Clearing every module fixes the crash but forfeits the
     cross-module jit cache (~+1.5 min suite time), so the clear runs
-    every 4th module — accumulation stays bounded well under the crash
+    every 6th module — accumulation stays bounded well under the crash
     threshold while most cache reuse survives.  Module-scoped fixtures
     keep their own jit references alive across the clear."""
     yield

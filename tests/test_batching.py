@@ -264,6 +264,7 @@ def test_pipelined_blocks_match_unpipelined():
         assert pipe.total_tokens == ref.total_tokens
 
 
+@pytest.mark.slow
 def test_pipelined_blocks_paged_and_tp_match():
     """pipeline_blocks covers the paged and TP block paths too (every
     block program returns device finals) — token-identical."""
