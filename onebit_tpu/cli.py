@@ -191,9 +191,10 @@ def _engine_consistency_check(loaded, configs, *, max_len: int = 256,
     """Greedy cross-check of the serving-engine paths against flat decode
     (VERDICT r4 item 7: the real-checkpoint gate must exercise the
     quantized-KV dense engine and the paged engine, not just the flat
-    scoring path).  The bf16 dense engine must reproduce ``generate``
-    token-for-token; the quantized configurations (int8 KT, int4 KT,
-    paged int8) must match its FIRST sampled token exactly (prefill
+    scoring path).  The bf16 dense engine — plain AND block-pipelined —
+    must reproduce ``generate`` token-for-token; the quantized
+    configurations (int8 KT, int4 KT, paged int8) must match its FIRST
+    sampled token exactly (prefill
     attends full precision in every engine) and emit only in-vocab
     tokens.  Returns {"ok": 1/0, "<config>": 1/0, ...} so an --expect
     file can pin ``engine_check.ok``."""
@@ -212,6 +213,7 @@ def _engine_consistency_check(loaded, configs, *, max_len: int = 256,
                     sampling=greedy)
     kw = {
         "dense": {},
+        "pipelined": dict(block_steps=4, pipeline_blocks=True),
         "kvq": dict(quantized_kv=True),
         "int4": dict(quantized_kv="int4"),
         "paged": dict(paged=True, quantized_kv=True, page_size=16),
@@ -224,7 +226,7 @@ def _engine_consistency_check(loaded, configs, *, max_len: int = 256,
         uids = [eng.add_request(p, max_new_tokens=n_new) for p in prompts]
         got = eng.run()
         got = [got[u] for u in uids]
-        if name == "dense":
+        if name in ("dense", "pipelined"):
             good = got == want
         else:
             good = all(
@@ -247,7 +249,7 @@ def cmd_eval(args):
     if args.check_engines:
         configs = [c.strip() for c in args.check_engines.split(",")
                    if c.strip()] if args.check_engines != "all" else \
-            ["dense", "kvq", "int4", "paged"]
+            ["dense", "pipelined", "kvq", "int4", "paged"]
         results["engine_check"] = _engine_consistency_check(loaded, configs)
 
     if args.tokens:
@@ -656,8 +658,8 @@ def build_parser():
                    "nonzero when any metric misses its tolerance")
     e.add_argument("--check-engines", nargs="?", const="all", default=None,
                    help="greedy cross-check of the serving engines against "
-                   "flat decode before scoring: 'all' (dense, int8-KT, "
-                   "int4-KT, paged-int8) or a comma list; adds "
+                   "flat decode before scoring: 'all' (dense, pipelined, "
+                   "int8-KT, int4-KT, paged-int8) or a comma list; adds "
                    "engine_check.* to the results so --expect can pin "
                    "engine_check.ok")
     _add_dist_args(e)

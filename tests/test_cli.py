@@ -257,6 +257,7 @@ def test_cli_eval_check_engines_gate(tmp_path, capsys):
           "--check-engines", "--expect", str(expect)])
     out = capsys.readouterr().out
     assert "engine check [dense]: OK" in out
+    assert "engine check [pipelined]: OK" in out
     assert "engine check [int4]: OK" in out
     assert "engine check [paged]: OK" in out
     assert "engine_check.ok: got 1.0000" in out and "PASS" in out
