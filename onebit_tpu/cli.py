@@ -364,6 +364,14 @@ def cmd_eval(args):
         for metric, spec in expected.items():
             if metric.startswith("_"):
                 continue  # comment fields
+            if metric.split(".")[0] == "engine_check" and \
+                    not args.check_engines:
+                # the engine gate is opt-in (--check-engines); a pinned
+                # engine_check.* must not fail the plain ppl/task
+                # expectation run
+                print(f"{metric}: SKIPPED (pass --check-engines to "
+                      "assert the serving-engine gate)")
+                continue
             got = results
             for part in metric.split("."):
                 got = got.get(part) if isinstance(got, dict) else None

@@ -98,6 +98,14 @@ class ContinuousBatchingEngine:
         self.compute_dtype = compute_dtype
         self.paged = paged
         self.quantized_kv = quantized_kv
+        if paged and quantized_kv == "int4":
+            # init_paged_kv_cache would treat any truthy value as int8 —
+            # reject rather than silently serve int8 pages (the nibble
+            # pools exist only in the dense KT family)
+            raise ValueError(
+                "quantized_kv='int4' requires paged=False (int4 "
+                "nibble-packed pools exist only in the dense quantized "
+                "engine; paged pools support int8/fp8)")
         if quantized_kv and not paged:
             # dense quantized engine preconditions (validated before any
             # TP/draft state is built)

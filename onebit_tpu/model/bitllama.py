@@ -605,7 +605,12 @@ def decode_step_flat(params, cache, input_ids, cache_index,
     _attn_widths.append(max_len)
     if max_len < 128:
         _attn_widths = [max_len]
-    _need = jnp.max(positions) + 1
+    # the window must cover the cache WRITE frontier (keys land at slots
+    # cache_index..cache_index+s-1 in flat lockstep), not max(positions):
+    # with the left-padded convention (explicit positions < cache_index +
+    # key_start) the two differ and a position-based window would drop
+    # valid trailing keys
+    _need = cache_index + s
     _width_idx = jnp.sum(
         (jnp.asarray(_attn_widths, jnp.int32) < _need).astype(jnp.int32))
 

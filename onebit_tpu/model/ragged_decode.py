@@ -205,8 +205,11 @@ def ragged_decode_step(params, cache: KVCache, input_ids, row_pos, active,
             # even when every row sits near position 0.  lax.switch picks
             # the smallest power-of-two window covering max(row_pos)+1;
             # positions beyond a row's length are exactly masked either
-            # way, and trailing exact-zero softmax terms don't perturb fp
-            # sums, so every width is bit-identical to the full read.
+            # way (softmax terms are exact zeros), but XLA regroups the
+            # key-axis reduction tree per width, so logits can drift
+            # ~1e-6 across widths (and, since the width tracks the BATCH
+            # max position, across co-batched neighbors) — the same
+            # last-ulp reassociation any tiled reduction exhibits.
             def attn_at(w):
                 def f(_):
                     ck = jax.lax.dynamic_slice(

@@ -68,6 +68,10 @@ def main():
     # "int4" = nibble-packed pools (the 2x-capacity option)
     kvq_env = os.environ.get("ONEBIT_SERVE_KVQ", "0")
     kvq = {"0": False, "1": True, "int8": True, "int4": "int4"}[kvq_env]
+    if paged and kvq_env == "int4":
+        raise SystemExit("ONEBIT_SERVE_KVQ=int4 requires ONEBIT_SERVE_"
+                         "PAGED=0 (int4 pools are dense-engine only; "
+                         "paged runs always use int8 pages)")
     prompt_len = int(os.environ.get("ONEBIT_SERVE_PROMPT", "16"))
     pipeline = os.environ.get("ONEBIT_SERVE_PIPELINE", "0") == "1"
 

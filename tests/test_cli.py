@@ -158,6 +158,18 @@ def test_cli_eval_expect_pass_and_fail(tmp_path, capsys):
         main(["eval", "--ckpt", ckpt, "--tokens", tokens_path,
               "--seqlen", "16", "--batch-size", "2", "--expect", str(bad)])
 
+    # regression (round 5): a pinned engine_check.ok (as in every shipped
+    # expected/*.json) must NOT fail the plain run — the engine gate is
+    # opt-in via --check-engines
+    gated = tmp_path / "gated.json"
+    gated.write_text(json.dumps(
+        {"ppl": {"value": ppl, "atol": 0.5},
+         "engine_check.ok": {"value": 1.0, "atol": 0.0}}))
+    main(["eval", "--ckpt", ckpt, "--tokens", tokens_path, "--seqlen", "16",
+          "--batch-size", "2", "--expect", str(gated)])
+    out = capsys.readouterr().out
+    assert "engine_check.ok: SKIPPED" in out and "PASS" in out
+
 
 @pytest.mark.slow
 def test_cli_build_draft_and_distill(tmp_path):

@@ -137,3 +137,29 @@ def test_ragged_window_ladder_matches_flat():
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=f"pos {pos0}")
         toks = jnp.argmax(lf[:, -1:], -1).astype(jnp.int32)
+
+
+def test_flat_window_ladder_left_padded():
+    """Regression (round 5): the flat step's attention-window ladder must
+    size the window from the cache WRITE frontier (cache_index + s), not
+    max(positions) — with the left-padded convention (explicit positions
+    = cache_index - pad, key_start = pad) a position-based window would
+    silently drop valid trailing keys.  Oracle: decode_step (full-width
+    mask, no ladder)."""
+    config = BitLlamaConfig.named("tiny")
+    params = init_params(config, jax.random.PRNGKey(0), mode="latent")
+    B, pad, ci = 2, 80, 140  # positions 60 < 128-boundary, frontier 141
+    a = init_kv_cache(config, B, max_len=256, dtype=jnp.float32)
+    b = init_kv_cache(config, B, max_len=256, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (B, 1), 0,
+                             config.vocab_size)
+    pos = jnp.full((B, 1), ci - pad, jnp.int32)
+    ks = jnp.full((B,), pad, jnp.int32)
+    la, _ = decode_step(params, a, ids, jnp.int32(ci), config, impl="xla",
+                        compute_dtype=jnp.float32, positions=pos,
+                        key_start=ks)
+    lb, _ = decode_step_flat(params, b, ids, jnp.int32(ci), config,
+                             impl="xla", compute_dtype=jnp.float32,
+                             positions=pos, key_start=ks)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-5, atol=2e-5)

@@ -222,6 +222,11 @@ def test_quant_dense_engine_validation(tiny):
     with pytest.raises(ValueError, match="int4"):
         ContinuousBatchingEngine(params, config, quantized_kv="int4",
                                  draft_params=params, draft_config=config)
+    # paged pools have no int4 path — must raise, not silently build int8
+    # pages (init_paged_kv_cache treats any truthy value as int8)
+    with pytest.raises(ValueError, match="int4"):
+        ContinuousBatchingEngine(params, config, paged=True,
+                                 quantized_kv="int4")
 
 
 # -- int4 (nibble-packed) engine: the capacity option -----------------------
